@@ -1,0 +1,185 @@
+"""Config-driven architecture resolution.
+
+The reference never resolves architectures — it just runs whatever graph is
+in ``visual.onnx``/``text.onnx`` (reference: src/vision.rs:73-75,
+src/text.rs:87-90). This framework owns the math, so the architecture must be
+reconstructed from ``open_clip_config.json`` alone: classic CLIP towers from
+``layers/width/patch_size``, timm-backed towers (SigLIP/SigLIP2, MobileCLIP's
+FastViT) from the ``timm_model_name`` string, HF text towers from
+``hf_model_name``. This module is the crux identified in SURVEY.md §7
+("config-driven architecture selection").
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any
+
+from ..config import ModelCfg
+from ..errors import ConfigError
+from .text_transformer import TextCfgResolved
+from .vit import ViTCfg
+
+# width, layers, heads, mlp_hidden for timm ViT size names.
+_TIMM_VIT_SIZES: dict[str, tuple[int, int, int, int]] = {
+    "tiny": (192, 12, 3, 768),
+    "small": (384, 12, 6, 1536),
+    "base": (768, 12, 12, 3072),
+    "large": (1024, 24, 16, 4096),
+    "huge": (1280, 32, 16, 5120),
+    "so150m": (896, 27, 14, 3456),
+    "so400m": (1152, 27, 16, 4304),
+    "giant": (1408, 40, 16, 6144),
+    "giantopt": (1536, 40, 16, 6144),
+    "gopt": (1536, 40, 16, 6144),
+}
+
+
+@dataclass(frozen=True)
+class TowerSpec:
+    """A resolved tower: family name + its config object."""
+
+    family: str  # "vit" | "fastvit" | "text_transformer" | "hf_bert"
+    cfg: Any
+
+
+def _parse_timm_vit(name: str, vcfg, embed_dim: int, timm_pool: str | None,
+                    timm_proj: str | None) -> ViTCfg:
+    """Resolve a timm ViT name like ``vit_so400m_patch16_siglip_384`` or
+    ``vit_base_patch16_siglip_gap_256`` into a ViTCfg."""
+    size_key = None
+    for key in sorted(_TIMM_VIT_SIZES, key=len, reverse=True):
+        if f"_{key}_" in name or name.endswith(f"_{key}"):
+            size_key = key
+            break
+    if size_key is None:
+        raise ConfigError(f"Unknown timm ViT size in '{name}'")
+    width, layers, heads, mlp_hidden = _TIMM_VIT_SIZES[size_key]
+
+    m = re.search(r"patch(\d+)", name)
+    if not m:
+        raise ConfigError(f"No patch size in timm model name '{name}'")
+    patch = int(m.group(1))
+
+    is_siglip = "siglip" in name
+    if timm_pool:
+        pool = timm_pool
+    elif "gap" in name.split("_"):
+        pool = "gap"
+    elif is_siglip:
+        pool = "map"
+    else:
+        pool = "tok"
+
+    use_proj = timm_proj not in (None, "none", "")
+    return ViTCfg(
+        image_size=vcfg.image_size,
+        patch_size=patch,
+        width=width,
+        layers=layers,
+        heads=heads,
+        mlp_hidden=mlp_hidden,
+        embed_dim=embed_dim if use_proj else width,
+        activation="gelu_tanh" if is_siglip else "gelu",
+        use_class_token=not is_siglip and pool != "gap",
+        use_ln_pre=False,
+        pool=pool,
+        use_proj=use_proj,
+        proj_bias=True,
+        ln_eps=1e-6,
+        pos_embed_cls=not is_siglip and pool != "gap",
+    )
+
+
+def resolve_vision(model_cfg: ModelCfg) -> TowerSpec:
+    """open_clip vision_cfg → TowerSpec."""
+    v = model_cfg.vision_cfg
+    embed_dim = model_cfg.embed_dim
+
+    if v.timm_model_name:
+        name = v.timm_model_name
+        if name.startswith("vit_"):
+            return TowerSpec(
+                "vit",
+                _parse_timm_vit(name, v, embed_dim, v.timm_pool, v.timm_proj),
+            )
+        if name.startswith(("fastvit", "mci", "mobileclip")):
+            from .fastvit import resolve_fastvit
+
+            return TowerSpec("fastvit", resolve_fastvit(name, v, embed_dim, model_cfg))
+        raise ConfigError(f"Unsupported timm vision tower '{name}'")
+
+    # Classic open_clip ViT (reference models like DFN5B-CLIP-ViT-H-14).
+    if v.layers is None or v.width is None:
+        raise ConfigError("vision_cfg requires layers/width or timm_model_name")
+    if isinstance(v.layers, (list, tuple)):
+        raise ConfigError("ResNet-style vision towers (list layers) not supported yet")
+    head_width = v.head_width or 64
+    mlp_ratio = v.mlp_ratio or 4.0
+    if v.patch_size is None:
+        raise ConfigError("vision_cfg requires patch_size for ViT towers")
+    return TowerSpec(
+        "vit",
+        ViTCfg(
+            image_size=v.image_size,
+            patch_size=v.patch_size,
+            width=v.width,
+            layers=v.layers,
+            heads=v.width // head_width,
+            mlp_hidden=int(round(v.width * mlp_ratio)),
+            embed_dim=embed_dim,
+            activation="quick_gelu" if model_cfg.quick_gelu else "gelu",
+            use_class_token=True,
+            use_ln_pre=True,
+            pool="cls",
+            use_proj=True,
+            proj_bias=False,
+            ln_eps=1e-5,
+        ),
+    )
+
+
+def resolve_text(model_cfg: ModelCfg) -> TowerSpec:
+    """open_clip text_cfg → TowerSpec."""
+    t = model_cfg.text_cfg
+    if t.hf_model_name or t.extra.get("hf_model_name"):
+        from .hf_text import resolve_hf_text
+
+        return TowerSpec("hf_bert", resolve_hf_text(model_cfg))
+
+    width = t.width or 512
+    heads = t.heads or width // 64
+    layers = t.layers or 12
+    vocab = t.vocab_size or 49408
+    mlp_ratio = t.extra.get("mlp_ratio", 4.0)
+    no_causal = bool(t.extra.get("no_causal_mask", False))
+    pool = t.extra.get("pool_type", "last" if no_causal else "argmax")
+    proj_bias = bool(t.extra.get("proj_bias", False))
+    act_kwargs = t.extra.get("act_kwargs") or {}
+    if model_cfg.quick_gelu:
+        activation = "quick_gelu"
+    elif act_kwargs.get("approximate") == "tanh":
+        activation = "gelu_tanh"
+    else:
+        activation = "gelu"
+    norm_kwargs = t.extra.get("norm_kwargs") or {}
+    ln_eps = float(norm_kwargs.get("eps", 1e-5))
+
+    return TowerSpec(
+        "text_transformer",
+        TextCfgResolved(
+            context_length=t.context_length,
+            vocab_size=vocab,
+            width=width,
+            heads=heads,
+            layers=layers,
+            mlp_hidden=int(round(width * mlp_ratio)),
+            embed_dim=model_cfg.embed_dim,
+            activation=activation,
+            causal=not no_causal,
+            pool=pool,
+            proj_bias=proj_bias,
+            ln_eps=ln_eps,
+        ),
+    )

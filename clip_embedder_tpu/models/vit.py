@@ -1,0 +1,259 @@
+"""Vision Transformer towers, from scratch.
+
+This is the TPU-native replacement for the ViT graphs inside the reference's
+``visual.onnx`` (built by open_clip/timm, exported via torch.onnx and run by
+ONNX Runtime — reference: pull_onnx.py:277-286, src/vision.rs:106-114). One
+config-driven implementation covers the open_clip ViT zoo:
+
+* classic CLIP ViT (class token, ln_pre, quick_gelu option, linear
+  projection without bias, CLS pooling) — e.g. DFN5B-CLIP-ViT-H-14;
+* timm/SigLIP ViT (no class token, tanh-gelu, optional attention-pool "map"
+  head with latent probe, optional layer-scale) — e.g.
+  ViT-SO400M-16-SigLIP2-384, ViT-gopt-16-SigLIP2-384.
+
+TPU-first choices: transformer blocks are *stacked* pytrees walked with
+``lax.scan`` (one compiled block body regardless of depth → fast compiles,
+full XLA fusion), patch embedding is a single [B,N,P²·3]×[P²·3,D] matmul on
+the MXU rather than a conv, and all shapes are static.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+
+from ..ops.attention import multi_head_attention
+from ..ops.layers import ACTIVATIONS, layer_norm, linear, mlp
+from ..ops.normalize import l2_normalize
+
+Params = dict
+
+
+@dataclass(frozen=True)
+class ViTCfg:
+    """Resolved architecture of one vision tower (built from
+    open_clip_config's ``vision_cfg`` by clip_embedder_tpu.models.build)."""
+
+    image_size: int
+    patch_size: int
+    width: int
+    layers: int
+    heads: int
+    mlp_hidden: int
+    embed_dim: int
+    activation: str = "gelu"          # gelu | gelu_tanh | quick_gelu
+    use_class_token: bool = True
+    use_ln_pre: bool = True           # CLIP has ln_pre; timm ViTs don't
+    pool: str = "cls"                 # cls | map | gap | tok
+    use_proj: bool = True             # final [width, embed_dim] projection
+    proj_bias: bool = False
+    use_layer_scale: bool = False
+    ln_eps: float = 1e-5
+    pos_embed_cls: bool = True        # class token has a pos-embed row
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid * self.grid
+
+    @property
+    def seq_len(self) -> int:
+        return self.num_patches + (1 if self.use_class_token else 0)
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.heads
+
+
+def _init_linear(key, d_in, d_out, *, bias=True, std=None, dtype=jnp.float32):
+    std = std if std is not None else d_in ** -0.5
+    kw, _ = jax.random.split(key)
+    p = {"w": (jax.random.normal(kw, (d_in, d_out)) * std).astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def _init_ln(d, dtype=jnp.float32):
+    return {"scale": jnp.ones((d,), dtype), "bias": jnp.zeros((d,), dtype)}
+
+
+def _init_attn(key, width, *, dtype=jnp.float32):
+    ks = jax.random.split(key, 4)
+    return {
+        "q": _init_linear(ks[0], width, width, dtype=dtype),
+        "k": _init_linear(ks[1], width, width, dtype=dtype),
+        "v": _init_linear(ks[2], width, width, dtype=dtype),
+        "out": _init_linear(ks[3], width, width, dtype=dtype),
+    }
+
+
+def _init_block(key, cfg: ViTCfg, dtype=jnp.float32) -> Params:
+    ka, km = jax.random.split(key)
+    kf, kp = jax.random.split(km)
+    block = {
+        "ln1": _init_ln(cfg.width, dtype),
+        "attn": _init_attn(ka, cfg.width, dtype=dtype),
+        "ln2": _init_ln(cfg.width, dtype),
+        "mlp": {
+            "fc": _init_linear(kf, cfg.width, cfg.mlp_hidden, dtype=dtype),
+            "proj": _init_linear(kp, cfg.mlp_hidden, cfg.width, dtype=dtype),
+        },
+    }
+    if cfg.use_layer_scale:
+        block["ls1"] = jnp.full((cfg.width,), 1e-5, dtype)
+        block["ls2"] = jnp.full((cfg.width,), 1e-5, dtype)
+    return block
+
+
+def init(key: jax.Array, cfg: ViTCfg, *, dtype=jnp.float32) -> Params:
+    """Random-init parameter pytree (used for benchmarks and tests; real
+    weights come from clip_embedder_tpu.weights)."""
+    keys = jax.random.split(key, 8)
+    patch_dim = cfg.patch_size * cfg.patch_size * 3
+    params: Params = {
+        "patch_embed": _init_linear(
+            keys[0], patch_dim, cfg.width, std=patch_dim ** -0.5, dtype=dtype
+        ),
+        "pos_embed": (
+            jax.random.normal(
+                keys[1],
+                (1, cfg.num_patches + (1 if cfg.pos_embed_cls else 0), cfg.width),
+            )
+            * 0.02
+        ).astype(dtype),
+        "ln_post": _init_ln(cfg.width, dtype),
+    }
+    if cfg.use_class_token:
+        params["cls_token"] = (
+            jax.random.normal(keys[2], (1, 1, cfg.width)) * 0.02
+        ).astype(dtype)
+    if cfg.use_ln_pre:
+        params["ln_pre"] = _init_ln(cfg.width, dtype)
+
+    block_keys = jax.random.split(keys[3], cfg.layers)
+    blocks = [_init_block(k, cfg, dtype) for k in block_keys]
+    params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    if cfg.pool == "map":
+        kq, kk, kv, ko, kf, kp = jax.random.split(keys[4], 6)
+        params["attn_pool"] = {
+            "probe": (jax.random.normal(keys[5], (1, 1, cfg.width)) * 0.02).astype(dtype),
+            "attn": {
+                "q": _init_linear(kq, cfg.width, cfg.width, dtype=dtype),
+                "k": _init_linear(kk, cfg.width, cfg.width, dtype=dtype),
+                "v": _init_linear(kv, cfg.width, cfg.width, dtype=dtype),
+                "out": _init_linear(ko, cfg.width, cfg.width, dtype=dtype),
+            },
+            "ln": _init_ln(cfg.width, dtype),
+            "mlp": {
+                "fc": _init_linear(kf, cfg.width, cfg.mlp_hidden, dtype=dtype),
+                "proj": _init_linear(kp, cfg.mlp_hidden, cfg.width, dtype=dtype),
+            },
+        }
+    if cfg.use_proj:
+        params["proj"] = _init_linear(
+            keys[6], cfg.width, cfg.embed_dim, bias=cfg.proj_bias,
+            std=cfg.width ** -0.5, dtype=dtype,
+        )
+    return params
+
+
+def patchify(x: jax.Array, patch_size: int) -> jax.Array:
+    """[B, H, W, 3] → [B, N, P·P·3] patch matrix.
+
+    Channel-last on the way in (TPU-friendly layout); the per-patch flatten
+    order is (py, px, c) transposed to match torch Conv2d semantics at
+    weight-load time (see clip_embedder_tpu.weights).
+    """
+    return rearrange(
+        x, "b (gh p1) (gw p2) c -> b (gh gw) (p1 p2 c)",
+        p1=patch_size, p2=patch_size,
+    )
+
+
+def _block_forward(
+    cfg: ViTCfg, act: Callable, x: jax.Array, block: Params, *, impl: str
+) -> jax.Array:
+    h = multi_head_attention(
+        block["attn"], layer_norm(block["ln1"], x, eps=cfg.ln_eps),
+        num_heads=cfg.heads, impl=impl,
+    )
+    if "ls1" in block:
+        h = h * block["ls1"]
+    x = x + h
+    h = mlp(block["mlp"], layer_norm(block["ln2"], x, eps=cfg.ln_eps), activation=act)
+    if "ls2" in block:
+        h = h * block["ls2"]
+    return x + h
+
+
+def _map_pool(cfg: ViTCfg, act: Callable, params: Params, x: jax.Array) -> jax.Array:
+    """timm AttentionPoolLatent ('map' pool): a learned probe cross-attends
+    over the patch tokens, followed by a residual MLP."""
+    p = params["attn_pool"]
+    probe = jnp.broadcast_to(
+        p["probe"].astype(x.dtype), (x.shape[0], 1, cfg.width)
+    )
+    pooled = multi_head_attention(p["attn"], probe, kv=x, num_heads=cfg.heads)
+    pooled = pooled + mlp(
+        p["mlp"], layer_norm(p["ln"], pooled, eps=cfg.ln_eps), activation=act
+    )
+    return pooled[:, 0]
+
+
+def apply(
+    params: Params,
+    pixels: jax.Array,
+    cfg: ViTCfg,
+    *,
+    normalize: bool = True,
+    attn_impl: str = "xla",
+) -> jax.Array:
+    """Forward: [B, H, W, 3] preprocessed pixels → [B, embed_dim] embedding.
+
+    Matches open_clip ``encode_image(..., normalize=True)`` semantics — the
+    reference bakes that normalize into its export (pull_onnx.py:57-59).
+    """
+    act = ACTIVATIONS[cfg.activation]
+
+    x = patchify(pixels, cfg.patch_size)
+    x = linear(params["patch_embed"], x)
+
+    if cfg.use_class_token:
+        cls = jnp.broadcast_to(
+            params["cls_token"].astype(x.dtype), (x.shape[0], 1, cfg.width)
+        )
+        x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(x.dtype)
+
+    if cfg.use_ln_pre:
+        x = layer_norm(params["ln_pre"], x, eps=cfg.ln_eps)
+
+    def body(carry, block):
+        return _block_forward(cfg, act, carry, block, impl=attn_impl), None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+
+    if cfg.pool == "map":
+        x = layer_norm(params["ln_post"], x, eps=cfg.ln_eps)
+        pooled = _map_pool(cfg, act, params, x)
+    elif cfg.pool == "gap":
+        x = layer_norm(params["ln_post"], x, eps=cfg.ln_eps)
+        start = 1 if cfg.use_class_token else 0
+        pooled = jnp.mean(x[:, start:], axis=1)
+    else:  # cls / tok
+        pooled = layer_norm(params["ln_post"], x[:, :1], eps=cfg.ln_eps)[:, 0]
+
+    if cfg.use_proj and "proj" in params:
+        pooled = linear(params["proj"], pooled)
+    if normalize:
+        pooled = l2_normalize(pooled)
+    return pooled

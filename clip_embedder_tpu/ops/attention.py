@@ -1,0 +1,94 @@
+"""Multi-head attention, XLA path.
+
+Replaces the fused attention nodes inside the reference's ONNX graphs
+(executed by ONNX Runtime's CPU/GPU kernels — reference: src/onnx.rs:19-23)
+with a from-scratch JAX implementation shaped for the MXU: one [B,S,D]→
+[B,S,3D]-style projection set, batched head matmuls, f32 softmax.
+
+A fused Pallas flash-attention kernel (clip_embedder_tpu.ops.flash) can be
+selected with ``impl="pallas"``; numerics are A/B-tested against this path.
+Sequence lengths in this workload are short and fixed (text 64–77 tokens,
+vision 576–729 patches — SURVEY.md §5), so the XLA path is already strong;
+flash attention wins on HBM traffic at large batch.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from einops import rearrange
+
+from .layers import linear
+
+Params = dict
+
+
+def attention_core(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    mask: jax.Array | None = None,
+    impl: str = "xla",
+) -> jax.Array:
+    """Scaled dot-product attention over [B, H, S, Dh] tensors.
+
+    ``mask`` is an additive bias broadcastable to [B, H, Sq, Sk] (use -inf
+    for disallowed positions, e.g. the causal mask of the CLIP text tower).
+    Softmax runs in f32 regardless of input dtype.
+    """
+    if impl == "pallas":
+        from .flash import flash_attention  # deferred: optional fast path
+
+        return flash_attention(q, k, v, mask=mask)
+
+    ct = jnp.promote_types(q.dtype, jnp.float32)
+    scale = 1.0 / (q.shape[-1] ** 0.5)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=ct)
+    logits = logits * scale
+    if mask is not None:
+        logits = logits + mask.astype(ct)
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bhqk,bhkd->bhqd",
+        weights.astype(v.dtype),
+        v,
+        preferred_element_type=ct,
+    )
+    return out.astype(v.dtype)
+
+
+def multi_head_attention(
+    params: Params,
+    x: jax.Array,
+    *,
+    num_heads: int,
+    mask: jax.Array | None = None,
+    kv: jax.Array | None = None,
+    impl: str = "xla",
+) -> jax.Array:
+    """Full MHA block: project → attend → merge → out-project.
+
+    params: {"q","k","v","out"} each a linear pytree ({"w": [d, d'], "b"}).
+    ``kv`` enables cross-attention (used by the SigLIP attention-pooling
+    head, where a learned probe attends over patch tokens).
+    """
+    kv = x if kv is None else kv
+    q = linear(params["q"], x)
+    k = linear(params["k"], kv)
+    v = linear(params["v"], kv)
+
+    q = rearrange(q, "b s (h d) -> b h s d", h=num_heads)
+    k = rearrange(k, "b s (h d) -> b h s d", h=num_heads)
+    v = rearrange(v, "b s (h d) -> b h s d", h=num_heads)
+
+    out = attention_core(q, k, v, mask=mask, impl=impl)
+    out = rearrange(out, "b h s d -> b s (h d)")
+    return linear(params["out"], out)
+
+
+def causal_mask(seq_len: int, dtype=jnp.float32) -> jax.Array:
+    """Additive causal mask [1, 1, S, S] (CLIP text tower's
+    ``build_causal_mask`` analog)."""
+    mask = jnp.triu(jnp.full((seq_len, seq_len), -jnp.inf, dtype=dtype), k=1)
+    return mask[None, None, :, :]

@@ -1,0 +1,99 @@
+"""Core transformer layers, written TPU-first.
+
+These are the building blocks that live inside the reference's exported ONNX
+graphs (the ViT/text towers in visual.onnx / text.onnx, executed by ONNX
+Runtime — reference: src/vision.rs:106-114, src/text.rs:154-167). Here they
+are from-scratch JAX functions designed for the MXU:
+
+* matmuls carry ``preferred_element_type=float32`` so bf16 weights accumulate
+  in f32 on the MXU;
+* LayerNorm statistics are always computed in f32 regardless of activation
+  dtype (bf16-safe), then cast back;
+* activations cover the open_clip zoo: gelu (erf), gelu_tanh (timm/SigLIP),
+  quick_gelu (original CLIP ViT checkpoints).
+
+Parameters are plain dict pytrees: ``linear`` expects ``{"w": [in, out],
+"b": [out]}``; ``layer_norm`` expects ``{"scale": [d], "bias": [d]}``.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+Params = dict
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """x * sigmoid(1.702 x) — original CLIP's approximation."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+def _promote(x: jax.Array) -> jnp.dtype:
+    """Compute dtype: at least f32 (so bf16 activations get f32 math), but
+    keep f64 if the caller runs in x64 mode (numerics verification)."""
+    return jnp.promote_types(x.dtype, jnp.float32)
+
+
+def gelu(x: jax.Array) -> jax.Array:
+    """Exact (erf) gelu; computed in ≥f32 to keep tails exact for bf16."""
+    orig = x.dtype
+    return jax.nn.gelu(x.astype(_promote(x)), approximate=False).astype(orig)
+
+
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    """tanh-approximate gelu (timm default; SigLIP towers)."""
+    orig = x.dtype
+    return jax.nn.gelu(x.astype(_promote(x)), approximate=True).astype(orig)
+
+
+ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
+    "gelu": gelu,
+    "gelu_tanh": gelu_tanh,
+    "quick_gelu": quick_gelu,
+    "relu": jax.nn.relu,
+}
+
+
+def layer_norm(params: Params, x: jax.Array, *, eps: float = 1e-5) -> jax.Array:
+    """LayerNorm over the last axis with f32 statistics.
+
+    TPU note: bf16 mean/variance accumulation loses ~2-3 decimal digits on
+    1k-dim activations, which alone can blow the ≤1e-3 cosine-parity budget
+    (SURVEY.md §7 risk list) — so stats are always f32.
+    """
+    orig = x.dtype
+    ct = _promote(x)
+    x32 = x.astype(ct)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * params["scale"].astype(ct) + params["bias"].astype(ct)
+    return y.astype(orig)
+
+
+def linear(params: Params, x: jax.Array) -> jax.Array:
+    """Affine map on the last axis. ``w: [in, out]``; bias optional."""
+    ct = _promote(x)
+    y = jnp.dot(x, params["w"], preferred_element_type=ct)
+    b = params.get("b")
+    if b is not None:
+        y = y + b.astype(ct)
+    return y.astype(x.dtype)
+
+
+def mlp(
+    params: Params,
+    x: jax.Array,
+    *,
+    activation: Callable[[jax.Array], jax.Array],
+) -> jax.Array:
+    """Transformer MLP block: linear → act → linear.
+
+    params: {"fc": linear-params, "proj": linear-params}
+    """
+    h = linear(params["fc"], x)
+    h = activation(h)
+    return linear(params["proj"], h)

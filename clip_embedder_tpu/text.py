@@ -1,0 +1,176 @@
+"""TextEmbedder: text → L2-normalized embedding.
+
+Public surface mirrors the reference's ``TextEmbedder``
+(reference: src/text.rs:13-169): ``from_hf`` / ``from_local_id`` /
+``from_local_dir``, ``tokenize``, ``embed_text`` / ``embed_texts``,
+``duplicate``; same pad-id resolution (``model_config.pad_id`` falling back
+to the tokenizer's ``<pad>`` entry — src/text.rs:70-73), same fixed
+pad/truncate to ``context_length`` (src/text.rs:76-85), same SigLIP
+pre-lowercasing rule (src/text.rs:115-121). The engine is the from-scratch
+tokenizer (clip_embedder_tpu.tokenizer) plus a jit-compiled JAX text tower
+instead of HF `tokenizers` + an ONNX Runtime session.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from pathlib import Path
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ModelConfig, OpenClipConfig
+from .errors import ConfigError, InferenceError
+from .model_manager import (
+    NATIVE_TEXT,
+    get_default_base_folder,
+    get_hf_model,
+    verify_model_dir,
+)
+from .models.build import TowerSpec, resolve_text
+from .ops.preprocess import bucket_batch
+from .tokenizer import Tokenizer
+from .weights import load_pytree, save_pytree
+
+
+def _load_or_convert_text(model_dir: Path, spec: TowerSpec, dtype) -> dict:
+    from .vision import to_device_tree
+
+    native = model_dir / NATIVE_TEXT
+    if native.is_file():
+        return load_pytree(native, dtype=dtype)
+    from .onnx_reader import extract_tower_params
+
+    params = extract_tower_params(model_dir / "text.onnx", spec, tower="text")
+    try:
+        save_pytree(native, params)
+    except OSError:
+        pass
+    return to_device_tree(params, dtype)
+
+
+@lru_cache(maxsize=64)
+def _jitted_text_forward(spec: TowerSpec, attn_impl: str):
+    """One jitted forward per (tower spec, attn impl) — shared across
+    instances so ``duplicate()`` never recompiles."""
+
+    def apply(params, ids):
+        if spec.family == "text_transformer":
+            from .models import text_transformer
+
+            return text_transformer.apply(params, ids, spec.cfg, attn_impl=attn_impl)
+        if spec.family == "hf_bert":
+            from .models import hf_text
+
+            return hf_text.apply(params, ids, spec.cfg)
+        raise InferenceError(f"Unknown text family '{spec.family}'")
+
+    return jax.jit(apply)
+
+
+class TextEmbedder:
+    """Text tower + tokenizer (reference: src/text.rs:13-22)."""
+
+    def __init__(
+        self,
+        *,
+        params: dict,
+        spec: TowerSpec,
+        config: OpenClipConfig,
+        model_config: ModelConfig,
+        tokenizer: Tokenizer,
+        model_dir: Path,
+        dtype: Any = jnp.float32,
+        attn_impl: str = "xla",
+    ):
+        self.params = params
+        self.spec = spec
+        self.config = config
+        self.model_config = model_config
+        self.tokenizer = tokenizer
+        self.model_dir = Path(model_dir)
+        self.dtype = dtype
+        self.attn_impl = attn_impl
+        self.pad_id = tokenizer.pad_id
+        self._forward = _jitted_text_forward(spec, attn_impl)
+
+    # -- construction (reference: src/text.rs:27-101) ----------------------
+
+    @classmethod
+    def from_local_dir(
+        cls, model_dir: Path | str, *, dtype: Any = jnp.float32,
+        attn_impl: str = "xla",
+    ) -> "TextEmbedder":
+        model_dir = Path(model_dir)
+        verify_model_dir(model_dir)
+        config = OpenClipConfig.from_file(model_dir / "open_clip_config.json")
+        model_config = ModelConfig.from_file(model_dir / "model_config.json")
+        tokenizer = Tokenizer.from_file(model_dir / "tokenizer.json")
+
+        # Pad-id resolution, exactly the reference's chain
+        # (src/text.rs:70-73): explicit config value, else '<pad>' vocab id.
+        pad_id = model_config.pad_id
+        if pad_id is None:
+            pad_id = tokenizer.get_vocab(True).get("<pad>")
+        if pad_id is None:
+            raise ConfigError("No pad token found in tokenizer")
+        ctx_len = config.model_cfg.text_cfg.context_length
+        tokenizer.with_padding(length=ctx_len, pad_id=int(pad_id))
+        tokenizer.with_truncation(max_length=ctx_len)
+
+        spec = resolve_text(config.model_cfg)
+        params = _load_or_convert_text(model_dir, spec, dtype)
+        return cls(
+            params=params, spec=spec, config=config, model_config=model_config,
+            tokenizer=tokenizer, model_dir=model_dir, dtype=dtype,
+            attn_impl=attn_impl,
+        )
+
+    @classmethod
+    def from_local_id(
+        cls, model_id: str, *, base_folder: Path | str | None = None, **kw
+    ) -> "TextEmbedder":
+        base = Path(base_folder) if base_folder else get_default_base_folder()
+        return cls.from_local_dir(base / model_id, **kw)
+
+    @classmethod
+    def from_hf(cls, model_id: str, **kw) -> "TextEmbedder":
+        return cls.from_local_dir(get_hf_model(model_id), **kw)
+
+    def duplicate(self) -> "TextEmbedder":
+        """(reference: src/text.rs:104-108) — params are shared device
+        buffers; instances are independently usable."""
+        return TextEmbedder(
+            params=self.params, spec=self.spec, config=self.config,
+            model_config=self.model_config, tokenizer=self.tokenizer,
+            model_dir=self.model_dir, dtype=self.dtype, attn_impl=self.attn_impl,
+        )
+
+    # -- tokenization (reference: src/text.rs:111-139) ---------------------
+
+    def tokenize(self, texts: Sequence[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Texts → fixed-shape int32 (ids, attention_mask) arrays of shape
+        [batch, context_length]. SigLIP models lowercase first
+        (reference: src/text.rs:115-121)."""
+        if self.model_config.tokenizer_needs_lowercase:
+            texts = [t.lower() for t in texts]
+        return self.tokenizer.encode_batch(list(texts))
+
+    # -- embedding (reference: src/text.rs:142-169) ------------------------
+
+    def embed_text(self, text: str) -> np.ndarray:
+        return self.embed_texts([text])[0]
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        if len(texts) == 0:
+            raise InferenceError("Empty batch")
+        ids, _mask = self.tokenize(texts)
+        # Pad the batch axis to a bucket so jit caches a handful of programs.
+        bb = bucket_batch(len(texts))
+        if bb != ids.shape[0]:
+            pad = np.full((bb - ids.shape[0], ids.shape[1]), self.pad_id, np.int32)
+            ids = np.concatenate([ids, pad], axis=0)
+        embs = self._forward(self.params, jnp.asarray(ids))
+        return np.asarray(embs[: len(texts)].astype(jnp.float32))

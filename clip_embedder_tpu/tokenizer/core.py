@@ -1,0 +1,175 @@
+"""The tokenizer: a from-scratch loader/encoder for HF ``tokenizer.json``.
+
+TPU-native replacement for the HF `tokenizers` Rust crate the reference
+depends on (reference: src/text.rs:11, Cargo.toml:16). Pipeline per the file
+format: added-token splitting → normalizer → pre-tokenizer → model
+(BPE/WordPiece/Unigram) → post-processor → truncation/padding.
+
+Padding/truncation semantics match the reference exactly
+(reference: src/text.rs:76-85): fixed padding to ``context_length`` with a
+configurable ``pad_id``, truncation reserving room for the post-processor's
+special tokens. Output is the fixed-shape int32 ``[batch, context_length]``
+id/mask arrays the text tower consumes — static shapes, XLA-friendly.
+
+Parity is tested against the `tokenizers` reference library in
+tests/test_tokenizer.py.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+import regex
+
+from ..errors import IoError, JsonError, TokenizerError
+from .models import build_model
+from .normalizers import build_normalizer
+from .postprocessors import build_postprocessor
+from .pretokenizers import build_pretokenizer
+
+
+class AddedToken:
+    __slots__ = ("id", "content", "single_word", "lstrip", "rstrip",
+                 "normalized", "special")
+
+    def __init__(self, spec: dict):
+        self.id = spec["id"]
+        self.content = spec["content"]
+        self.single_word = spec.get("single_word", False)
+        self.lstrip = spec.get("lstrip", False)
+        self.rstrip = spec.get("rstrip", False)
+        self.normalized = spec.get("normalized", False)
+        self.special = spec.get("special", False)
+
+
+class Tokenizer:
+    """Host-side tokenizer with the reference's fixed-pad/truncate contract."""
+
+    def __init__(self, spec: dict):
+        self.spec = spec
+        self.normalizer = build_normalizer(spec.get("normalizer"))
+        self.pretokenizer = build_pretokenizer(spec.get("pre_tokenizer"))
+        self.model = build_model(spec["model"])
+        self.postprocessor, self.num_special = build_postprocessor(
+            spec.get("post_processor")
+        )
+        self.added_tokens = [AddedToken(t) for t in spec.get("added_tokens", [])]
+        self._added_rx = self._build_added_regex()
+
+        # Fixed padding/truncation (configured via with_padding/with_truncation,
+        # mirroring reference src/text.rs:76-85).
+        self.pad_id: int = 0
+        self.pad_to: int | None = None
+        self.max_length: int | None = None
+
+    # -- construction -----------------------------------------------------
+
+    @classmethod
+    def from_file(cls, path: Path | str) -> "Tokenizer":
+        path = Path(path)
+        try:
+            text = path.read_text(encoding="utf-8")
+        except OSError as e:
+            raise IoError(f"IO error reading tokenizer: {e}") from e
+        try:
+            spec = json.loads(text)
+        except json.JSONDecodeError as e:
+            raise JsonError(f"JSON error in {path}: {e}") from e
+        return cls(spec)
+
+    def with_padding(self, *, length: int, pad_id: int) -> "Tokenizer":
+        self.pad_to = length
+        self.pad_id = pad_id
+        return self
+
+    def with_truncation(self, *, max_length: int) -> "Tokenizer":
+        self.max_length = max_length
+        return self
+
+    # -- vocab ------------------------------------------------------------
+
+    def get_vocab(self, with_added_tokens: bool = True) -> dict[str, int]:
+        vocab = dict(self.model.vocab)
+        if with_added_tokens:
+            for tok in self.added_tokens:
+                vocab.setdefault(tok.content, tok.id)
+        return vocab
+
+    def token_to_id(self, token: str) -> int | None:
+        return self.get_vocab(True).get(token)
+
+    # -- encoding ---------------------------------------------------------
+
+    def _build_added_regex(self):
+        if not self.added_tokens:
+            return None
+        parts = []
+        for tok in sorted(self.added_tokens, key=lambda t: -len(t.content)):
+            pat = regex.escape(tok.content)
+            if tok.lstrip:
+                pat = r"\s*" + pat
+            if tok.rstrip:
+                pat = pat + r"\s*"
+            if tok.single_word:
+                pat = r"(?<!\S)" + pat + r"(?!\S)"
+            parts.append(pat)
+        return regex.compile("|".join(parts))
+
+    def _match_added(self, piece: str) -> int | None:
+        stripped = piece.strip()
+        for tok in self.added_tokens:
+            if tok.content == stripped or tok.content == piece:
+                return tok.id
+        return None
+
+    def _encode_text_segment(self, text: str) -> list[int]:
+        text = self.normalizer(text)
+        ids: list[int] = []
+        for pretoken in self.pretokenizer(text):
+            ids.extend(self.model.tokenize(pretoken))
+        return ids
+
+    def encode(self, text: str, add_special_tokens: bool = True) -> list[int]:
+        """Text → token ids (with specials, truncated to max_length)."""
+        ids: list[int] = []
+        if self._added_rx is None:
+            ids = self._encode_text_segment(text)
+        else:
+            last = 0
+            for m in self._added_rx.finditer(text):
+                if m.start() > last:
+                    ids.extend(self._encode_text_segment(text[last : m.start()]))
+                token_id = self._match_added(m.group(0))
+                if token_id is not None:
+                    ids.append(token_id)
+                else:  # defensive: treat as plain text
+                    ids.extend(self._encode_text_segment(m.group(0)))
+                last = m.end()
+            if last < len(text):
+                ids.extend(self._encode_text_segment(text[last:]))
+
+        if self.max_length is not None:
+            budget = self.max_length - (self.num_special if add_special_tokens else 0)
+            ids = ids[: max(budget, 0)]
+        if add_special_tokens:
+            ids = self.postprocessor(ids)
+        return ids
+
+    def encode_batch(
+        self, texts: list[str], add_special_tokens: bool = True
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Batch encode to fixed-shape int32 ``(ids, attention_mask)`` arrays
+        of shape [batch, pad_to] (reference: src/text.rs:111-139 produces the
+        same fixed [batch, context_length] layout)."""
+        if self.pad_to is None:
+            raise TokenizerError("encode_batch requires with_padding(...)")
+        batch = len(texts)
+        ids_arr = np.full((batch, self.pad_to), self.pad_id, dtype=np.int32)
+        mask_arr = np.zeros((batch, self.pad_to), dtype=np.int32)
+        for i, text in enumerate(texts):
+            ids = self.encode(text, add_special_tokens)[: self.pad_to]
+            ids_arr[i, : len(ids)] = ids
+            mask_arr[i, : len(ids)] = 1
+        return ids_arr, mask_arr

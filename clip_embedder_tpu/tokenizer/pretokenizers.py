@@ -1,0 +1,161 @@
+"""tokenizer.json pre-tokenizers, from scratch.
+
+Splits normalized text into pre-tokens ahead of the model stage. Covers the
+configs the open_clip zoo uses: CLIP's Split(regex, invert) + ByteLevel,
+SentencePiece's Metaspace, BERT's whitespace/punctuation splitting.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Callable
+
+import regex
+
+from ..errors import TokenizerError
+from .normalizers import _compile_pattern
+
+PreTokenizer = Callable[[str], list[str]]
+
+
+@lru_cache(maxsize=1)
+def bytes_to_unicode() -> dict[int, str]:
+    """GPT-2's reversible byte→printable-unicode table (the basis of
+    byte-level BPE alphabets)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+_GPT2_SPLIT = regex.compile(
+    r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+)
+
+
+def _byte_level(add_prefix_space: bool, use_regex: bool) -> PreTokenizer:
+    table = bytes_to_unicode()
+
+    def pretok(s: str) -> list[str]:
+        if add_prefix_space and s and not s.startswith(" "):
+            s = " " + s
+        pieces = _GPT2_SPLIT.findall(s) if use_regex else ([s] if s else [])
+        return [
+            "".join(table[b] for b in piece.encode("utf-8")) for piece in pieces
+        ]
+
+    return pretok
+
+
+def _apply_split(s: str, rx: "regex.Pattern", behavior: str, invert: bool) -> list[str]:
+    if invert:
+        # Keep only the matches (tokenizers' Split with invert=true).
+        return [m.group(0) for m in rx.finditer(s)]
+    out: list[str] = []
+    last = 0
+    for m in rx.finditer(s):
+        if m.start() == m.end():
+            continue
+        before = s[last : m.start()]
+        match = m.group(0)
+        if behavior == "Removed":
+            if before:
+                out.append(before)
+        elif behavior == "Isolated":
+            if before:
+                out.append(before)
+            out.append(match)
+        elif behavior == "MergedWithPrevious":
+            out.append(before + match)
+        elif behavior == "MergedWithNext":
+            if before:
+                out.append(before)
+            # match merges into the next piece via `last` bookkeeping
+            last = m.start()
+            continue
+        else:
+            raise TokenizerError(f"Unsupported split behavior '{behavior}'")
+        last = m.end()
+    tail = s[last:]
+    if tail:
+        out.append(tail)
+    return out
+
+
+def build_pretokenizer(spec: dict | None) -> PreTokenizer:
+    if spec is None:
+        return lambda s: [s] if s else []
+    ptype = spec.get("type")
+
+    if ptype == "Sequence":
+        fns = [build_pretokenizer(sub) for sub in spec["pretokenizers"]]
+
+        def seq(s: str) -> list[str]:
+            pieces = [s]
+            for fn in fns:
+                pieces = [p for piece in pieces for p in fn(piece)]
+            return pieces
+
+        return seq
+    if ptype == "ByteLevel":
+        return _byte_level(
+            spec.get("add_prefix_space", True), spec.get("use_regex", True)
+        )
+    if ptype == "Whitespace":
+        rx = regex.compile(r"\w+|[^\w\s]+")
+        return lambda s: rx.findall(s)
+    if ptype == "WhitespaceSplit":
+        return lambda s: s.split()
+    if ptype == "Split":
+        rx = _compile_pattern(spec["pattern"])
+        behavior = spec.get("behavior", "Removed")
+        invert = spec.get("invert", False)
+        return lambda s: _apply_split(s, rx, behavior, invert)
+    if ptype == "Metaspace":
+        replacement = spec.get("replacement", "▁")
+        scheme = spec.get("prepend_scheme")
+        if scheme is None:
+            scheme = "always" if spec.get("add_prefix_space", True) else "never"
+        split = spec.get("split", True)
+
+        def metaspace(s: str) -> list[str]:
+            if scheme in ("always", "first") and not s.startswith((" ", replacement)):
+                s = " " + s
+            s = s.replace(" ", replacement)
+            if not split:
+                return [s] if s else []
+            # HF splits on the replacement with MergedWithNext semantics:
+            # every replacement char starts a new piece, so consecutive
+            # spaces yield standalone replacement pieces.
+            starts = [i for i, c in enumerate(s) if c == replacement]
+            if not starts:
+                return [s] if s else []
+            pieces = []
+            if starts[0] > 0:
+                pieces.append(s[: starts[0]])
+            for a, b in zip(starts, starts[1:] + [len(s)]):
+                pieces.append(s[a:b])
+            return pieces
+
+        return metaspace
+    if ptype == "BertPreTokenizer":
+        rx = regex.compile(r"\w+|[^\w\s]")
+        return lambda s: rx.findall(s)
+    if ptype == "Punctuation":
+        behavior = spec.get("behavior", "Isolated")
+        rx = regex.compile(r"\p{P}+" if behavior != "Isolated" else r"\p{P}")
+        return lambda s: _apply_split(s, rx, behavior, False)
+    if ptype == "Digits":
+        individual = spec.get("individual_digits", False)
+        rx = regex.compile(r"\p{N}" if individual else r"\p{N}+")
+        return lambda s: _apply_split(s, rx, "Isolated", False)
+    raise TokenizerError(f"Unsupported pre-tokenizer type '{ptype}'")

@@ -1,0 +1,61 @@
+"""Image input handling.
+
+The reference takes ``image::DynamicImage`` values and converts to RGB8
+(reference: src/vision.rs:168-169). Here any of {PIL image, numpy array,
+path, bytes} is accepted and converted to an RGB uint8 [H, W, 3] array;
+JPEG/PNG decode is delegated to Pillow (the host-side decode role the
+`image` crate plays in the reference).
+"""
+
+from __future__ import annotations
+
+import io
+from pathlib import Path
+from typing import Any
+
+import numpy as np
+
+from ..errors import ImageError
+
+
+def to_rgb_array(image: Any) -> np.ndarray:
+    """Convert any supported image input to an RGB uint8 [H, W, 3] array."""
+    if isinstance(image, np.ndarray):
+        if image.ndim == 2:
+            image = np.stack([image] * 3, axis=-1)
+        if image.ndim != 3 or image.shape[-1] not in (3, 4):
+            raise ImageError(f"Unsupported array shape {image.shape}")
+        if image.shape[-1] == 4:
+            image = image[..., :3]
+        if image.dtype != np.uint8:
+            arr = np.asarray(image, dtype=np.float32)
+            if arr.max() <= 1.0:
+                arr = arr * 255.0
+            image = np.clip(arr, 0, 255).astype(np.uint8)
+        return np.ascontiguousarray(image)
+
+    if isinstance(image, (str, Path)):
+        try:
+            from PIL import Image
+
+            with Image.open(image) as img:
+                return np.asarray(img.convert("RGB"))
+        except ImportError as e:
+            raise ImageError("Pillow required to decode image files") from e
+        except OSError as e:
+            raise ImageError(f"Image error: {e}") from e
+
+    if isinstance(image, (bytes, bytearray)):
+        try:
+            from PIL import Image
+
+            with Image.open(io.BytesIO(image)) as img:
+                return np.asarray(img.convert("RGB"))
+        except OSError as e:
+            raise ImageError(f"Image error: {e}") from e
+
+    # PIL image (duck-typed so PIL is optional)
+    if hasattr(image, "convert"):
+        return np.asarray(image.convert("RGB"))
+
+    raise ImageError(f"Unsupported image input type {type(image)!r}")

@@ -1,0 +1,319 @@
+"""Weight ingestion: torch/open_clip checkpoints → native JAX pytrees.
+
+The reference ships weights inside ONNX graphs consumed opaquely by ONNX
+Runtime (reference: src/model_manager.rs:8-18, pull_onnx.py:159-181). This
+framework owns its parameters, so ingestion is explicit:
+
+* ``map_state_dict`` — maps an open_clip-style torch ``state_dict`` (names
+  like ``visual.transformer.resblocks.0.attn.in_proj_weight`` or
+  ``visual.trunk.blocks.0.attn.qkv.weight``) onto this framework's pytrees,
+  transposing torch ``[out, in]`` Linear weights to ``[in, out]`` and
+  flattening conv patch-embeddings into the (py, px, c) matmul layout used
+  by :func:`clip_embedder_tpu.models.vit.patchify`;
+* ``save_pytree`` / ``load_pytree`` — the native on-disk weight format
+  (``visual.npz`` / ``text.npz``): a flat npz of '/'-joined key paths, with
+  per-layer block params pre-stacked along axis 0 for ``lax.scan``.
+
+ONNX-graph extraction for the reference's published ``*-ONNX`` HF repos
+lives in :mod:`clip_embedder_tpu.onnx_reader`.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import Any, Mapping
+
+import jax.numpy as jnp
+import numpy as np
+
+from .errors import WeightError
+from .models.text_transformer import TextCfgResolved
+from .models.vit import ViTCfg
+
+Params = dict
+
+
+# ---------------------------------------------------------------------------
+# npz pytree serialization (the native weight format)
+# ---------------------------------------------------------------------------
+
+def _flatten(tree: Any, prefix: str = "") -> dict[str, np.ndarray]:
+    out: dict[str, np.ndarray] = {}
+    if isinstance(tree, Mapping):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flatten(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = np.asarray(tree)
+    return out
+
+
+def save_pytree(path: Path | str, tree: Params) -> None:
+    flat = _flatten(tree)
+    np.savez(path, **flat)
+
+
+def load_pytree(path: Path | str, *, dtype=None) -> Params:
+    with np.load(path) as data:
+        tree: Params = {}
+        for key in data.files:
+            arr = data[key]
+            if dtype is not None and np.issubdtype(arr.dtype, np.floating):
+                arr = arr.astype(dtype)
+            node = tree
+            parts = key.split("/")
+            for part in parts[:-1]:
+                node = node.setdefault(part, {})
+            node[parts[-1]] = jnp.asarray(arr)
+    return tree
+
+
+# ---------------------------------------------------------------------------
+# state-dict helpers
+# ---------------------------------------------------------------------------
+
+def _t(w: np.ndarray) -> np.ndarray:
+    """torch Linear [out, in] → [in, out]."""
+    return np.ascontiguousarray(np.asarray(w).T)
+
+
+def _conv_to_patch(w: np.ndarray) -> np.ndarray:
+    """torch Conv2d patch kernel [D, C, P, P] → [P·P·C, D] matching
+    ``patchify``'s (py, px, c) flatten order."""
+    w = np.asarray(w)
+    d = w.shape[0]
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0).reshape(-1, d))
+
+
+def _get(sd: Mapping[str, np.ndarray], key: str) -> np.ndarray:
+    if key not in sd:
+        raise WeightError(f"Missing weight '{key}' in checkpoint")
+    return np.asarray(sd[key])
+
+
+def _ln(sd, prefix: str) -> Params:
+    return {"scale": _get(sd, f"{prefix}.weight"), "bias": _get(sd, f"{prefix}.bias")}
+
+
+def _linear(sd, prefix: str, *, bias: bool = True) -> Params:
+    p = {"w": _t(_get(sd, f"{prefix}.weight"))}
+    if bias and f"{prefix}.bias" in sd:
+        p["b"] = np.asarray(sd[f"{prefix}.bias"])
+    return p
+
+
+def _split_qkv(w: np.ndarray, b: np.ndarray | None) -> Params:
+    """Packed [3D, D] qkv (+bias) → separate q/k/v linear pytrees."""
+    d = w.shape[0] // 3
+    out: Params = {}
+    for i, name in enumerate(("q", "k", "v")):
+        p = {"w": _t(w[i * d : (i + 1) * d])}
+        if b is not None:
+            p["b"] = np.asarray(b[i * d : (i + 1) * d])
+        out[name] = p
+    return out
+
+
+def _stack_blocks(blocks: list[Params]) -> Params:
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *blocks)
+
+
+def strip_prefix(sd: Mapping[str, np.ndarray], *prefixes: str) -> dict[str, np.ndarray]:
+    """Drop a leading module prefix (e.g. the export wrapper's ``model.`` —
+    reference: pull_onnx.py:53-68 wraps the whole model one level deep)."""
+    out = dict(sd)
+    for prefix in prefixes:
+        if any(k.startswith(prefix) for k in out):
+            out = {
+                (k[len(prefix):] if k.startswith(prefix) else k): v
+                for k, v in out.items()
+            }
+    return out
+
+
+def _max_index(sd: Mapping[str, np.ndarray], pattern: str) -> int:
+    rx = re.compile(pattern)
+    idx = [int(m.group(1)) for k in sd if (m := rx.match(k))]
+    if not idx:
+        raise WeightError(f"No blocks matching '{pattern}' in checkpoint")
+    return max(idx) + 1
+
+
+# ---------------------------------------------------------------------------
+# classic open_clip towers (CLIP ViT + causal text transformer)
+# ---------------------------------------------------------------------------
+
+def _openclip_resblock(sd, prefix: str) -> Params:
+    attn = _split_qkv(
+        _get(sd, f"{prefix}.attn.in_proj_weight"),
+        sd.get(f"{prefix}.attn.in_proj_bias"),
+    )
+    attn["out"] = _linear(sd, f"{prefix}.attn.out_proj")
+    return {
+        "ln1": _ln(sd, f"{prefix}.ln_1"),
+        "attn": attn,
+        "ln2": _ln(sd, f"{prefix}.ln_2"),
+        "mlp": {
+            "fc": _linear(sd, f"{prefix}.mlp.c_fc"),
+            "proj": _linear(sd, f"{prefix}.mlp.c_proj"),
+        },
+    }
+
+
+def map_clip_visual(sd: Mapping[str, np.ndarray]) -> Params:
+    """Classic open_clip VisionTransformer state dict (``visual.*``) →
+    ViT pytree. Expects keys already stripped to start at ``conv1`` etc."""
+    sd = strip_prefix(sd, "model.", "visual.")
+    n_blocks = _max_index(sd, r"transformer\.resblocks\.(\d+)\.ln_1\.weight")
+    blocks = [
+        _openclip_resblock(sd, f"transformer.resblocks.{i}") for i in range(n_blocks)
+    ]
+    params: Params = {
+        "patch_embed": {"w": _conv_to_patch(_get(sd, "conv1.weight"))},
+        "cls_token": np.asarray(_get(sd, "class_embedding")).reshape(1, 1, -1),
+        "pos_embed": np.asarray(_get(sd, "positional_embedding"))[None],
+        "ln_pre": _ln(sd, "ln_pre"),
+        "blocks": _stack_blocks(blocks),
+        "ln_post": _ln(sd, "ln_post"),
+    }
+    if "conv1.bias" in sd:
+        params["patch_embed"]["b"] = np.asarray(sd["conv1.bias"])
+    if "proj" in sd:
+        params["proj"] = {"w": np.asarray(sd["proj"])}  # stored [width, embed]
+    return params
+
+
+def map_clip_text(sd: Mapping[str, np.ndarray]) -> Params:
+    """Classic open_clip text transformer state dict → pytree.
+
+    Accepts both whole-model naming (``token_embedding.weight``, …) and
+    custom-text naming (``text.token_embedding.weight``, …)."""
+    sd = strip_prefix(sd, "model.", "text.")
+    n_blocks = _max_index(sd, r"transformer\.resblocks\.(\d+)\.ln_1\.weight")
+    blocks = [
+        _openclip_resblock(sd, f"transformer.resblocks.{i}") for i in range(n_blocks)
+    ]
+    params: Params = {
+        "token_embed": _get(sd, "token_embedding.weight"),
+        "pos_embed": _get(sd, "positional_embedding"),
+        "blocks": _stack_blocks(blocks),
+        "ln_final": _ln(sd, "ln_final"),
+    }
+    if "text_projection.weight" in sd:  # nn.Linear projection (SigLIP-style)
+        params["proj"] = _linear(sd, "text_projection")
+    elif "text_projection" in sd:  # bare Parameter [width, embed]
+        params["proj"] = {"w": np.asarray(sd["text_projection"])}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# timm ViT towers (SigLIP / SigLIP2)
+# ---------------------------------------------------------------------------
+
+def _timm_block(sd, prefix: str) -> Params:
+    attn = _split_qkv(
+        _get(sd, f"{prefix}.attn.qkv.weight"), sd.get(f"{prefix}.attn.qkv.bias")
+    )
+    attn["out"] = _linear(sd, f"{prefix}.attn.proj")
+    block = {
+        "ln1": _ln(sd, f"{prefix}.norm1"),
+        "attn": attn,
+        "ln2": _ln(sd, f"{prefix}.norm2"),
+        "mlp": {
+            "fc": _linear(sd, f"{prefix}.mlp.fc1"),
+            "proj": _linear(sd, f"{prefix}.mlp.fc2"),
+        },
+    }
+    if f"{prefix}.ls1.gamma" in sd:
+        block["ls1"] = np.asarray(sd[f"{prefix}.ls1.gamma"])
+        block["ls2"] = np.asarray(sd[f"{prefix}.ls2.gamma"])
+    return block
+
+
+def map_timm_visual(sd: Mapping[str, np.ndarray]) -> Params:
+    """timm ViT state dict (open_clip TimmModel: ``visual.trunk.*``) →
+    ViT pytree, including the SigLIP attention-pool (map) head."""
+    sd = strip_prefix(sd, "model.", "visual.", "trunk.")
+    n_blocks = _max_index(sd, r"blocks\.(\d+)\.norm1\.weight")
+    blocks = [_timm_block(sd, f"blocks.{i}") for i in range(n_blocks)]
+
+    pos = np.asarray(_get(sd, "pos_embed"))
+    if pos.ndim == 2:
+        pos = pos[None]
+    params: Params = {
+        "patch_embed": {
+            "w": _conv_to_patch(_get(sd, "patch_embed.proj.weight")),
+            "b": _get(sd, "patch_embed.proj.bias"),
+        },
+        "pos_embed": pos,
+        "blocks": _stack_blocks(blocks),
+        "ln_post": _ln(sd, "norm"),
+    }
+    if "cls_token" in sd:
+        params["cls_token"] = np.asarray(sd["cls_token"]).reshape(1, 1, -1)
+
+    if "attn_pool.latent" in sd:
+        kv = _get(sd, "attn_pool.kv.weight")
+        kvb = sd.get("attn_pool.kv.bias")
+        d = kv.shape[0] // 2
+        pool_attn = {
+            "q": _linear(sd, "attn_pool.q"),
+            "k": {"w": _t(kv[:d])},
+            "v": {"w": _t(kv[d:])},
+            "out": _linear(sd, "attn_pool.proj"),
+        }
+        if kvb is not None:
+            pool_attn["k"]["b"] = np.asarray(kvb[:d])
+            pool_attn["v"]["b"] = np.asarray(kvb[d:])
+        params["attn_pool"] = {
+            "probe": np.asarray(sd["attn_pool.latent"]).reshape(1, 1, -1),
+            "attn": pool_attn,
+            "ln": _ln(sd, "attn_pool.norm"),
+            "mlp": {
+                "fc": _linear(sd, "attn_pool.mlp.fc1"),
+                "proj": _linear(sd, "attn_pool.mlp.fc2"),
+            },
+        }
+    if "head.weight" in sd:
+        params["proj"] = _linear(sd, "head")
+    return params
+
+
+# ---------------------------------------------------------------------------
+# entry point
+# ---------------------------------------------------------------------------
+
+def map_state_dict(
+    sd: Mapping[str, np.ndarray], *, tower: str, family: str
+) -> Params:
+    """Map a torch state dict onto a tower pytree.
+
+    tower: "visual" | "text"; family: as returned by models.build.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()}
+    if tower == "visual":
+        if family == "vit":
+            keys = set(sd)
+            if any(".trunk." in k or k.startswith("trunk.") or "blocks.0.norm1.weight" in k
+                   for k in keys):
+                return map_timm_visual(sd)
+            return map_clip_visual(sd)
+        if family == "fastvit":
+            from .models.fastvit import map_fastvit_visual
+
+            return map_fastvit_visual(sd)
+        raise WeightError(f"Unknown visual family '{family}'")
+    if tower == "text":
+        if family == "text_transformer":
+            return map_clip_text(sd)
+        if family == "hf_bert":
+            from .models.hf_text import map_hf_text
+
+            return map_hf_text(sd)
+        raise WeightError(f"Unknown text family '{family}'")
+    raise WeightError(f"Unknown tower '{tower}'")

@@ -1,0 +1,14 @@
+"""Test harness config: force the CPU backend with 8 virtual devices so
+sharding/mesh tests run without TPU hardware (SURVEY.md §4: CPU-backend CI).
+
+Must run before the first ``import jax`` anywhere in the test session.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()

@@ -1,0 +1,203 @@
+"""Tokenizer parity: the from-scratch tokenizer.json pipeline vs the HF
+`tokenizers` reference library, on synthetic tokenizer files mirroring the
+structures used by the open_clip zoo (CLIP byte-level BPE with </w>,
+SigLIP-style Unigram/Metaspace, BERT WordPiece).
+
+The reference delegates tokenization entirely to the `tokenizers` crate
+(reference: src/text.rs:68-85); these tests pin our reimplementation to the
+same library's behavior, including the fixed-pad/truncate contract.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from clip_embedder_tpu.tokenizer import Tokenizer
+
+hf_tokenizers = pytest.importorskip("tokenizers")
+
+
+def make_clip_style_spec():
+    """A miniature of openai CLIP's tokenizer.json: byte-level BPE with
+    end-of-word suffix, NFC+collapse+lowercase normalizer, CLIP split regex,
+    and <|startoftext|>/<|endoftext|> template."""
+    words = ["a", "photo", "of", "cat", "dog", "the", "beignet", "!", ",", "2"]
+    # Build a char-level alphabet plus whole-word merges.
+    alphabet = sorted({c for w in words for c in w})
+    vocab = {}
+    for c in alphabet:
+        vocab[c] = len(vocab)
+        vocab[c + "</w>"] = len(vocab)
+    merges = []
+
+    def add_word(w):
+        # build the word left-to-right: (a b), (ab c), ...
+        parts = list(w[:-1]) + [w[-1] + "</w>"]
+        while len(parts) > 1:
+            merges.append(f"{parts[0]} {parts[1]}")
+            merged = parts[0] + parts[1]
+            if merged not in vocab:
+                vocab[merged] = len(vocab)
+            parts = [merged] + parts[2:]
+
+    for w in words:
+        if len(w) > 1:
+            add_word(w)
+    sot = "<|startoftext|>"
+    eot = "<|endoftext|>"
+    vocab[sot] = len(vocab)
+    vocab[eot] = len(vocab)
+    return {
+        "version": "1.0",
+        "added_tokens": [
+            {"id": vocab[sot], "content": sot, "single_word": False,
+             "lstrip": False, "rstrip": False, "normalized": False, "special": True},
+            {"id": vocab[eot], "content": eot, "single_word": False,
+             "lstrip": False, "rstrip": False, "normalized": False, "special": True},
+        ],
+        "normalizer": {"type": "Sequence", "normalizers": [
+            {"type": "NFC"},
+            {"type": "Replace", "pattern": {"Regex": "\\s+"}, "content": " "},
+            {"type": "Lowercase"},
+        ]},
+        "pre_tokenizer": {"type": "Sequence", "pretokenizers": [
+            {"type": "Split",
+             "pattern": {"Regex": "'s|'t|'re|'ve|'m|'ll|'d|[\\p{L}]+|[\\p{N}]|[^\\s\\p{L}\\p{N}]+"},
+             "behavior": "Removed", "invert": True},
+            {"type": "ByteLevel", "add_prefix_space": False, "use_regex": False,
+             "trim_offsets": True},
+        ]},
+        "post_processor": {"type": "TemplateProcessing",
+            "single": [
+                {"SpecialToken": {"id": sot, "type_id": 0}},
+                {"Sequence": {"id": "A", "type_id": 0}},
+                {"SpecialToken": {"id": eot, "type_id": 0}},
+            ],
+            "pair": [],
+            "special_tokens": {
+                sot: {"id": sot, "ids": [vocab[sot]], "tokens": [sot]},
+                eot: {"id": eot, "ids": [vocab[eot]], "tokens": [eot]},
+            }},
+        "model": {"type": "BPE", "dropout": None, "unk_token": None,
+                  "continuing_subword_prefix": None, "end_of_word_suffix": "</w>",
+                  "fuse_unk": False, "byte_fallback": False,
+                  "vocab": vocab, "merges": merges},
+    }
+
+
+def make_unigram_spec():
+    """SigLIP/T5-style: Metaspace pre-tokenizer + Unigram model + </s>."""
+    pieces = [
+        ["<unk>", 0.0], ["</s>", 0.0], ["<pad>", 0.0],
+        ["▁a", -2.0], ["▁photo", -3.0], ["▁of", -2.5], ["▁cat", -3.0],
+        ["▁dog", -3.0], ["▁", -1.5], ["a", -4.0], ["c", -4.0], ["t", -4.0],
+        ["o", -4.0], ["d", -4.0], ["g", -4.0], ["p", -4.0], ["h", -4.0],
+        ["f", -4.0], ["s", -4.0], ["▁the", -2.8], ["e", -4.0],
+    ]
+    return {
+        "version": "1.0",
+        "added_tokens": [
+            {"id": 1, "content": "</s>", "single_word": False, "lstrip": False,
+             "rstrip": False, "normalized": False, "special": True},
+            {"id": 2, "content": "<pad>", "single_word": False, "lstrip": False,
+             "rstrip": False, "normalized": False, "special": True},
+        ],
+        "normalizer": {"type": "Lowercase"},
+        "pre_tokenizer": {"type": "Metaspace", "replacement": "▁",
+                          "prepend_scheme": "always", "split": True},
+        "post_processor": {"type": "TemplateProcessing",
+            "single": [{"Sequence": {"id": "A", "type_id": 0}},
+                       {"SpecialToken": {"id": "</s>", "type_id": 0}}],
+            "pair": [],
+            "special_tokens": {"</s>": {"id": "</s>", "ids": [1], "tokens": ["</s>"]}}},
+        "model": {"type": "Unigram", "unk_id": 0, "vocab": pieces,
+                  "byte_fallback": False},
+    }
+
+
+def make_wordpiece_spec():
+    vocab_list = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "a", "photo", "of",
+                  "cat", "##s", "do", "##g", "the"]
+    vocab = {w: i for i, w in enumerate(vocab_list)}
+    return {
+        "version": "1.0",
+        "added_tokens": [],
+        "normalizer": {"type": "BertNormalizer", "clean_text": True,
+                       "handle_chinese_chars": True, "strip_accents": None,
+                       "lowercase": True},
+        "pre_tokenizer": {"type": "BertPreTokenizer"},
+        "post_processor": {"type": "TemplateProcessing",
+            "single": [{"SpecialToken": {"id": "[CLS]", "type_id": 0}},
+                       {"Sequence": {"id": "A", "type_id": 0}},
+                       {"SpecialToken": {"id": "[SEP]", "type_id": 0}}],
+            "pair": [],
+            "special_tokens": {
+                "[CLS]": {"id": "[CLS]", "ids": [2], "tokens": ["[CLS]"]},
+                "[SEP]": {"id": "[SEP]", "ids": [3], "tokens": ["[SEP]"]}}},
+        "model": {"type": "WordPiece", "unk_token": "[UNK]",
+                  "continuing_subword_prefix": "##",
+                  "max_input_chars_per_word": 100, "vocab": vocab},
+    }
+
+
+TEXTS = [
+    "A photo of a cat",
+    "a  PHOTO of, the dog!",
+    "the cat2",
+    "",
+    "beignet",
+    "cat cat cat cat cat cat cat cat cat cat",  # exercises truncation
+]
+
+
+@pytest.mark.parametrize(
+    "spec_factory", [make_clip_style_spec, make_unigram_spec, make_wordpiece_spec],
+    ids=["clip-bpe", "unigram", "wordpiece"],
+)
+def test_encode_matches_hf(tmp_path, spec_factory):
+    spec = spec_factory()
+    path = tmp_path / "tokenizer.json"
+    path.write_text(json.dumps(spec), encoding="utf-8")
+
+    ours = Tokenizer.from_file(path)
+    theirs = hf_tokenizers.Tokenizer.from_file(str(path))
+
+    for text in TEXTS:
+        got = ours.encode(text)
+        ref = theirs.encode(text).ids
+        assert got == ref, f"mismatch on {text!r}: {got} vs {ref}"
+
+
+def test_fixed_padding_and_truncation_matches_hf(tmp_path):
+    """Reference semantics: PaddingStrategy::Fixed(ctx) + truncation
+    (reference: src/text.rs:76-85)."""
+    spec = make_clip_style_spec()
+    path = tmp_path / "tokenizer.json"
+    path.write_text(json.dumps(spec), encoding="utf-8")
+    ctx = 8
+    pad_id = 0
+
+    ours = Tokenizer.from_file(path)
+    ours.with_padding(length=ctx, pad_id=pad_id).with_truncation(max_length=ctx)
+
+    theirs = hf_tokenizers.Tokenizer.from_file(str(path))
+    theirs.enable_padding(length=ctx, pad_id=pad_id)
+    theirs.enable_truncation(max_length=ctx)
+
+    ids, mask = ours.encode_batch(TEXTS)
+    ref = theirs.encode_batch(TEXTS)
+    ref_ids = np.array([e.ids for e in ref])
+    ref_mask = np.array([e.attention_mask for e in ref])
+    np.testing.assert_array_equal(ids, ref_ids)
+    np.testing.assert_array_equal(mask, ref_mask)
+
+
+def test_pad_token_vocab_lookup(tmp_path):
+    """Pad-id fallback to the '<pad>' vocab entry
+    (reference: src/text.rs:70-73)."""
+    spec = make_unigram_spec()
+    path = tmp_path / "tokenizer.json"
+    path.write_text(json.dumps(spec), encoding="utf-8")
+    tok = Tokenizer.from_file(path)
+    assert tok.get_vocab(True).get("<pad>") == 2

@@ -1,0 +1,127 @@
+"""Numerical parity: JAX towers + weight mapping vs the independent torch
+reference (tests/torch_ref.py).
+
+f32 thresholds allow pure rounding noise (random-init nets amplify f32
+accumulation-order differences); exact semantic parity is verified at f64 by
+tests/_f64_check.py (<1e-12).
+
+This is the golden-tensor layer the reference lacks (SURVEY.md §4): the
+reference only verified numerics manually via examples/debug_local.rs. Budget
+here is far tighter than the ≤1e-3 cosine-distance acceptance bound — f32 on
+CPU should agree to ~1e-6.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from clip_embedder_tpu.models import text_transformer, vit
+from clip_embedder_tpu.models.text_transformer import TextCfgResolved
+from clip_embedder_tpu.models.vit import ViTCfg
+from clip_embedder_tpu.weights import map_state_dict
+
+from torch_ref import TextTransformer, TimmSiglipViT, VisionTransformer
+
+torch.manual_seed(0)
+
+
+def cosine_distance(a, b):
+    a = np.asarray(a, dtype=np.float64)
+    b = np.asarray(b, dtype=np.float64)
+    sims = (a * b).sum(-1) / (
+        np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1)
+    )
+    return float(1.0 - sims.min())
+
+
+def to_numpy_sd(module):
+    return {k: v.detach().numpy() for k, v in module.state_dict().items()}
+
+
+@pytest.mark.parametrize("quick_gelu", [False, True])
+def test_clip_visual_parity(quick_gelu):
+    torch_model = VisionTransformer(
+        image_size=32, patch_size=8, width=64, layers=3, heads=4,
+        mlp_hidden=256, embed_dim=48, quick_gelu=quick_gelu,
+    ).eval()
+    cfg = ViTCfg(
+        image_size=32, patch_size=8, width=64, layers=3, heads=4,
+        mlp_hidden=256, embed_dim=48,
+        activation="quick_gelu" if quick_gelu else "gelu",
+    )
+    params = map_state_dict(to_numpy_sd(torch_model), tower="visual", family="vit")
+
+    x = torch.randn(3, 3, 32, 32)
+    with torch.no_grad():
+        ref = torch_model(x).numpy()
+    # torch is NCHW; the JAX tower takes channel-last NHWC.
+    got = vit.apply(params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()), cfg)
+    assert cosine_distance(got, ref) < 5e-5
+    np.testing.assert_allclose(np.asarray(got), ref, atol=5e-3)
+
+
+@pytest.mark.parametrize(
+    "causal,pool,proj_bias",
+    [(True, "argmax", False), (False, "last", True)],
+    ids=["clip", "siglip"],
+)
+def test_text_parity(causal, pool, proj_bias):
+    torch_model = TextTransformer(
+        context_length=16, vocab_size=120, width=64, heads=4, layers=3,
+        mlp_hidden=256, embed_dim=48, causal=causal, pool=pool,
+        proj_bias=proj_bias,
+    ).eval()
+    cfg = TextCfgResolved(
+        context_length=16, vocab_size=120, width=64, heads=4, layers=3,
+        mlp_hidden=256, embed_dim=48, causal=causal, pool=pool,
+        proj_bias=proj_bias,
+    )
+    params = map_state_dict(
+        to_numpy_sd(torch_model), tower="text", family="text_transformer"
+    )
+
+    ids = torch.randint(1, 119, (4, 16))
+    ids[:, 0] = 119  # give argmax pooling a deterministic EOT position
+    with torch.no_grad():
+        ref = torch_model(ids).numpy()
+    got = text_transformer.apply(params, jnp.asarray(ids.numpy()), cfg)
+    assert cosine_distance(got, ref) < 5e-5
+    np.testing.assert_allclose(np.asarray(got), ref, atol=5e-3)
+
+
+def test_timm_siglip_visual_parity():
+    torch_model = TimmSiglipViT(
+        image_size=32, patch_size=8, width=64, layers=3, heads=4, mlp_hidden=256
+    ).eval()
+    cfg = ViTCfg(
+        image_size=32, patch_size=8, width=64, layers=3, heads=4,
+        mlp_hidden=256, embed_dim=64, activation="gelu_tanh",
+        use_class_token=False, use_ln_pre=False, pool="map", use_proj=False,
+        ln_eps=1e-6, pos_embed_cls=False,
+    )
+    sd = {f"trunk.{k}": v for k, v in to_numpy_sd(torch_model).items()}
+    params = map_state_dict(sd, tower="visual", family="vit")
+
+    x = torch.randn(3, 3, 32, 32)
+    with torch.no_grad():
+        ref = torch_model(x).numpy()
+    got = vit.apply(params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()), cfg)
+    assert cosine_distance(got, ref) < 5e-5
+    np.testing.assert_allclose(np.asarray(got), ref, atol=5e-3)
+
+
+def test_towers_are_jittable_without_retrace():
+    cfg = ViTCfg(
+        image_size=32, patch_size=8, width=64, layers=2, heads=4,
+        mlp_hidden=128, embed_dim=32,
+    )
+    params = vit.init(jax.random.key(0), cfg)
+    fn = jax.jit(lambda p, x: vit.apply(p, x, cfg))
+    x = jnp.zeros((2, 32, 32, 3))
+    fn(params, x)
+    n0 = fn._cache_size()
+    fn(params, x + 1.0)
+    assert fn._cache_size() == n0
