@@ -1,0 +1,110 @@
+"""Benchmark: images/sec/chip, vision embedding at 384px.
+
+Measures the full device path the reference's ``vision/embed`` criterion
+bench measures (preprocess resize+normalize from decoded u8 + tower forward,
+reference: benches/model_bench.rs:36-48) on the flagship model class
+ViT-SO400M-16-SigLIP2-384 (reference headline: 988 ms/image on the author's
+CPU → 1.012 img/s, README.md:110; BASELINE.md north star ≥5000 img/s/chip).
+
+Prints ONE JSON line:
+    {"metric": "images_per_sec_per_chip_vision_384px", "value": N,
+     "unit": "images/sec/chip", "vs_baseline": N}
+
+Env knobs: BENCH_BATCH (default sweep), BENCH_DTYPE (bfloat16|float32),
+BENCH_SRC (source image size, default 512), BENCH_ATTN (xla|pallas).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+# Reference baseline: 988 ms single-image vision embed (ViT-SO400M-16-
+# SigLIP2-384, author's CPU, README.md:110) → 1.0121 images/sec.
+BASELINE_IMAGES_PER_SEC = 1000.0 / 988.0
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from clip_embedder_tpu.models import vit
+    from clip_embedder_tpu.models.vit import ViTCfg
+    from clip_embedder_tpu.ops.preprocess import preprocess_weights_for, resize_normalize
+
+    dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
+        os.environ.get("BENCH_DTYPE", "bfloat16")
+    ]
+    attn_impl = os.environ.get("BENCH_ATTN", "xla")
+    src = int(os.environ.get("BENCH_SRC", "512"))
+    target = 384
+
+    cfg = ViTCfg(
+        image_size=target, patch_size=16, width=1152, layers=27, heads=16,
+        mlp_hidden=4304, embed_dim=1152, activation="gelu_tanh",
+        use_class_token=False, use_ln_pre=False, pool="map", use_proj=False,
+        ln_eps=1e-6, pos_embed_cls=False,
+    )
+    params = vit.init(jax.random.key(0), cfg, dtype=dtype)
+    mean = jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
+    std = jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
+
+    @jax.jit
+    def embed(params, images_u8, wh, ww):
+        pixels = resize_normalize(images_u8, wh, ww, mean, std, out_dtype=dtype)
+        return vit.apply(params, pixels, cfg, attn_impl=attn_impl)
+
+    wh_np, ww_np = preprocess_weights_for(src, src, target)
+
+    env_batch = os.environ.get("BENCH_BATCH")
+    batches = [int(env_batch)] if env_batch else [32, 64, 128]
+    best = 0.0
+    best_batch = 0
+    rng = np.random.default_rng(0)
+    for batch in batches:
+        images = jnp.asarray(
+            rng.integers(0, 255, size=(batch, src, src, 3), dtype=np.uint8)
+        )
+        wh = jnp.broadcast_to(jnp.asarray(wh_np), (batch, target, src))
+        ww = jnp.broadcast_to(jnp.asarray(ww_np), (batch, target, src))
+        try:
+            # warmup / compile
+            jax.block_until_ready(embed(params, images, wh, ww))
+            iters = 3
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                out = embed(params, images, wh, ww)
+            jax.block_until_ready(out)
+            dt = (time.perf_counter() - t0) / iters
+        except Exception as e:  # noqa: BLE001 — OOM at large batch: skip
+            print(f"batch {batch} failed: {type(e).__name__}", file=sys.stderr)
+            continue
+        ips = batch / dt
+        print(f"batch {batch}: {dt*1e3:.1f} ms → {ips:.1f} img/s", file=sys.stderr)
+        if ips > best:
+            best = ips
+            best_batch = batch
+
+    result = {
+        "metric": "images_per_sec_per_chip_vision_384px",
+        "value": round(best, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(best / BASELINE_IMAGES_PER_SEC, 2),
+        "detail": {
+            "model": "ViT-SO400M-16-SigLIP2-384 (map pool)",
+            "dtype": str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
+            "batch": best_batch,
+            "attn_impl": attn_impl,
+            "includes_preprocess": True,
+            "baseline": "988 ms/image, author CPU (reference README.md:110)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Mesh-sharded bulk embedding — the TPU analog of the reference's bulk
+indexing workload (reference: examples/search.rs:49 ranks an image library;
+its only scale-out story is per-thread ``duplicate()`` replicas,
+src/clip.rs:69-73).
+
+Here: weights live replicated (or TP-sharded) on every chip, the batch axis
+shards over the 'data' mesh axis, and one jitted program runs preprocess +
+tower fused across the slice. XLA partitions everything; host work is only
+JPEG decode and resize-weight construction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..errors import InferenceError
+from ..ops.preprocess import bucket_size
+from ..utils.images import to_rgb_array
+from .mesh import DATA_AXIS, pad_to_multiple, replicate
+from .sharding import tp_param_specs
+
+
+class ShardedVisionEmbedder:
+    """Wraps a VisionEmbedder for data-parallel (optionally tensor-parallel)
+    bulk embedding over a mesh."""
+
+    def __init__(self, embedder, mesh: Mesh, *, tensor_parallel: bool = False):
+        self.inner = embedder
+        self.mesh = mesh
+        if tensor_parallel and embedder.spec.family == "vit":
+            specs = tp_param_specs(embedder.params, tower="vit")
+            shardings = jax.tree.map(
+                lambda s: NamedSharding(mesh, s), specs,
+                is_leaf=lambda x: isinstance(x, P),
+            )
+            self.params = jax.device_put(embedder.params, shardings)
+        else:
+            self.params = replicate(embedder.params, mesh)
+
+        batch_spec = NamedSharding(mesh, P(DATA_AXIS))
+        spec = embedder.spec
+        attn_impl = embedder.attn_impl
+        pp = embedder.preprocessor
+
+        def forward(params, images_u8, wh, ww):
+            from ..ops.preprocess import resize_normalize
+            from ..vision import _jitted_vision_forward
+
+            pixels = resize_normalize(
+                images_u8, wh, ww, pp.mean, pp.std, out_dtype=pp.out_dtype
+            )
+            return _jitted_vision_forward(spec, attn_impl)(params, pixels)
+
+        self._forward = jax.jit(
+            forward,
+            in_shardings=(
+                shardings if tensor_parallel and embedder.spec.family == "vit"
+                else NamedSharding(mesh, P()),
+                batch_spec, batch_spec, batch_spec,
+            ),
+            out_shardings=batch_spec,
+        )
+
+    def embed_images(self, images: Sequence[Any]) -> np.ndarray:
+        if len(images) == 0:
+            raise InferenceError("Empty batch")
+        arrays = [to_rgb_array(img) for img in images]
+        n_data = self.mesh.shape[DATA_AXIS]
+        bb = pad_to_multiple(len(arrays), n_data)
+        ph = bucket_size(max(a.shape[0] for a in arrays))
+        pw = bucket_size(max(a.shape[1] for a in arrays))
+        size = self.inner.preprocessor.image_size
+
+        batch = np.zeros((bb, ph, pw, 3), dtype=np.uint8)
+        whs = np.zeros((bb, size, ph), dtype=np.float32)
+        wws = np.zeros((bb, size, pw), dtype=np.float32)
+        for i, a in enumerate(arrays):
+            h, w = a.shape[:2]
+            batch[i, :h, :w] = a
+            wh, ww = self.inner.preprocessor._weights(w, h, ph, pw)
+            whs[i] = wh
+            wws[i] = ww
+
+        embs = self._forward(self.params, batch, whs, wws)
+        return np.asarray(embs[: len(images)].astype(jnp.float32))
+
+
+class ShardedTextEmbedder:
+    """Data-parallel bulk text embedding over a mesh."""
+
+    def __init__(self, embedder, mesh: Mesh):
+        self.inner = embedder
+        self.mesh = mesh
+        self.params = replicate(embedder.params, mesh)
+        batch_spec = NamedSharding(mesh, P(DATA_AXIS))
+        spec = embedder.spec
+        attn_impl = embedder.attn_impl
+
+        def forward(params, ids):
+            from ..text import _jitted_text_forward
+
+            return _jitted_text_forward(spec, attn_impl)(params, ids)
+
+        self._forward = jax.jit(
+            forward,
+            in_shardings=(NamedSharding(mesh, P()), batch_spec),
+            out_shardings=batch_spec,
+        )
+
+    def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
+        if len(texts) == 0:
+            raise InferenceError("Empty batch")
+        ids, _ = self.inner.tokenize(texts)
+        n_data = self.mesh.shape[DATA_AXIS]
+        bb = pad_to_multiple(len(texts), n_data)
+        if bb != ids.shape[0]:
+            pad = np.full((bb - ids.shape[0], ids.shape[1]),
+                          self.inner.pad_id, np.int32)
+            ids = np.concatenate([ids, pad], axis=0)
+        embs = self._forward(self.params, jnp.asarray(ids))
+        return np.asarray(embs[: len(texts)].astype(jnp.float32))

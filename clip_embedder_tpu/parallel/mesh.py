@@ -1,0 +1,62 @@
+"""Device mesh construction and basic placement helpers.
+
+The TPU replacement for the reference's ordered execution-provider fallback
+list (reference: src/lib.rs:90-93, benches/model_bench.rs:23-28): instead of
+TensorRT→CUDA→…→CPU, device selection is a JAX platform choice plus a mesh
+shape over the chips of a slice. Multi-host extends the same mesh over DCN
+via ``jax.distributed.initialize`` (call before ``get_mesh`` in multi-process
+deployments).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..errors import DeviceError
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def get_mesh(
+    *,
+    devices: list | None = None,
+    model_parallel: int = 1,
+) -> Mesh:
+    """Build a ('data', 'model') mesh over the available devices.
+
+    ``model_parallel=1`` (default) is pure data parallelism — the bulk
+    embedding layout. Larger values carve a model axis for tensor
+    parallelism of ViT-H/gopt-class towers; the model axis is laid out over
+    adjacent devices so TP collectives ride the fastest ICI hops.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise DeviceError(
+            f"model_parallel={model_parallel} does not divide {n} devices"
+        )
+    grid = np.array(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+
+
+def replicate(tree, mesh: Mesh):
+    """Place a pytree fully replicated over the mesh (the weights layout for
+    data-parallel embedding — every chip holds the tower)."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def shard_batch(array, mesh: Mesh, *, extra_dims: int | None = None):
+    """Place an array batch-sharded over the data axis (inputs layout)."""
+    ndim = extra_dims + 1 if extra_dims is not None else np.ndim(array)
+    spec = P(DATA_AXIS, *([None] * (ndim - 1)))
+    return jax.device_put(array, NamedSharding(mesh, spec))
+
+
+def pad_to_multiple(n: int, multiple: int) -> int:
+    return int(math.ceil(n / multiple) * multiple)

@@ -1,0 +1,140 @@
+"""Contrastive training: CLIP softmax-CE and SigLIP sigmoid losses with a
+mesh-sharded train step.
+
+The reference is inference-only — its "training" story is the offline
+export pipeline (reference: pull_onnx.py). This module makes the framework
+self-hosting on TPU: fine-tune or train the same tower pytrees the
+embedders serve, with data parallelism over the 'data' mesh axis and
+optional Megatron tensor parallelism over 'model'
+(clip_embedder_tpu.parallel.sharding). The global batch shards over chips;
+the contrastive logit matrix needs every pair, so embeddings are
+all-gathered by GSPMD from the sharded batch automatically — on a v5e
+slice that collective rides ICI.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .models import text_transformer, vit
+from .models.text_transformer import TextCfgResolved
+from .models.vit import ViTCfg
+from .parallel.mesh import DATA_AXIS
+from .parallel.sharding import tp_param_specs
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    vision_cfg: ViTCfg
+    text_cfg: TextCfgResolved
+    loss: str = "clip"          # "clip" (softmax CE) | "siglip" (sigmoid)
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.05
+    tensor_parallel: bool = False
+
+
+def init_train_state(key: jax.Array, cfg: TrainConfig, *, dtype=jnp.float32):
+    """Params (both towers + learnable logit scale/bias) and optimizer state."""
+    kv, kt = jax.random.split(key)
+    params = {
+        "visual": vit.init(kv, cfg.vision_cfg, dtype=dtype),
+        "text": text_transformer.init(kt, cfg.text_cfg, dtype=dtype),
+        # CLIP stores log-scale (exp'd in the loss); SigLIP adds a bias.
+        "logit_scale": jnp.asarray(jnp.log(1.0 / 0.07), dtype=jnp.float32),
+        "logit_bias": jnp.asarray(-10.0 if cfg.loss == "siglip" else 0.0,
+                                  dtype=jnp.float32),
+    }
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    return params, opt_state
+
+
+def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
+    return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+
+
+def clip_loss(img_emb: jax.Array, txt_emb: jax.Array, scale: jax.Array,
+              bias: jax.Array) -> jax.Array:
+    """Symmetric InfoNCE over the global batch (CLIP)."""
+    logits = img_emb @ txt_emb.T * scale + bias  # [B, B]
+    labels = jnp.arange(logits.shape[0])
+    li = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+    lt = optax.softmax_cross_entropy_with_integer_labels(logits.T, labels)
+    return jnp.mean(li + lt) * 0.5
+
+
+def siglip_loss(img_emb: jax.Array, txt_emb: jax.Array, scale: jax.Array,
+                bias: jax.Array) -> jax.Array:
+    """Pairwise sigmoid loss (SigLIP): positives on the diagonal."""
+    logits = img_emb @ txt_emb.T * scale + bias
+    n = logits.shape[0]
+    signs = 2.0 * jnp.eye(n) - 1.0
+    return -jnp.mean(jax.nn.log_sigmoid(signs * logits)) * n
+
+
+def loss_fn(params, batch, cfg: TrainConfig):
+    img_emb = vit.apply(params["visual"], batch["pixels"], cfg.vision_cfg)
+    txt_emb = text_transformer.apply(params["text"], batch["input_ids"],
+                                     cfg.text_cfg)
+    scale = jnp.exp(params["logit_scale"])
+    bias = params["logit_bias"]
+    img_emb = img_emb.astype(jnp.float32)
+    txt_emb = txt_emb.astype(jnp.float32)
+    if cfg.loss == "siglip":
+        return siglip_loss(img_emb, txt_emb, scale, bias)
+    return clip_loss(img_emb, txt_emb, scale, bias)
+
+
+def train_step(params, opt_state, batch, *, cfg: TrainConfig,
+               tx: optax.GradientTransformation):
+    loss, grads = jax.value_and_grad(partial(loss_fn, cfg=cfg))(params, batch)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss
+
+
+def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, params):
+    """jit the train step over the mesh: batch sharded over 'data', params
+    replicated (DP) or Megatron-sharded over 'model' (DP×TP).
+
+    The optimizer state is initialized under jit from the already-placed
+    params, so adamw's mu/nu moments inherit the param shardings
+    automatically (GSPMD propagation) — no hand-written state specs.
+    Returns (jitted_step, placed_params, placed_opt_state).
+    """
+    if cfg.tensor_parallel:
+        param_specs = {
+            "visual": tp_param_specs(params["visual"], tower="vit"),
+            "text": tp_param_specs(params["text"], tower="text"),
+            "logit_scale": P(),
+            "logit_bias": P(),
+        }
+    else:
+        param_specs = jax.tree.map(lambda _: P(), params)
+
+    param_sh = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), param_specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+    params = jax.device_put(params, param_sh)
+    tx = make_optimizer(cfg)
+    opt_state = jax.jit(tx.init)(params)
+
+    batch_sh = {
+        "pixels": NamedSharding(mesh, P(DATA_AXIS)),
+        "input_ids": NamedSharding(mesh, P(DATA_AXIS)),
+    }
+    step = jax.jit(
+        partial(train_step, cfg=cfg, tx=tx),
+        in_shardings=(param_sh, None, batch_sh),
+        out_shardings=(param_sh, None, NamedSharding(mesh, P())),
+        donate_argnums=(0, 1),
+    )
+    return step, params, opt_state

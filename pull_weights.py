@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Convert an open_clip-compatible HuggingFace model into a native model dir.
+
+The TPU-native analog of the reference's offline exporter
+(reference: pull_onnx.py): instead of exporting torch graphs to ONNX, this
+downloads the original open_clip checkpoint and converts its weights into
+this framework's npz pytrees, producing a model dir that satisfies the
+same contract (model_config.json, open_clip_config.json, tokenizer files,
+weights) in the same default cache (~/.cache/open_clip_rs).
+
+It also accepts the reference's published ONNX model dirs: point ``--dir``
+at one and the .onnx weights are converted in place.
+
+Usage:
+    python pull_weights.py --id timm/ViT-SO400M-16-SigLIP2-384
+    python pull_weights.py --dir /path/to/onnx/model/dir
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import sys
+from pathlib import Path
+
+import numpy as np
+
+CONFIG_FILES = (
+    "open_clip_config.json",
+    "tokenizer.json",
+    "tokenizer_config.json",
+    "special_tokens_map.json",
+)
+CHECKPOINT_CANDIDATES = (
+    "open_clip_model.safetensors",
+    "open_clip_pytorch_model.safetensors",
+    "open_clip_pytorch_model.bin",
+    "model.safetensors",
+    "pytorch_model.bin",
+)
+
+
+def load_checkpoint(path: Path) -> dict[str, np.ndarray]:
+    if path.suffix == ".safetensors":
+        from safetensors.numpy import load_file
+
+        return load_file(str(path))
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd:
+        sd = sd["state_dict"]
+    return {k: v.numpy() for k, v in sd.items()}
+
+
+def derive_model_config(repo_id: str, open_clip_config: dict,
+                        sd: dict[str, np.ndarray]) -> dict:
+    """Derive scoring metadata from the checkpoint — the role of the
+    reference exporter's get_model_config (reference: pull_onnx.py:128-150):
+    SigLIP detection (repo name or init_logit_bias), exp'd logit scale,
+    sigmoid vs softmax head, lowercasing, and the SigLIP-v1 pad-id quirk.
+    """
+    model_cfg = open_clip_config.get("model_cfg", {})
+    is_siglip = "siglip" in repo_id.lower() or "init_logit_bias" in model_cfg
+    is_siglip2 = "siglip2" in repo_id.lower()
+
+    logit_scale = float(np.exp(np.asarray(sd.get("logit_scale", 0.0)).item()))
+    logit_bias = float(np.asarray(sd.get("logit_bias", 0.0)).item()) if "logit_bias" in sd else 0.0
+
+    vocab_size = None
+    for key in ("token_embedding.weight", "text.token_embedding.weight"):
+        if key in sd:
+            vocab_size = int(sd[key].shape[0])
+            break
+    if vocab_size is None:
+        vocab_size = model_cfg.get("text_cfg", {}).get("vocab_size")
+
+    return {
+        "logit_scale": logit_scale,
+        "logit_bias": logit_bias,
+        "activation_function": "sigmoid" if is_siglip else "softmax",
+        "tokenizer_needs_lowercase": is_siglip,
+        "pad_id": 1 if (is_siglip and not is_siglip2) else 0,
+        "vocab_size": vocab_size,
+    }
+
+
+def convert_checkpoint(model_dir: Path, sd: dict[str, np.ndarray]) -> None:
+    """Map a full open_clip state dict into visual.npz / text.npz."""
+    from clip_embedder_tpu.config import OpenClipConfig
+    from clip_embedder_tpu.models.build import resolve_text, resolve_vision
+    from clip_embedder_tpu.weights import map_state_dict, save_pytree
+
+    cfg = OpenClipConfig.from_file(model_dir / "open_clip_config.json")
+    vspec = resolve_vision(cfg.model_cfg)
+    tspec = resolve_text(cfg.model_cfg)
+
+    visual_sd = {k: v for k, v in sd.items() if k.startswith("visual.")}
+    text_sd = {
+        k: v for k, v in sd.items()
+        if not k.startswith("visual.") and k not in ("logit_scale", "logit_bias")
+    }
+    vparams = map_state_dict(visual_sd, tower="visual", family=vspec.family)
+    tparams = map_state_dict(text_sd, tower="text", family=tspec.family)
+    save_pytree(model_dir / "visual.npz", vparams)
+    save_pytree(model_dir / "text.npz", tparams)
+
+
+def convert_onnx_dir(model_dir: Path) -> None:
+    """Convert a reference-style ONNX model dir's weights in place."""
+    from clip_embedder_tpu.config import OpenClipConfig
+    from clip_embedder_tpu.models.build import resolve_text, resolve_vision
+    from clip_embedder_tpu.onnx_reader import extract_tower_params
+    from clip_embedder_tpu.weights import save_pytree
+
+    cfg = OpenClipConfig.from_file(model_dir / "open_clip_config.json")
+    vspec = resolve_vision(cfg.model_cfg)
+    tspec = resolve_text(cfg.model_cfg)
+    save_pytree(
+        model_dir / "visual.npz",
+        extract_tower_params(model_dir / "visual.onnx", vspec, tower="visual"),
+    )
+    save_pytree(
+        model_dir / "text.npz",
+        extract_tower_params(model_dir / "text.onnx", tspec, tower="text"),
+    )
+
+
+def run_pull(repo_id: str, base_output_dir: Path) -> Path:
+    from huggingface_hub import hf_hub_download
+
+    out = base_output_dir / repo_id
+    out.mkdir(parents=True, exist_ok=True)
+
+    for filename in CONFIG_FILES:
+        try:
+            p = hf_hub_download(repo_id=repo_id, filename=filename)
+            (out / filename).write_bytes(Path(p).read_bytes())
+            print(f"  ok   {filename}")
+        except Exception as e:  # noqa: BLE001
+            print(f"  miss {filename} ({type(e).__name__})")
+
+    ckpt = None
+    for filename in CHECKPOINT_CANDIDATES:
+        try:
+            ckpt = Path(hf_hub_download(repo_id=repo_id, filename=filename))
+            print(f"  ok   {filename}")
+            break
+        except Exception:  # noqa: BLE001
+            continue
+    if ckpt is None:
+        raise SystemExit(f"No open_clip checkpoint found in {repo_id}")
+
+    sd = load_checkpoint(ckpt)
+    occ = json.loads((out / "open_clip_config.json").read_text())
+    (out / "model_config.json").write_text(
+        json.dumps(derive_model_config(repo_id, occ, sd), indent=2)
+    )
+    convert_checkpoint(out, sd)
+    print(f"Done: {out}")
+    return out
+
+
+def main() -> None:
+    from clip_embedder_tpu.model_manager import get_default_base_folder
+
+    parser = argparse.ArgumentParser(
+        description="Convert OpenCLIP models to native TPU model dirs."
+    )
+    parser.add_argument("--id", type=str,
+                        help="HuggingFace repo id (open_clip compatible)")
+    parser.add_argument("--dir", type=Path,
+                        help="Existing ONNX model dir to convert in place")
+    parser.add_argument("--output", type=Path,
+                        default=get_default_base_folder(),
+                        help="Base output directory")
+    args = parser.parse_args()
+
+    if args.dir:
+        convert_onnx_dir(args.dir)
+        print(f"Converted ONNX weights in {args.dir}")
+    elif args.id:
+        run_pull(args.id, args.output)
+    else:
+        parser.error("one of --id or --dir is required")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,164 @@
+"""Mesh/sharding tests on the 8-virtual-device CPU backend.
+
+Covers the scale-out layer the reference lacks (SURVEY.md §2 parallelism
+statement): data-parallel bulk embedding must be numerically consistent
+with single-device embedding, tensor-parallel forward must match the
+replicated forward, and the sharded train step must run under DP×TP.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from clip_embedder_tpu.models import text_transformer, vit
+from clip_embedder_tpu.models.text_transformer import TextCfgResolved
+from clip_embedder_tpu.models.vit import ViTCfg
+from clip_embedder_tpu.parallel.mesh import get_mesh, replicate
+from clip_embedder_tpu.parallel.sharding import tp_param_specs
+
+VCFG = ViTCfg(image_size=32, patch_size=8, width=64, layers=2, heads=4,
+              mlp_hidden=128, embed_dim=32)
+TCFG = TextCfgResolved(context_length=16, vocab_size=128, width=64, heads=4,
+                       layers=2, mlp_hidden=128, embed_dim=32)
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    return get_mesh(model_parallel=2)  # 4 × 2 ('data', 'model')
+
+
+def test_mesh_shape(mesh):
+    assert dict(mesh.shape) == {"data": 4, "model": 2}
+
+
+def test_data_parallel_embed_matches_single(mesh):
+    params = vit.init(jax.random.key(0), VCFG)
+    x = jax.random.uniform(jax.random.key(1), (8, 32, 32, 3))
+
+    expect = vit.apply(params, x, VCFG)
+
+    p_repl = replicate(params, mesh)
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data")))
+    fn = jax.jit(
+        lambda p, x: vit.apply(p, x, VCFG),
+        in_shardings=(NamedSharding(mesh, P()), NamedSharding(mesh, P("data"))),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+    got = fn(p_repl, x_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-5)
+
+
+def test_tensor_parallel_vit_matches_replicated(mesh):
+    params = vit.init(jax.random.key(2), VCFG)
+    x = jax.random.uniform(jax.random.key(3), (4, 32, 32, 3))
+    expect = vit.apply(params, x, VCFG)
+
+    specs = tp_param_specs(params, tower="vit")
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda s: isinstance(s, P),
+    )
+    p_tp = jax.device_put(params, shardings)
+    fn = jax.jit(
+        lambda p, x: vit.apply(p, x, VCFG),
+        in_shardings=(shardings, NamedSharding(mesh, P("data"))),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+    got = fn(p_tp, jax.device_put(x, NamedSharding(mesh, P("data"))))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-5)
+
+
+def test_tensor_parallel_text_matches_replicated(mesh):
+    params = text_transformer.init(jax.random.key(4), TCFG)
+    ids = jax.random.randint(jax.random.key(5), (4, 16), 1, 127)
+    expect = text_transformer.apply(params, ids, TCFG)
+
+    specs = tp_param_specs(params, tower="text")
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda s: isinstance(s, P),
+    )
+    p_tp = jax.device_put(params, shardings)
+    fn = jax.jit(
+        lambda p, i: text_transformer.apply(p, i, TCFG),
+        in_shardings=(shardings, NamedSharding(mesh, P("data"))),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+    got = fn(p_tp, jax.device_put(ids, NamedSharding(mesh, P("data"))))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), atol=2e-5)
+
+
+@pytest.mark.parametrize("loss", ["clip", "siglip"])
+def test_sharded_train_step_runs_and_descends(mesh, loss):
+    from clip_embedder_tpu.train import (
+        TrainConfig, init_train_state, make_sharded_train_step,
+    )
+
+    cfg = TrainConfig(vision_cfg=VCFG, text_cfg=TCFG, loss=loss,
+                      tensor_parallel=True, learning_rate=1e-3)
+    params, _ = init_train_state(jax.random.key(0), cfg)
+    step, params, opt_state = make_sharded_train_step(cfg, mesh, params)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "pixels": jax.device_put(
+            jnp.asarray(rng.standard_normal((8, 32, 32, 3)), jnp.float32),
+            NamedSharding(mesh, P("data"))),
+        "input_ids": jax.device_put(
+            jnp.asarray(rng.integers(1, 127, (8, 16)), jnp.int32),
+            NamedSharding(mesh, P("data"))),
+    }
+    losses = []
+    for _ in range(3):
+        params, opt_state, l = step(params, opt_state, batch)
+        losses.append(float(l))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # optimizing the same batch must descend
+
+
+def test_sharded_bulk_embedders(mesh):
+    """ShardedVisionEmbedder / ShardedTextEmbedder wrap the public embedders
+    for mesh execution and must agree with the single-device path."""
+    import json
+
+    from clip_embedder_tpu import Clip
+    from clip_embedder_tpu.parallel import ShardedTextEmbedder, ShardedVisionEmbedder
+    from test_clip_e2e import MODEL_CONFIG, OPEN_CLIP_CONFIG
+    from test_tokenizer import make_clip_style_spec
+    from clip_embedder_tpu.config import OpenClipConfig
+    from clip_embedder_tpu.models.build import resolve_text, resolve_vision
+    from clip_embedder_tpu.weights import save_pytree
+    import tempfile
+    from pathlib import Path
+
+    d = Path(tempfile.mkdtemp())
+    (d / "open_clip_config.json").write_text(json.dumps(OPEN_CLIP_CONFIG))
+    (d / "model_config.json").write_text(json.dumps(MODEL_CONFIG))
+    (d / "tokenizer.json").write_text(json.dumps(make_clip_style_spec()))
+    cfg = OpenClipConfig.from_dict(OPEN_CLIP_CONFIG)
+    save_pytree(d / "visual.npz", vit.init(jax.random.key(0),
+                                           resolve_vision(cfg.model_cfg).cfg))
+    save_pytree(d / "text.npz", text_transformer.init(jax.random.key(1),
+                                                      resolve_text(cfg.model_cfg).cfg))
+    clip = Clip.from_local_dir(d)
+
+    rng = np.random.default_rng(1)
+    images = [rng.integers(0, 255, size=(40 + i, 50, 3), dtype=np.uint8)
+              for i in range(5)]  # 5 → padded to 8 on the data axis
+    sharded_v = ShardedVisionEmbedder(clip.vision, mesh)
+    got = sharded_v.embed_images(images)
+    expect = clip.vision.embed_images(images)
+    assert got.shape == expect.shape
+    cos = np.sum(got * expect, axis=-1)
+    assert (cos > 1 - 1e-5).all()
+
+    texts = ["a cat", "a dog", "the photo of a beignet"]
+    sharded_t = ShardedTextEmbedder(clip.text, mesh)
+    got_t = sharded_t.embed_texts(texts)
+    expect_t = clip.text.embed_texts(texts)
+    cos_t = np.sum(got_t * expect_t, axis=-1)
+    assert (cos_t > 1 - 1e-5).all()
