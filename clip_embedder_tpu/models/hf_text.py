@@ -1,0 +1,207 @@
+"""HF (BERT-style) text towers — the ``hf_model_name`` branch of open_clip
+text configs (e.g. BiomedCLIP's PubMedBERT), reference: src/config.rs:46
+(``hf_tokenizer_name``) and the text graphs that take an ``attention_mask``
+input (reference: src/text.rs:156-161).
+
+From-scratch post-LN BERT encoder in JAX: embeddings (word + position +
+token-type, LayerNorm), blocks of self-attention → residual+LN → MLP →
+residual+LN with additive key-padding mask derived from the pad id, then an
+open_clip-style pooler (CLS or masked mean) and projection (linear or MLP).
+Parity vs transformers.BertModel is tested in tests/test_hf_text.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..errors import ConfigError, WeightError
+from ..ops.attention import multi_head_attention
+from ..ops.layers import ACTIVATIONS, layer_norm, linear, mlp
+
+Params = dict
+
+
+@dataclass(frozen=True)
+class BertCfg:
+    context_length: int
+    vocab_size: int
+    width: int
+    heads: int
+    layers: int
+    mlp_hidden: int
+    embed_dim: int
+    pad_id: int = 0
+    activation: str = "gelu"
+    pooler: str = "cls"          # cls | mean
+    proj: str = "linear"         # linear | mlp | none
+    ln_eps: float = 1e-12
+
+
+def resolve_hf_text(model_cfg) -> BertCfg:
+    """Resolve a BertCfg from open_clip's text_cfg. Architecture dims come
+    from ``hf_config`` (stored into the model dir by pull_weights.py at
+    conversion time, since the reference dir contract carries no HF
+    config.json)."""
+    t = model_cfg.text_cfg
+    hf_cfg = t.extra.get("hf_config")
+    if not hf_cfg:
+        raise ConfigError(
+            "hf_model_name text towers need text_cfg.hf_config "
+            "(written by pull_weights.py at conversion time)"
+        )
+    pooler_type = t.extra.get("pooler_type", "cls_last_hidden_state_pooler")
+    proj_type = t.extra.get("proj_type", "linear")
+    return BertCfg(
+        context_length=t.context_length,
+        vocab_size=int(hf_cfg["vocab_size"]),
+        width=int(hf_cfg["hidden_size"]),
+        heads=int(hf_cfg["num_attention_heads"]),
+        layers=int(hf_cfg["num_hidden_layers"]),
+        mlp_hidden=int(hf_cfg["intermediate_size"]),
+        embed_dim=model_cfg.embed_dim,
+        pad_id=int(hf_cfg.get("pad_token_id", 0)),
+        pooler="mean" if "mean" in pooler_type else "cls",
+        proj={"mlp": "mlp", "none": "none"}.get(proj_type, "linear"),
+        ln_eps=float(hf_cfg.get("layer_norm_eps", 1e-12)),
+    )
+
+
+def init(key: jax.Array, cfg: BertCfg, *, dtype=jnp.float32) -> Params:
+    from .vit import _init_attn, _init_ln, _init_linear
+
+    keys = jax.random.split(key, 8)
+    params: Params = {
+        "word_embed": (jax.random.normal(keys[0], (cfg.vocab_size, cfg.width))
+                       * 0.02).astype(dtype),
+        "pos_embed": (jax.random.normal(keys[1], (cfg.context_length, cfg.width))
+                      * 0.02).astype(dtype),
+        "type_embed": (jax.random.normal(keys[2], (2, cfg.width))
+                       * 0.02).astype(dtype),
+        "embed_ln": _init_ln(cfg.width, dtype),
+    }
+    block_keys = jax.random.split(keys[3], cfg.layers)
+    blocks = []
+    for bk in block_keys:
+        ka, kf, kp = jax.random.split(bk, 3)
+        blocks.append({
+            "attn": _init_attn(ka, cfg.width, dtype=dtype),
+            "attn_ln": _init_ln(cfg.width, dtype),
+            "mlp": {
+                "fc": _init_linear(kf, cfg.width, cfg.mlp_hidden, dtype=dtype),
+                "proj": _init_linear(kp, cfg.mlp_hidden, cfg.width, dtype=dtype),
+            },
+            "mlp_ln": _init_ln(cfg.width, dtype),
+        })
+    params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+    if cfg.proj == "linear":
+        params["proj"] = _init_linear(keys[4], cfg.width, cfg.embed_dim,
+                                      bias=False, dtype=dtype)
+    elif cfg.proj == "mlp":
+        hidden = (cfg.width + cfg.embed_dim) // 2
+        k1, k2 = jax.random.split(keys[4])
+        params["proj"] = {
+            "fc": _init_linear(k1, cfg.width, hidden, dtype=dtype),
+            "out": _init_linear(k2, hidden, cfg.embed_dim, bias=False, dtype=dtype),
+        }
+    return params
+
+
+def apply(params: Params, input_ids: jax.Array, cfg: BertCfg, *,
+          normalize: bool = True) -> jax.Array:
+    """[B, L] ids → [B, embed_dim] embedding. The key-padding mask is derived
+    from ``cfg.pad_id`` (the role of the optional attention_mask input in
+    the reference's text graphs, src/text.rs:156-161)."""
+    from ..ops.normalize import l2_normalize
+
+    act = ACTIVATIONS[cfg.activation]
+    valid = (input_ids != cfg.pad_id).astype(jnp.float32)  # [B, L]
+    # BERT convention: position 0.. and token type 0; CLS/SEP are real ids.
+    x = params["word_embed"][input_ids]
+    x = x + params["pos_embed"].astype(x.dtype)[None, : x.shape[1]]
+    x = x + params["type_embed"].astype(x.dtype)[0][None, None, :]
+    x = layer_norm(params["embed_ln"], x, eps=cfg.ln_eps)
+
+    # additive mask [B, 1, 1, L]: -inf on padded keys
+    neg = jnp.asarray(-1e30, jnp.float32)
+    attn_mask = jnp.where(valid, 0.0, neg)[:, None, None, :]
+
+    def body(carry, block):
+        h = multi_head_attention(block["attn"], carry, num_heads=cfg.heads,
+                                 mask=attn_mask)
+        carry = layer_norm(block["attn_ln"], carry + h, eps=cfg.ln_eps)
+        h = mlp(block["mlp"], carry, activation=act)
+        carry = layer_norm(block["mlp_ln"], carry + h, eps=cfg.ln_eps)
+        return carry, None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+
+    if cfg.pooler == "mean":
+        denom = jnp.maximum(valid.sum(-1, keepdims=True), 1.0)
+        pooled = (x * valid[..., None]).sum(1) / denom
+    else:
+        pooled = x[:, 0]
+
+    proj = params.get("proj")
+    if proj is not None:
+        if cfg.proj == "mlp":
+            pooled = linear(proj["out"], jax.nn.gelu(
+                linear(proj["fc"], pooled), approximate=False))
+        else:
+            pooled = linear(proj, pooled)
+    if normalize:
+        pooled = l2_normalize(pooled)
+    return pooled
+
+
+# -- weight mapping ---------------------------------------------------------
+
+def map_hf_text(sd: Mapping[str, np.ndarray]) -> Params:
+    """Map an open_clip HFTextEncoder state dict (``text.transformer.*`` =
+    HF BERT naming + ``text.proj``) onto the BertCfg pytree."""
+    from ..weights import _linear, _ln, _stack_blocks, _t, strip_prefix, _max_index, _get
+
+    sd = strip_prefix(sd, "model.", "text.")
+    sd = strip_prefix(sd, "transformer.")
+    sd = strip_prefix(sd, "bert.")
+
+    n = _max_index(sd, r"encoder\.layer\.(\d+)\.attention\.self\.query\.weight")
+    blocks = []
+    for i in range(n):
+        p = f"encoder.layer.{i}"
+        blocks.append({
+            "attn": {
+                "q": _linear(sd, f"{p}.attention.self.query"),
+                "k": _linear(sd, f"{p}.attention.self.key"),
+                "v": _linear(sd, f"{p}.attention.self.value"),
+                "out": _linear(sd, f"{p}.attention.output.dense"),
+            },
+            "attn_ln": _ln(sd, f"{p}.attention.output.LayerNorm"),
+            "mlp": {
+                "fc": _linear(sd, f"{p}.intermediate.dense"),
+                "proj": _linear(sd, f"{p}.output.dense"),
+            },
+            "mlp_ln": _ln(sd, f"{p}.output.LayerNorm"),
+        })
+
+    params: Params = {
+        "word_embed": _get(sd, "embeddings.word_embeddings.weight"),
+        "pos_embed": _get(sd, "embeddings.position_embeddings.weight"),
+        "type_embed": _get(sd, "embeddings.token_type_embeddings.weight"),
+        "embed_ln": _ln(sd, "embeddings.LayerNorm"),
+        "blocks": _stack_blocks(blocks),
+    }
+
+    if "proj.weight" in sd:  # linear proj
+        params["proj"] = _linear(sd, "proj")
+    elif "proj.0.weight" in sd:  # mlp proj: Linear, GELU, Linear
+        params["proj"] = {
+            "fc": _linear(sd, "proj.0"),
+            "out": _linear(sd, "proj.2"),
+        }
+    return params

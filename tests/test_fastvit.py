@@ -1,0 +1,95 @@
+"""FastViT tower parity vs the torch reference (tests/torch_ref_fastvit.py)
+with timm-style reparameterized state-dict naming — the MobileCLIP family
+path (reference: tests/integration_test.rs:13 uses MobileCLIP2-S2).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from clip_embedder_tpu.models import fastvit
+from clip_embedder_tpu.models.fastvit import FastViTCfg, resolve_fastvit
+
+from torch_ref_fastvit import TorchFastViT
+
+DEPTHS = (1, 1, 2, 1)
+DIMS = (16, 32, 64, 128)
+RATIOS = (3, 3, 3, 3)
+MIXERS = ("repmixer", "repmixer", "repmixer", "attention")
+POS = (False, False, False, True)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    torch.manual_seed(0)
+    tm = TorchFastViT(DEPTHS, DIMS, RATIOS, MIXERS, POS, embed_dim=48,
+                      head_dim=32).eval()
+    # randomize BN running stats so the affine fold is actually exercised
+    for m in tm.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.5)
+            m.running_var.uniform_(0.5, 2.0)
+    cfg = FastViTCfg(image_size=64, embed_dim=48, depths=DEPTHS, dims=DIMS,
+                     mlp_ratios=RATIOS, mixers=MIXERS, pos_embs=POS,
+                     head_dim=32)
+    sd = {f"trunk.{k}": v.numpy() for k, v in tm.state_dict().items()}
+    params = fastvit.map_fastvit_visual(sd)
+    return tm, cfg, params
+
+
+def test_fastvit_parity(pair):
+    tm, cfg, params = pair
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+    got = np.asarray(
+        fastvit.apply(params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()), cfg)
+    )
+    cos = (got * ref).sum(-1)
+    assert (cos > 1 - 1e-5).all()
+    np.testing.assert_allclose(got, ref, atol=5e-3)
+
+
+def test_fastvit_init_and_apply_shapes():
+    import jax
+
+    cfg = FastViTCfg(image_size=64, embed_dim=32, depths=DEPTHS, dims=DIMS,
+                     mlp_ratios=RATIOS, mixers=MIXERS, pos_embs=POS)
+    params = fastvit.init(jax.random.key(0), cfg)
+    x = jax.random.uniform(jax.random.key(1), (2, 64, 64, 3))
+    out = fastvit.apply(params, x, cfg)
+    assert out.shape == (2, 32)
+    norms = np.linalg.norm(np.asarray(out), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+
+def test_resolve_fastvit_variants():
+    from clip_embedder_tpu.config import VisionCfg, ModelCfg
+
+    vcfg = VisionCfg(image_size=256)
+    cfg = resolve_fastvit("fastvit_mci2", vcfg, 512, None)
+    assert cfg.dims == (80, 160, 320, 640)
+    assert cfg.depths == (4, 12, 24, 4)
+    assert cfg.mixers[-1] == "attention"
+
+    # config override wins over registry
+    vcfg2 = VisionCfg(image_size=256,
+                      extra={"fastvit_cfg": {"dims": (8, 16, 32, 64)}})
+    cfg2 = resolve_fastvit("fastvit_mci2", vcfg2, 512, None)
+    assert cfg2.dims == (8, 16, 32, 64)
+
+
+def test_resolve_vision_routes_fastvit():
+    from clip_embedder_tpu.config import ModelCfg
+    from clip_embedder_tpu.models.build import resolve_vision
+
+    mc = ModelCfg.from_dict({
+        "embed_dim": 512,
+        "vision_cfg": {"image_size": 256, "timm_model_name": "fastvit_mci2"},
+        "text_cfg": {"context_length": 77},
+    })
+    spec = resolve_vision(mc)
+    assert spec.family == "fastvit"
+    assert spec.cfg.image_size == 256

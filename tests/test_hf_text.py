@@ -1,0 +1,106 @@
+"""Parity: the from-scratch BERT text tower vs transformers.BertModel
+(the HF text-tower family used by BiomedCLIP-style models —
+reference: src/config.rs:46 hf_tokenizer_name, src/text.rs:156-161
+attention_mask path).
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from clip_embedder_tpu.models import hf_text
+from clip_embedder_tpu.models.hf_text import BertCfg
+
+transformers = pytest.importorskip("transformers")
+
+
+@pytest.fixture(scope="module")
+def bert_pair():
+    config = transformers.BertConfig(
+        vocab_size=120, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=32, pad_token_id=0,
+    )
+    torch.manual_seed(0)
+    model = transformers.BertModel(config, add_pooling_layer=False).eval()
+    cfg = BertCfg(
+        context_length=16, vocab_size=120, width=64, heads=4, layers=3,
+        mlp_hidden=128, embed_dim=64, pad_id=0, pooler="cls", proj="none",
+    )
+    sd = {f"transformer.{k}": v.detach().numpy()
+          for k, v in model.state_dict().items()}
+    params = hf_text.map_hf_text(sd)
+    return model, cfg, params
+
+
+def make_ids(batch=3, length=16):
+    torch.manual_seed(1)
+    ids = torch.randint(3, 119, (batch, length))
+    ids[:, 0] = 101  # CLS-ish
+    ids[0, 10:] = 0  # padding on one row
+    ids[1, 5:] = 0
+    return ids
+
+
+def test_hidden_states_parity(bert_pair):
+    model, cfg, params = bert_pair
+    ids = make_ids()
+    mask = (ids != 0).long()
+    with torch.no_grad():
+        ref = model(input_ids=ids, attention_mask=mask).last_hidden_state
+    ref_cls = ref[:, 0].numpy()
+
+    got = np.asarray(
+        hf_text.apply(params, jnp.asarray(ids.numpy()), cfg, normalize=False)
+    )
+    # only CLS pooling output is compared (padded positions diverge freely)
+    cos = (got * ref_cls).sum(-1) / (
+        np.linalg.norm(got, axis=-1) * np.linalg.norm(ref_cls, axis=-1)
+    )
+    assert (cos > 1 - 1e-6).all()
+    np.testing.assert_allclose(got, ref_cls, atol=2e-4)
+
+
+def test_mean_pooler_ignores_padding(bert_pair):
+    model, cfg0, params = bert_pair
+    cfg = BertCfg(**{**cfg0.__dict__, "pooler": "mean"})
+    ids = make_ids()
+    mask = (ids != 0).float()
+    with torch.no_grad():
+        ref = model(input_ids=ids, attention_mask=mask.long()).last_hidden_state
+    ref_mean = ((ref * mask[..., None]).sum(1) / mask.sum(1)[:, None]).numpy()
+
+    got = np.asarray(
+        hf_text.apply(params, jnp.asarray(ids.numpy()), cfg, normalize=False)
+    )
+    np.testing.assert_allclose(got, ref_mean, atol=2e-4)
+
+
+def test_resolve_from_config():
+    from clip_embedder_tpu.config import ModelCfg
+    from clip_embedder_tpu.models.build import resolve_text
+
+    mc = ModelCfg.from_dict({
+        "embed_dim": 48,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 64,
+                       "patch_size": 8},
+        "text_cfg": {
+            "context_length": 16,
+            "hf_model_name": "some/bert",
+            "hf_tokenizer_name": "some/bert",
+            "pooler_type": "cls_last_hidden_state_pooler",
+            "proj_type": "mlp",
+            "hf_config": {
+                "vocab_size": 120, "hidden_size": 64,
+                "num_attention_heads": 4, "num_hidden_layers": 3,
+                "intermediate_size": 128, "pad_token_id": 0,
+            },
+        },
+    })
+    spec = resolve_text(mc)
+    assert spec.family == "hf_bert"
+    assert spec.cfg.width == 64
+    assert spec.cfg.proj == "mlp"
+    assert spec.cfg.pooler == "cls"
