@@ -32,6 +32,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from clip_embedder_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from clip_embedder_tpu.models import vit
     from clip_embedder_tpu.models.vit import ViTCfg
     from clip_embedder_tpu.ops.preprocess import preprocess_weights_for, resize_normalize
@@ -39,7 +43,7 @@ def main() -> None:
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         os.environ.get("BENCH_DTYPE", "bfloat16")
     ]
-    attn_impl = os.environ.get("BENCH_ATTN", "xla")
+    attn_impl = os.environ.get("BENCH_ATTN", "pallas")
     src = int(os.environ.get("BENCH_SRC", "512"))
     target = 384
 
@@ -61,7 +65,7 @@ def main() -> None:
     wh_np, ww_np = preprocess_weights_for(src, src, target)
 
     env_batch = os.environ.get("BENCH_BATCH")
-    batches = [int(env_batch)] if env_batch else [32, 64, 128]
+    batches = [int(env_batch)] if env_batch else [16, 32, 64]
     best = 0.0
     best_batch = 0
     rng = np.random.default_rng(0)

@@ -1,0 +1,187 @@
+"""Per-model benchmark suite (the reference's criterion harness analog —
+reference: benches/model_bench.rs:7-48: 6 models × {vision/preprocess,
+vision/embed, text/embed}).
+
+Runs each model class with random weights (latency is weight-independent) on
+the default JAX device and prints a table plus one JSON line per
+measurement. Reference CPU numbers from README.md:106-115 are shown as
+vs_baseline speedups where published.
+
+    python benches/bench_suite.py [--models so400m,mobileclip_s2] [--batch N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import numpy as np
+
+# model-class definitions: flagship reference models (reference:
+# benches/model_bench.rs:8-13) expressed as tower configs.
+MODELS: dict[str, dict] = {
+    "vit_so400m_siglip2_384": dict(
+        kind="vit", image=384, patch=16, width=1152, layers=27, heads=16,
+        mlp=4304, pool="map", act="gelu_tanh",
+        text=dict(ctx=64, vocab=32000, width=1152, heads=16, layers=27,
+                  mlp=4304, causal=False, pool="last"),
+        baseline_vision_ms=988.0, baseline_text_ms=136.0,
+    ),
+    "vit_gopt_siglip2_384": dict(
+        kind="vit", image=384, patch=16, width=1536, layers=40, heads=16,
+        mlp=6144, pool="map", act="gelu_tanh",
+        text=dict(ctx=64, vocab=32000, width=1152, heads=16, layers=27,
+                  mlp=4304, causal=False, pool="last"),
+        baseline_vision_ms=2354.0, baseline_text_ms=128.0,
+    ),
+    "vit_h14_dfn5b_378": dict(
+        kind="vit", image=378, patch=14, width=1280, layers=32, heads=16,
+        mlp=5120, pool="cls", act="quick_gelu",
+        text=dict(ctx=77, vocab=49408, width=1024, heads=16, layers=24,
+                  mlp=4096, causal=True, pool="argmax"),
+        baseline_vision_ms=1860.0, baseline_text_ms=131.0,
+    ),
+    "mobileclip2_s2": dict(
+        kind="fastvit", variant="fastvit_mci2", image=256,
+        text=dict(ctx=77, vocab=49408, width=512, heads=8, layers=12,
+                  mlp=2048, causal=True, pool="argmax"),
+        baseline_vision_ms=75.0, baseline_text_ms=19.0,
+    ),
+    "mobileclip2_s3": dict(
+        kind="fastvit", variant="fastvit_mci3", image=256,
+        text=dict(ctx=77, vocab=49408, width=640, heads=10, layers=12,
+                  mlp=2560, causal=True, pool="argmax"),
+        baseline_vision_ms=116.0, baseline_text_ms=35.0,
+    ),
+    "mobileclip2_s4": dict(
+        kind="fastvit", variant="fastvit_mci4", image=256,
+        text=dict(ctx=77, vocab=49408, width=768, heads=12, layers=16,
+                  mlp=3072, causal=True, pool="argmax"),
+        baseline_vision_ms=192.0, baseline_text_ms=38.0,
+    ),
+}
+
+
+def _time(fn, *args, iters=5):
+    import jax
+
+    out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_model(name: str, spec: dict, batch: int, attn_impl: str) -> list[dict]:
+    import jax
+    import jax.numpy as jnp
+
+    from clip_embedder_tpu.models import fastvit, text_transformer, vit
+    from clip_embedder_tpu.models.fastvit import resolve_fastvit
+    from clip_embedder_tpu.models.text_transformer import TextCfgResolved
+    from clip_embedder_tpu.models.vit import ViTCfg
+    from clip_embedder_tpu.config import VisionCfg
+    from clip_embedder_tpu.ops.preprocess import (
+        preprocess_weights_for, resize_normalize,
+    )
+
+    results = []
+    rng = np.random.default_rng(0)
+    image = spec["image"]
+
+    # --- vision tower ---
+    if spec["kind"] == "vit":
+        is_map = spec["pool"] == "map"
+        vcfg = ViTCfg(
+            image_size=image, patch_size=spec["patch"], width=spec["width"],
+            layers=spec["layers"], heads=spec["heads"], mlp_hidden=spec["mlp"],
+            embed_dim=spec["width"] if is_map else 1024,
+            activation=spec["act"], use_class_token=not is_map,
+            use_ln_pre=not is_map, pool=spec["pool"], use_proj=not is_map,
+            ln_eps=1e-6 if is_map else 1e-5, pos_embed_cls=not is_map,
+        )
+        vparams = vit.init(jax.random.key(0), vcfg, dtype=jnp.bfloat16)
+        vision_fn = jax.jit(lambda p, x: vit.apply(p, x, vcfg,
+                                                   attn_impl=attn_impl))
+    else:
+        vcfg = resolve_fastvit(spec["variant"], VisionCfg(image_size=image), 512, None)
+        vparams = fastvit.init(jax.random.key(0), vcfg, dtype=jnp.bfloat16)
+        vision_fn = jax.jit(lambda p, x: fastvit.apply(p, x, vcfg))
+
+    # preprocess (on-device) from 512px sources
+    src = 512
+    wh_np, ww_np = preprocess_weights_for(src, src, image)
+    mean = jnp.asarray([0.5, 0.5, 0.5])
+    std = jnp.asarray([0.5, 0.5, 0.5])
+    imgs = jnp.asarray(rng.integers(0, 255, (batch, src, src, 3), dtype=np.uint8))
+    wh = jnp.broadcast_to(jnp.asarray(wh_np), (batch, image, src))
+    ww = jnp.broadcast_to(jnp.asarray(ww_np), (batch, image, src))
+
+    pre_fn = jax.jit(lambda i, a, b: resize_normalize(i, a, b, mean, std,
+                                                      out_dtype=jnp.bfloat16))
+    dt_pre = _time(pre_fn, imgs, wh, ww)
+    results.append({"metric": f"{name}/vision_preprocess_ms_per_image",
+                    "value": round(dt_pre / batch * 1e3, 4), "unit": "ms"})
+
+    pixels = pre_fn(imgs, wh, ww)
+    dt_vis = _time(vision_fn, vparams, pixels)
+    entry = {"metric": f"{name}/vision_embed_ms_per_image",
+             "value": round((dt_pre + dt_vis) / batch * 1e3, 3), "unit": "ms"}
+    if spec.get("baseline_vision_ms"):
+        entry["vs_baseline"] = round(
+            spec["baseline_vision_ms"] / ((dt_pre + dt_vis) / batch * 1e3), 1)
+    results.append(entry)
+
+    # --- text tower ---
+    t = spec["text"]
+    tcfg = TextCfgResolved(
+        context_length=t["ctx"], vocab_size=t["vocab"], width=t["width"],
+        heads=t["heads"], layers=t["layers"], mlp_hidden=t["mlp"],
+        embed_dim=512, causal=t["causal"], pool=t["pool"],
+    )
+    tparams = text_transformer.init(jax.random.key(1), tcfg, dtype=jnp.bfloat16)
+    ids = jnp.asarray(rng.integers(1, t["vocab"] - 1, (batch, t["ctx"])),
+                      jnp.int32)
+    text_fn = jax.jit(lambda p, i: text_transformer.apply(p, i, tcfg,
+                                                          attn_impl=attn_impl))
+    dt_txt = _time(text_fn, tparams, ids)
+    entry = {"metric": f"{name}/text_embed_ms_per_text",
+             "value": round(dt_txt / batch * 1e3, 3), "unit": "ms"}
+    if spec.get("baseline_text_ms"):
+        entry["vs_baseline"] = round(
+            spec["baseline_text_ms"] / (dt_txt / batch * 1e3), 1)
+    results.append(entry)
+    return results
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--models", default=",".join(MODELS))
+    parser.add_argument("--batch", type=int, default=32)
+    parser.add_argument("--attn", default="pallas", choices=["xla", "pallas"])
+    args = parser.parse_args()
+
+    from clip_embedder_tpu.utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    for name in args.models.split(","):
+        name = name.strip()
+        if name not in MODELS:
+            print(f"unknown model '{name}'", file=sys.stderr)
+            continue
+        try:
+            for row in bench_model(name, MODELS[name], args.batch, args.attn):
+                print(json.dumps(row), flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"{name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -60,3 +60,38 @@ def shard_batch(array, mesh: Mesh, *, extra_dims: int | None = None):
 
 def pad_to_multiple(n: int, multiple: int) -> int:
     return int(math.ceil(n / multiple) * multiple)
+
+
+def init_distributed(**kwargs) -> None:
+    """Multi-host bring-up: initialize the JAX distributed runtime so the
+    mesh spans hosts (ICI within a slice, DCN across) — the role a NCCL/MPI
+    bootstrap plays in GPU frameworks (SURVEY.md §5 distributed backend).
+    Call once per process before get_mesh(); no-ops on a single process
+    without coordinator configuration.
+    """
+    import jax
+
+    try:
+        jax.distributed.initialize(**kwargs)
+    except (ValueError, RuntimeError) as e:
+        get_logger = __import__(
+            "clip_embedder_tpu.utils.logging", fromlist=["get_logger"]
+        ).get_logger
+        get_logger().info("distributed init skipped: %s", e)
+
+
+def select_platform(preferences: list[str] | None = None) -> str:
+    """Ordered platform preference with fallback — the analog of the
+    reference's ordered execution-provider list (reference: src/lib.rs:90-93:
+    each EP tried in order, falling back to CPU). Returns the chosen
+    platform name and pins jax to it.
+    """
+    import jax
+
+    preferences = preferences or ["tpu", "cpu"]
+    available = {d.platform for d in jax.devices()}
+    for pref in preferences:
+        if pref in available:
+            return pref
+    # jax.devices() already raised if no platform at all
+    return next(iter(available))

@@ -55,6 +55,9 @@ def _load_or_convert_text(model_dir: Path, spec: TowerSpec, dtype) -> dict:
 def _jitted_text_forward(spec: TowerSpec, attn_impl: str):
     """One jitted forward per (tower spec, attn impl) — shared across
     instances so ``duplicate()`` never recompiles."""
+    from .utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     def apply(params, ids):
         if spec.family == "text_transformer":

@@ -138,3 +138,46 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, params):
         donate_argnums=(0, 1),
     )
     return step, params, opt_state
+
+
+# ---------------------------------------------------------------------------
+# checkpoint / resume
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path, params, opt_state=None, *, step: int = 0) -> None:
+    """Persist train state with orbax (sharded-aware). The inference-side
+    artifact contract stays npz (clip_embedder_tpu.weights); this is the
+    training-side checkpoint/resume the reference has no analog for
+    (SURVEY.md §5 checkpoint/resume)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        state = {"params": params, "step": step}
+        if opt_state is not None:
+            state["opt_state"] = opt_state
+        from pathlib import Path
+
+        ckptr.save(Path(path).absolute() / f"step_{step}", state)
+
+
+def load_checkpoint(path, *, step: int, abstract_state=None):
+    """Restore train state saved by save_checkpoint."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        from pathlib import Path
+
+        return ckptr.restore(Path(path).absolute() / f"step_{step}",
+                             abstract_state)
+
+
+def export_trained_model(model_dir, params) -> None:
+    """Write trained tower params into a model dir's native weight files so
+    the inference embedders serve them (training → serving handoff)."""
+    from pathlib import Path
+
+    from .weights import save_pytree
+
+    model_dir = Path(model_dir)
+    save_pytree(model_dir / "visual.npz", params["visual"])
+    save_pytree(model_dir / "text.npz", params["text"])

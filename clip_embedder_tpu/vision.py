@@ -68,6 +68,9 @@ def _jitted_vision_forward(spec: TowerSpec, attn_impl: str):
     """One jitted forward per (tower spec, attn impl) — shared across all
     embedder instances, so ``duplicate()`` (reference: src/vision.rs:87-91)
     and repeated construction never recompile."""
+    from .utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
 
     def apply(params, pixels):
         if spec.family == "vit":
