@@ -295,18 +295,237 @@ def extract_tower_params(onnx_path: Path | str, spec, *, tower: str) -> dict:
     return _structural_extract(g, spec, tower=tower)
 
 
-def _structural_extract(g: OnnxGraph, spec, *, tower: str) -> dict:
-    """Recover anonymously-named weights by shape + graph order.
+def _consumption_order(g: OnnxGraph) -> list[str]:
+    """Initializer names in first-consumption order over the node list.
 
-    Works for the transformer families whose architecture is fully known
-    from config: walk nodes in topological (file) order, collect the
-    initializer operand of each MatMul/Gemm/Conv/Add/Mul, and assign them
-    to the parameter slots the architecture dictates. Constant-folded
-    torch exports preserve execution order, which matches block order.
+    torch exports keep node order aligned with execution order, so this
+    sequence visits parameters in the same order the model's forward
+    consumes them — the key invariant structural recovery relies on.
     """
+    seen: set[str] = set()
+    order: list[str] = []
+    for _, inputs, _ in g.nodes:
+        for name in inputs:
+            if name in g.initializers and name not in seen:
+                seen.add(name)
+                order.append(name)
+    # initializers never referenced by nodes (rare) go last
+    for name in g.initializers:
+        if name not in seen:
+            order.append(name)
+    return order
+
+
+class _Puller:
+    """Sequential matcher: pull the next initializer whose shape is in the
+    accepted set (searching a small lookahead window to skip constants like
+    reshape shapes, masks, or scalar scales interleaved by the exporter)."""
+
+    def __init__(self, g: OnnxGraph, *, lookahead: int = 24):
+        self.arrays = [g.initializers[n] for n in _consumption_order(g)]
+        self.names = _consumption_order(g)
+        self.pos = 0
+        self.lookahead = lookahead
+
+    def pull(self, *shapes: tuple, what: str = "") -> np.ndarray:
+        shape_set = {tuple(s) for s in shapes}
+        end = min(len(self.arrays), self.pos + self.lookahead)
+        for i in range(self.pos, end):
+            if tuple(self.arrays[i].shape) in shape_set:
+                arr = self.arrays[i]
+                # consume: drop it so it can't match twice
+                del self.arrays[i]
+                del self.names[i]
+                self.pos = i
+                return arr
+        raise WeightError(
+            f"Structural ONNX extraction: no initializer of shape "
+            f"{sorted(shape_set)} near position {self.pos} (wanted {what})"
+        )
+
+    def maybe(self, *shapes: tuple) -> np.ndarray | None:
+        try:
+            return self.pull(*shapes, what="optional")
+        except WeightError:
+            return None
+
+
+def _pull_linear(p: _Puller, d_in: int, d_out: int, *, what: str,
+                 bias: bool = True) -> dict:
+    """Pull a Linear as either torch layout [out, in] (Gemm, transB) or
+    folded layout [in, out] (MatMul constant). Square weights are ambiguous
+    in shape; folded exports store the MatMul operand pre-transposed, and
+    Gemm keeps torch order — we orient by which shape matched."""
+    w = p.pull((d_in, d_out), (d_out, d_in), what=what)
+    if w.shape == (d_in, d_out) and d_in != d_out:
+        mapped = np.ascontiguousarray(w)
+    elif w.shape == (d_out, d_in) and d_in != d_out:
+        mapped = np.ascontiguousarray(w.T)
+    else:
+        # square: folded MatMul constants are [in, out]; keep as-is.
+        mapped = np.ascontiguousarray(w)
+    out = {"w": mapped}
+    if bias:
+        b = p.maybe((d_out,))
+        if b is not None:
+            out["b"] = b
+    return out
+
+
+def _pull_ln(p: _Puller, d: int) -> dict:
+    return {"scale": p.pull((d,), what="ln scale"),
+            "bias": p.pull((d,), what="ln bias")}
+
+
+def _structural_vit(g: OnnxGraph, cfg) -> dict:
+    from .weights import _conv_to_patch, _stack_blocks
+
+    p = _Puller(g)
+    d = cfg.width
+    params: dict = {}
+
+    # Stem grammar: classic CLIP consumes conv (bias-free), then the class
+    # token, then pos; timm ViTs consume conv + conv bias, then pos. A bare
+    # maybe((d,)) after the conv is ambiguous between conv-bias and class
+    # token, so branch on the family the config promises.
+    conv = p.pull((d, 3, cfg.patch_size, cfg.patch_size), what="patch conv")
+    params["patch_embed"] = {"w": _conv_to_patch(conv)}
+    if cfg.use_class_token:
+        cls = p.pull((d,), (1, 1, d), what="class token")
+        params["cls_token"] = np.asarray(cls).reshape(1, 1, d)
+    else:
+        cb = p.maybe((d,))
+        if cb is not None:
+            params["patch_embed"]["b"] = cb
+    n_pos = cfg.num_patches + (1 if cfg.pos_embed_cls else 0)
+    pos = p.pull((n_pos, d), (1, n_pos, d), what="pos embed")
+    params["pos_embed"] = np.asarray(pos).reshape(1, n_pos, d)
+    if cfg.use_ln_pre:
+        params["ln_pre"] = _pull_ln(p, d)
+
+    blocks = []
+    for i in range(cfg.layers):
+        block: dict = {"ln1": _pull_ln(p, d)}
+        attn: dict = {}
+        qkv = p.maybe((3 * d, d), (d, 3 * d))
+        if qkv is not None:
+            w = qkv if qkv.shape == (3 * d, d) else qkv.T
+            from .weights import _split_qkv
+
+            attn = _split_qkv(np.ascontiguousarray(w), p.maybe((3 * d,)))
+        else:
+            attn["q"] = _pull_linear(p, d, d, what=f"block{i} q")
+            attn["k"] = _pull_linear(p, d, d, what=f"block{i} k")
+            attn["v"] = _pull_linear(p, d, d, what=f"block{i} v")
+        attn["out"] = _pull_linear(p, d, d, what=f"block{i} attn out")
+        block["attn"] = attn
+        block["ln2"] = _pull_ln(p, d)
+        block["mlp"] = {
+            "fc": _pull_linear(p, d, cfg.mlp_hidden, what=f"block{i} fc"),
+            "proj": _pull_linear(p, cfg.mlp_hidden, d, what=f"block{i} proj"),
+        }
+        blocks.append(block)
+    params["blocks"] = _stack_blocks(blocks)
+    params["ln_post"] = _pull_ln(p, d)
+
+    if cfg.pool == "map":
+        probe = p.pull((1, 1, d), (d,), what="attn_pool probe")
+        pool_attn = {
+            "q": _pull_linear(p, d, d, what="pool q"),
+        }
+        kv = p.maybe((2 * d, d), (d, 2 * d))
+        if kv is not None:
+            w = kv if kv.shape == (2 * d, d) else kv.T
+            kvb = p.maybe((2 * d,))
+            pool_attn["k"] = {"w": np.ascontiguousarray(w[:d].T)}
+            pool_attn["v"] = {"w": np.ascontiguousarray(w[d:].T)}
+            if kvb is not None:
+                pool_attn["k"]["b"] = kvb[:d]
+                pool_attn["v"]["b"] = kvb[d:]
+        else:
+            pool_attn["k"] = _pull_linear(p, d, d, what="pool k")
+            pool_attn["v"] = _pull_linear(p, d, d, what="pool v")
+        pool_attn["out"] = _pull_linear(p, d, d, what="pool out")
+        params["attn_pool"] = {
+            "probe": np.asarray(probe).reshape(1, 1, d),
+            "attn": pool_attn,
+            "ln": _pull_ln(p, d),
+            "mlp": {
+                "fc": _pull_linear(p, d, cfg.mlp_hidden, what="pool fc"),
+                "proj": _pull_linear(p, cfg.mlp_hidden, d, what="pool proj"),
+            },
+        }
+    if cfg.use_proj:
+        params["proj"] = _pull_linear(p, d, cfg.embed_dim, what="projection",
+                                      bias=cfg.proj_bias)
+    return params
+
+
+def _structural_text(g: OnnxGraph, cfg) -> dict:
+    from .weights import _split_qkv, _stack_blocks
+
+    p = _Puller(g)
+    d = cfg.width
+    params: dict = {
+        "token_embed": p.pull((cfg.vocab_size, d), what="token embedding"),
+        "pos_embed": np.asarray(
+            p.pull((cfg.context_length, d), (1, cfg.context_length, d),
+                   what="pos embed")
+        ).reshape(cfg.context_length, d),
+    }
+    blocks = []
+    for i in range(cfg.layers):
+        block: dict = {"ln1": _pull_ln(p, d)}
+        attn: dict = {}
+        qkv = p.maybe((3 * d, d), (d, 3 * d))
+        if qkv is not None:
+            w = qkv if qkv.shape == (3 * d, d) else qkv.T
+            attn = _split_qkv(np.ascontiguousarray(w), p.maybe((3 * d,)))
+        else:
+            attn["q"] = _pull_linear(p, d, d, what=f"block{i} q")
+            attn["k"] = _pull_linear(p, d, d, what=f"block{i} k")
+            attn["v"] = _pull_linear(p, d, d, what=f"block{i} v")
+        attn["out"] = _pull_linear(p, d, d, what=f"block{i} attn out")
+        block["attn"] = attn
+        block["ln2"] = _pull_ln(p, d)
+        block["mlp"] = {
+            "fc": _pull_linear(p, d, cfg.mlp_hidden, what=f"block{i} fc"),
+            "proj": _pull_linear(p, cfg.mlp_hidden, d, what=f"block{i} proj"),
+        }
+        blocks.append(block)
+    params["blocks"] = _stack_blocks(blocks)
+    params["ln_final"] = _pull_ln(p, d)
+    if cfg.use_proj:
+        from .onnx_reader import _Puller as _  # noqa: F401
+
+        w = p.pull((d, cfg.embed_dim), (cfg.embed_dim, d), what="text proj")
+        if w.shape == (cfg.embed_dim, d) and cfg.embed_dim != d:
+            w = w.T
+        proj = {"w": np.ascontiguousarray(w)}
+        if cfg.proj_bias:
+            b = p.maybe((cfg.embed_dim,))
+            if b is not None:
+                proj["b"] = b
+        params["proj"] = proj
+    return params
+
+
+def _structural_extract(g: OnnxGraph, spec, *, tower: str) -> dict:
+    """Recover anonymously-named (constant-folded) weights by shape +
+    consumption order against the architecture the config promises.
+
+    Covers the transformer families (classic/timm ViT, text transformer).
+    Conv-hybrid FastViT and BERT towers with folded names are not
+    recoverable this way — convert the original checkpoint with
+    pull_weights.py for those.
+    """
+    if tower == "visual" and spec.family == "vit":
+        return _structural_vit(g, spec.cfg)
+    if tower == "text" and spec.family == "text_transformer":
+        return _structural_text(g, spec.cfg)
     raise WeightError(
-        "This ONNX graph carries constant-folded (anonymous) weight names; "
-        "structural extraction for this family is not implemented yet. "
-        "Convert the original open_clip checkpoint with pull_weights.py "
-        "instead."
+        f"This ONNX graph carries constant-folded (anonymous) weight names; "
+        f"structural extraction is not supported for family '{spec.family}'. "
+        f"Convert the original open_clip checkpoint with pull_weights.py "
+        f"instead."
     )

@@ -140,3 +140,66 @@ def test_extract_named_weights_end_to_end(tmp_path):
     got = np.asarray(vit.apply(params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()), cfg))
     cos = (got * ref).sum(-1)
     assert (cos > 1 - 1e-6).all()
+
+
+def test_structural_extraction_folded_names(tmp_path):
+    """Constant-folded exports lose parameter names (onnx::MatMul_123).
+    Structural recovery reassigns by consumption order + shape and must
+    reproduce the torch forward."""
+    torch.manual_seed(1)
+    tm = VisionTransformer(16, 8, 32, 2, 4, 64, 24).eval()
+    sd = tm.state_dict()
+
+    # Build the folded-layout parameter sequence in forward-consumption
+    # order with anonymous names (Linear weights stored transposed, the
+    # way the exporter folds them into MatMul constants).
+    seq = []
+    seq.append(sd["conv1.weight"].numpy())                       # Conv keeps layout
+    seq.append(sd["class_embedding"].numpy())
+    seq.append(sd["positional_embedding"].numpy())
+    seq += [sd["ln_pre.weight"].numpy(), sd["ln_pre.bias"].numpy()]
+    for i in range(2):
+        p = f"transformer.resblocks.{i}"
+        seq += [sd[f"{p}.ln_1.weight"].numpy(), sd[f"{p}.ln_1.bias"].numpy()]
+        seq.append(sd[f"{p}.attn.in_proj_weight"].numpy().T)     # folded [d, 3d]
+        seq.append(sd[f"{p}.attn.in_proj_bias"].numpy())
+        seq.append(sd[f"{p}.attn.out_proj.weight"].numpy().T)
+        seq.append(sd[f"{p}.attn.out_proj.bias"].numpy())
+        seq += [sd[f"{p}.ln_2.weight"].numpy(), sd[f"{p}.ln_2.bias"].numpy()]
+        seq.append(sd[f"{p}.mlp.c_fc.weight"].numpy().T)
+        seq.append(sd[f"{p}.mlp.c_fc.bias"].numpy())
+        seq.append(sd[f"{p}.mlp.c_proj.weight"].numpy().T)
+        seq.append(sd[f"{p}.mlp.c_proj.bias"].numpy())
+    seq += [sd["ln_post.weight"].numpy(), sd["ln_post.bias"].numpy()]
+    seq.append(sd["proj"].numpy())                               # already [in, out]
+
+    tensors = []
+    nodes = b""
+    prev = b"input"
+    for i, arr in enumerate(seq):
+        name = f"onnx::MatMul_{100 + i}"
+        tensors.append(make_tensor(name, np.ascontiguousarray(
+            arr.astype(np.float32))))
+        out = f"t{i}".encode()
+        nodes += _len_field(1, (_len_field(1, prev) + _len_field(1, name.encode())
+                                + _len_field(2, out) + _len_field(4, b"MatMul")))
+        prev = out
+
+    graph = b"".join(_len_field(5, t) for t in tensors) + nodes
+    model = _varint_field(1, 8) + _len_field(7, graph)
+    path = tmp_path / "visual.onnx"
+    path.write_bytes(model)
+
+    cfg = ViTCfg(image_size=16, patch_size=8, width=32, layers=2, heads=4,
+                 mlp_hidden=64, embed_dim=24)
+    params = extract_tower_params(path, TowerSpec("vit", cfg), tower="visual")
+
+    import jax.numpy as jnp
+    from clip_embedder_tpu.models import vit
+
+    x = torch.randn(2, 3, 16, 16)
+    ref = tm(x).detach().numpy()
+    got = np.asarray(
+        vit.apply(params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()), cfg))
+    cos = (got * ref).sum(-1)
+    assert (cos > 1 - 1e-6).all()
