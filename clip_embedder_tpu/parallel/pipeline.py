@@ -1,0 +1,85 @@
+"""Asynchronous bulk-embedding pipeline: host decode overlapped with device
+compute.
+
+The production form of the reference's bulk indexing workload
+(reference: examples/search.rs:49, rayon preprocessing src/vision.rs:128-132):
+a host thread pool decodes/stages the next batch while the device embeds the
+current one. JAX dispatch is asynchronous, so the pipeline simply keeps one
+batch of host prep in flight ahead of the device and only synchronizes when
+draining results — decode, weight-matrix construction, H2D transfer, and
+tower compute all overlap.
+"""
+
+from __future__ import annotations
+
+import concurrent.futures as cf
+from typing import Any, Callable, Iterable, Iterator, Sequence
+
+import numpy as np
+
+from ..utils.images import to_rgb_array
+from ..utils.logging import get_logger
+
+
+class EmbedPipeline:
+    """Stream images through a (possibly mesh-sharded) vision embedder.
+
+    embedder: VisionEmbedder or ShardedVisionEmbedder (anything with
+    ``embed_images``). ``batch_size`` is the device batch; ``prefetch``
+    bounds how many prepared batches may wait ahead of the device.
+    """
+
+    def __init__(self, embedder, *, batch_size: int = 32,
+                 decode_workers: int = 8, prefetch: int = 2):
+        self.embedder = embedder
+        self.batch_size = batch_size
+        self.decode_workers = decode_workers
+        self.prefetch = max(1, prefetch)
+        self.log = get_logger()
+
+    @staticmethod
+    def _decode_batch(batch: Sequence[Any]) -> list[np.ndarray]:
+        # decode within the batch is serial; parallelism comes from multiple
+        # batch decodes in flight across the pool (prefetch × workers)
+        return [to_rgb_array(img) for img in batch]
+
+    def embed_iter(self, images: Iterable[Any]) -> Iterator[np.ndarray]:
+        """Yield one [batch, D] embedding array per input batch, preserving
+        order. Decode of batch N+prefetch proceeds while batch N computes."""
+        items = iter(images)
+
+        def take() -> list[Any] | None:
+            chunk = []
+            for img in items:
+                chunk.append(img)
+                if len(chunk) == self.batch_size:
+                    break
+            return chunk or None
+
+        with cf.ThreadPoolExecutor(self.decode_workers) as pool:
+            pending_decodes: list[cf.Future] = []
+            # prime the decode pipeline
+            for _ in range(self.prefetch):
+                chunk = take()
+                if chunk is None:
+                    break
+                pending_decodes.append(pool.submit(self._decode_batch, chunk))
+
+            while pending_decodes:
+                arrays = pending_decodes.pop(0).result()
+                chunk = take()
+                if chunk is not None:
+                    pending_decodes.append(
+                        pool.submit(self._decode_batch, chunk))
+                # embed_images dispatches asynchronously; numpy conversion
+                # synchronizes on this batch while the next decodes.
+                yield self.embedder.embed_images(arrays)
+
+    def embed_all(self, images: Sequence[Any]) -> np.ndarray:
+        """Embed a full collection, returning [N, D]."""
+        outs = list(self.embed_iter(images))
+        if not outs:
+            from ..errors import InferenceError
+
+            raise InferenceError("Empty batch")
+        return np.concatenate(outs, axis=0)

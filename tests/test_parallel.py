@@ -162,3 +162,23 @@ def test_sharded_bulk_embedders(mesh):
     expect_t = clip.text.embed_texts(texts)
     cos_t = np.sum(got_t * expect_t, axis=-1)
     assert (cos_t > 1 - 1e-5).all()
+
+
+def test_embed_pipeline_order_and_values(mesh):
+    """EmbedPipeline must match direct embedding, preserve order, and
+    handle a ragged final batch."""
+    from clip_embedder_tpu.parallel.pipeline import EmbedPipeline
+    from test_concurrency import make_model_dir
+    from clip_embedder_tpu import Clip
+
+    clip = Clip.from_local_dir(make_model_dir())
+    rng = np.random.default_rng(7)
+    images = [rng.integers(0, 255, (36 + i % 3, 44, 3), dtype=np.uint8)
+              for i in range(11)]
+
+    pipe = EmbedPipeline(clip.vision, batch_size=4, prefetch=2)
+    got = pipe.embed_all(images)
+    assert got.shape[0] == 11
+    expect = clip.vision.embed_images(images)
+    cos = np.sum(got * expect, axis=-1)
+    assert (cos > 1 - 1e-5).all()
