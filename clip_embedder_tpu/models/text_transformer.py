@@ -93,6 +93,7 @@ def apply(
     *,
     normalize: bool = True,
     attn_impl: str = "xla",
+    remat: bool = False,
 ) -> jax.Array:
     """Forward: [B, context_length] int32 token ids → [B, embed_dim].
 
@@ -117,6 +118,8 @@ def apply(
         )
         return carry + h, None
 
+    if remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["blocks"])
     x = layer_norm(params["ln_final"], x, eps=cfg.ln_eps)
 

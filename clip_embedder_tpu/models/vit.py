@@ -216,11 +216,14 @@ def apply(
     *,
     normalize: bool = True,
     attn_impl: str = "xla",
+    remat: bool = False,
 ) -> jax.Array:
     """Forward: [B, H, W, 3] preprocessed pixels → [B, embed_dim] embedding.
 
     Matches open_clip ``encode_image(..., normalize=True)`` semantics — the
     reference bakes that normalize into its export (pull_onnx.py:57-59).
+    ``remat`` rematerializes each block on the backward pass (training-time
+    memory/FLOPs trade — activations of one block instead of all layers).
     """
     act = ACTIVATIONS[cfg.activation]
 
@@ -240,6 +243,8 @@ def apply(
     def body(carry, block):
         return _block_forward(cfg, act, carry, block, impl=attn_impl), None
 
+    if remat:
+        body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["blocks"])
 
     if cfg.pool == "map":

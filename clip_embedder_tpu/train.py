@@ -38,6 +38,9 @@ class TrainConfig:
     learning_rate: float = 1e-4
     weight_decay: float = 0.05
     tensor_parallel: bool = False
+    # rematerialize blocks on backward: activation memory of one layer
+    # instead of all (jax.checkpoint — the HBM/FLOPs trade for big towers)
+    remat: bool = False
 
 
 def init_train_state(key: jax.Array, cfg: TrainConfig, *, dtype=jnp.float32):
@@ -80,9 +83,10 @@ def siglip_loss(img_emb: jax.Array, txt_emb: jax.Array, scale: jax.Array,
 
 
 def loss_fn(params, batch, cfg: TrainConfig):
-    img_emb = vit.apply(params["visual"], batch["pixels"], cfg.vision_cfg)
+    img_emb = vit.apply(params["visual"], batch["pixels"], cfg.vision_cfg,
+                        remat=cfg.remat)
     txt_emb = text_transformer.apply(params["text"], batch["input_ids"],
-                                     cfg.text_cfg)
+                                     cfg.text_cfg, remat=cfg.remat)
     scale = jnp.exp(params["logit_scale"])
     bias = params["logit_bias"]
     img_emb = img_emb.astype(jnp.float32)

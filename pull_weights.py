@@ -157,9 +157,37 @@ def run_pull(repo_id: str, base_output_dir: Path) -> Path:
     (out / "model_config.json").write_text(
         json.dumps(derive_model_config(repo_id, occ, sd), indent=2)
     )
+    _inject_hf_text_config(out, occ)
     convert_checkpoint(out, sd)
     print(f"Done: {out}")
     return out
+
+
+def _inject_hf_text_config(out: Path, occ: dict) -> None:
+    """For hf_model_name text towers (BiomedCLIP family) the architecture
+    dims live in the HF model's config.json, which the reference model-dir
+    contract doesn't carry — fetch it at conversion time and store it under
+    ``text_cfg.hf_config`` (read by models.hf_text.resolve_hf_text)."""
+    text_cfg = occ.get("model_cfg", {}).get("text_cfg", {})
+    hf_name = text_cfg.get("hf_model_name")
+    if not hf_name or text_cfg.get("hf_config"):
+        return
+    from huggingface_hub import hf_hub_download
+
+    try:
+        cfg_path = hf_hub_download(repo_id=hf_name, filename="config.json")
+        hf_cfg = json.loads(Path(cfg_path).read_text())
+    except Exception as e:  # noqa: BLE001
+        print(f"  warn: could not fetch HF config for {hf_name}: {e}")
+        return
+    text_cfg["hf_config"] = {
+        k: hf_cfg[k]
+        for k in ("vocab_size", "hidden_size", "num_attention_heads",
+                  "num_hidden_layers", "intermediate_size", "pad_token_id",
+                  "layer_norm_eps")
+        if k in hf_cfg
+    }
+    (out / "open_clip_config.json").write_text(json.dumps(occ, indent=2))
 
 
 def main() -> None:

@@ -182,3 +182,28 @@ def test_embed_pipeline_order_and_values(mesh):
     expect = clip.vision.embed_images(images)
     cos = np.sum(got * expect, axis=-1)
     assert (cos > 1 - 1e-5).all()
+
+
+def test_remat_train_step_matches_no_remat(mesh):
+    """jax.checkpoint rematerialization must not change the loss."""
+    from clip_embedder_tpu.train import (
+        TrainConfig, init_train_state, make_sharded_train_step,
+    )
+
+    rng = np.random.default_rng(3)
+    batch = {
+        "pixels": jax.device_put(
+            jnp.asarray(rng.standard_normal((8, 32, 32, 3)), jnp.float32),
+            NamedSharding(mesh, P("data"))),
+        "input_ids": jax.device_put(
+            jnp.asarray(rng.integers(1, 127, (8, 16)), jnp.int32),
+            NamedSharding(mesh, P("data"))),
+    }
+    losses = {}
+    for remat in (False, True):
+        cfg = TrainConfig(vision_cfg=VCFG, text_cfg=TCFG, remat=remat)
+        params, _ = init_train_state(jax.random.key(0), cfg)
+        step, params, opt_state = make_sharded_train_step(cfg, mesh, params)
+        _, _, loss = step(params, opt_state, batch)
+        losses[remat] = float(loss)
+    assert abs(losses[False] - losses[True]) < 1e-5

@@ -4,8 +4,8 @@ The reference resizes with fast_image_resize's CatmullRom convolution and
 accepts small deviations from Pillow (reference: README.md:201-203 admits
 fir "has slightly more differences than image compared to PIL"). Our
 convolution-resize weight matrices implement the same Pillow precompute
-math in float, so agreement with PIL should be within u8 rounding (PIL
-quantizes to u8 between passes; we don't).
+math in float, so they match PIL's float-mode ('F') resize exactly (the u8
+path differs only by PIL's intermediate quantization/clamping).
 """
 
 import numpy as np
