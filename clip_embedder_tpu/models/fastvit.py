@@ -25,7 +25,7 @@ MXU); blocks within a homogeneous run are stacked and scanned.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Mapping
 
 import jax

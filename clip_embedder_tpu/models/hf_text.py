@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..errors import ConfigError, WeightError
+from ..errors import ConfigError
 from ..ops.attention import multi_head_attention
 from ..ops.layers import ACTIVATIONS, layer_norm, linear, mlp
 
@@ -164,7 +164,7 @@ def apply(params: Params, input_ids: jax.Array, cfg: BertCfg, *,
 def map_hf_text(sd: Mapping[str, np.ndarray]) -> Params:
     """Map an open_clip HFTextEncoder state dict (``text.transformer.*`` =
     HF BERT naming + ``text.proj``) onto the BertCfg pytree."""
-    from ..weights import _linear, _ln, _stack_blocks, _t, strip_prefix, _max_index, _get
+    from ..weights import _linear, _ln, _stack_blocks, strip_prefix, _max_index, _get
 
     sd = strip_prefix(sd, "model.", "text.")
     sd = strip_prefix(sd, "transformer.")

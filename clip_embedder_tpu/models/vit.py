@@ -19,7 +19,7 @@ the MXU rather than a conv, and all shapes are static.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Callable
 
 import jax

@@ -26,7 +26,7 @@ recompiles, no dynamic shapes, no host round-trips after decode.
 from __future__ import annotations
 
 import math
-from functools import lru_cache, partial
+from functools import partial
 
 import jax
 import jax.numpy as jnp

@@ -11,7 +11,6 @@ JPEG decode and resize-weight construction.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Sequence
 
 import jax

@@ -29,7 +29,7 @@ from .model_manager import (
     verify_model_dir,
 )
 from .models.build import TowerSpec, resolve_vision
-from .ops.preprocess import Preprocessor, bucket_batch
+from .ops.preprocess import Preprocessor
 from .utils.images import to_rgb_array
 from .weights import load_pytree, save_pytree
 

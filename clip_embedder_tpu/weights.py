@@ -28,8 +28,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from .errors import WeightError
-from .models.text_transformer import TextCfgResolved
-from .models.vit import ViTCfg
 
 Params = dict
 
