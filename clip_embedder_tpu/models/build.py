@@ -110,11 +110,27 @@ def resolve_vision(model_cfg: ModelCfg) -> TowerSpec:
             return TowerSpec("fastvit", resolve_fastvit(name, v, embed_dim, model_cfg))
         raise ConfigError(f"Unsupported timm vision tower '{name}'")
 
+    # ModifiedResNet towers declare per-stage depths as a list
+    # (RN50 = [3,4,6,3], RN101 = [3,4,23,3], ...).
+    if isinstance(v.layers, (list, tuple)):
+        from .resnet import ResNetCfg
+
+        width = v.width or 64
+        head_width = v.head_width or 64
+        return TowerSpec(
+            "resnet",
+            ResNetCfg(
+                image_size=v.image_size,
+                embed_dim=embed_dim,
+                layers=tuple(v.layers),
+                width=width,
+                heads=width * 32 // head_width,
+            ),
+        )
+
     # Classic open_clip ViT (reference models like DFN5B-CLIP-ViT-H-14).
     if v.layers is None or v.width is None:
         raise ConfigError("vision_cfg requires layers/width or timm_model_name")
-    if isinstance(v.layers, (list, tuple)):
-        raise ConfigError("ResNet-style vision towers (list layers) not supported yet")
     head_width = v.head_width or 64
     mlp_ratio = v.mlp_ratio or 4.0
     if v.patch_size is None:

@@ -305,6 +305,10 @@ def map_state_dict(
             from .models.fastvit import map_fastvit_visual
 
             return map_fastvit_visual(sd)
+        if family == "resnet":
+            from .models.resnet import map_resnet_visual
+
+            return map_resnet_visual(sd)
         raise WeightError(f"Unknown visual family '{family}'")
     if tower == "text":
         if family == "text_transformer":
