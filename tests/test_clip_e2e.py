@@ -187,3 +187,9 @@ def test_duplicate(shared_clip):
     a = clip.vision.embed_image(image)
     b = dup.vision.embed_image(image)
     np.testing.assert_allclose(a, b, atol=1e-6)
+
+
+def test_warmup_runs(shared_clip):
+    from clip_embedder_tpu.serving import warmup
+
+    warmup(shared_clip, batch_sizes=(1, 2), image_sizes=((40, 40),))
