@@ -54,6 +54,17 @@ def save_pytree(path: Path | str, tree: Params) -> None:
     np.savez(path, **flat)
 
 
+def _relistify(node):
+    """Restore list structure: a dict whose keys are all decimal strings was
+    a list/tuple before flattening (e.g. FastViT/ResNet ``stages``)."""
+    if not isinstance(node, dict):
+        return node
+    node = {k: _relistify(v) for k, v in node.items()}
+    if node and all(k.isdigit() for k in node):
+        return [node[k] for k in sorted(node, key=int)]
+    return node
+
+
 def load_pytree(path: Path | str, *, dtype=None) -> Params:
     with np.load(path) as data:
         tree: Params = {}
@@ -66,7 +77,7 @@ def load_pytree(path: Path | str, *, dtype=None) -> Params:
             for part in parts[:-1]:
                 node = node.setdefault(part, {})
             node[parts[-1]] = jnp.asarray(arr)
-    return tree
+    return _relistify(tree)
 
 
 # ---------------------------------------------------------------------------

@@ -193,3 +193,81 @@ def test_warmup_runs(shared_clip):
     from clip_embedder_tpu.serving import warmup
 
     warmup(shared_clip, batch_sizes=(1, 2), image_sizes=((40, 40),))
+
+
+def test_fastvit_model_dir_end_to_end(tmp_path):
+    """Full Clip pipeline over a FastViT (MobileCLIP-style) model dir."""
+    from clip_embedder_tpu.models import fastvit
+    from clip_embedder_tpu.models.fastvit import FastViTCfg
+
+    occ = {
+        "model_cfg": {
+            "embed_dim": 32,
+            "vision_cfg": {"image_size": 64, "timm_model_name": "fastvit_mci0",
+                           "fastvit_cfg": {"depths": (1, 1, 1, 1),
+                                           "dims": (16, 32, 64, 128),
+                                           "mlp_ratios": (3, 3, 3, 3),
+                                           "mixers": ("repmixer",) * 3 + ("attention",),
+                                           "pos_embs": (False, False, False, True)}},
+            "text_cfg": {"context_length": 12, "vocab_size": 512, "width": 64,
+                         "heads": 4, "layers": 2},
+        },
+        "preprocess_cfg": {"mean": [0, 0, 0], "std": [1, 1, 1]},
+    }
+    d = tmp_path / "fastvit_model"
+    d.mkdir()
+    (d / "open_clip_config.json").write_text(json.dumps(occ))
+    (d / "model_config.json").write_text(json.dumps(MODEL_CONFIG))
+    (d / "tokenizer.json").write_text(json.dumps(make_clip_style_spec()))
+    cfg = OpenClipConfig.from_dict(occ)
+    vspec = resolve_vision(cfg.model_cfg)
+    assert vspec.family == "fastvit"
+    from clip_embedder_tpu.weights import save_pytree as sp
+
+    sp(d / "visual.npz", fastvit.init(jax.random.key(0), vspec.cfg))
+    sp(d / "text.npz", text_transformer.init(
+        jax.random.key(1), resolve_text(cfg.model_cfg).cfg))
+
+    clip = Clip.from_local_dir(d)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (80, 100, 3), dtype=np.uint8)
+    results = clip.classify(img, ["a cat", "a dog"])
+    assert abs(sum(p for _, p in results) - 1.0) < 1e-5
+
+
+def test_resnet_model_dir_end_to_end(tmp_path):
+    """Full Clip pipeline over a ModifiedResNet (RN50-style) model dir."""
+    from clip_embedder_tpu.models import resnet as resnet_mod
+
+    occ = {
+        "model_cfg": {
+            "embed_dim": 32,
+            "vision_cfg": {"image_size": 64, "layers": [1, 1, 1, 1],
+                           "width": 16},
+            "text_cfg": {"context_length": 12, "vocab_size": 512, "width": 64,
+                         "heads": 4, "layers": 2},
+        },
+        "preprocess_cfg": {"mean": [0.48, 0.46, 0.41],
+                           "std": [0.27, 0.26, 0.28]},
+    }
+    d = tmp_path / "resnet_model"
+    d.mkdir()
+    (d / "open_clip_config.json").write_text(json.dumps(occ))
+    (d / "model_config.json").write_text(json.dumps(MODEL_CONFIG))
+    (d / "tokenizer.json").write_text(json.dumps(make_clip_style_spec()))
+    cfg = OpenClipConfig.from_dict(occ)
+    vspec = resolve_vision(cfg.model_cfg)
+    assert vspec.family == "resnet"
+    from clip_embedder_tpu.weights import save_pytree as sp
+
+    sp(d / "visual.npz", resnet_mod.init(jax.random.key(0), vspec.cfg))
+    sp(d / "text.npz", text_transformer.init(
+        jax.random.key(1), resolve_text(cfg.model_cfg).cfg))
+
+    clip = Clip.from_local_dir(d)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (90, 70, 3), dtype=np.uint8)
+    results = clip.classify(img, ["a cat", "a dog", "the beignet"])
+    assert abs(sum(p for _, p in results) - 1.0) < 1e-5
+    ranked = clip.rank_images([img, img[:50]], "a photo of a cat")
+    assert len(ranked) == 2
