@@ -45,14 +45,29 @@ class BPE:
         prefix = self.continuing_subword_prefix
         suffix = self.end_of_word_suffix
         chars = list(word)
-        parts = []
+        # Build the initial symbol sequence the way HF does: symbols that
+        # can't be represented (not in vocab, no byte fallback, no unk) are
+        # dropped *before* merging, so merges apply across the gap.
+        parts: list[str] = []
         for i, c in enumerate(chars):
             piece = c
             if i > 0 and prefix:
                 piece = prefix + piece
             if i == len(chars) - 1 and suffix:
                 piece = piece + suffix
-            parts.append(piece)
+            if piece in self.vocab:
+                parts.append(piece)
+                continue
+            if self.byte_fallback:
+                byte_tokens = [f"<0x{b:02X}>" for b in c.encode("utf-8")]
+                if all(t in self.vocab for t in byte_tokens):
+                    parts.extend(byte_tokens)
+                    continue
+            if self.unk_token is not None:
+                if self.fuse_unk and parts and parts[-1] == self.unk_token:
+                    continue
+                parts.append(self.unk_token)
+            # else: drop the symbol entirely (HF behavior with unk=None)
 
         while len(parts) > 1:
             best_rank = None
@@ -80,34 +95,13 @@ class BPE:
             return []
         if self.ignore_merges and word in self.vocab:
             return [self.vocab[word]]
-        ids: list[int] = []
-        unk_id = self.vocab.get(self.unk_token) if self.unk_token else None
-        last_was_unk = False
-        for part in self._merge_word(word):
-            token_id = self.vocab.get(part)
-            if token_id is not None:
-                ids.append(token_id)
-                last_was_unk = False
-                continue
-            if self.byte_fallback:
-                fell_back = True
-                byte_ids = []
-                for b in part.encode("utf-8"):
-                    bid = self.vocab.get(f"<0x{b:02X}>")
-                    if bid is None:
-                        fell_back = False
-                        break
-                    byte_ids.append(bid)
-                if fell_back:
-                    ids.extend(byte_ids)
-                    last_was_unk = False
-                    continue
-            if unk_id is not None:
-                if self.fuse_unk and last_was_unk:
-                    continue
-                ids.append(unk_id)
-                last_was_unk = True
-        return ids
+        # All parts are representable by construction (_merge_word filtered
+        # or substituted the rest), and merged pairs exist in the vocab.
+        return [
+            self.vocab[part]
+            for part in self._merge_word(word)
+            if part in self.vocab
+        ]
 
 
 class WordPiece:
@@ -182,23 +176,25 @@ class Unigram:
                 if best[start] != NEG:
                     best[end] = best[start] + unk_penalty
                     back[end] = (start, None)
-        # trace back
+        # trace back (consecutive unknowns fuse into one <unk>, matching
+        # HF/SentencePiece behavior)
         ids_rev: list[int] = []
         pos = n
         while pos > 0:
             start, token_id = back[pos]
             if token_id is None:
                 ch = word[start:pos]
+                handled = False
                 if self.byte_fallback:
                     byte_ids = [
                         self.vocab.get(f"<0x{b:02X}>") for b in ch.encode("utf-8")
                     ]
                     if all(b is not None for b in byte_ids):
                         ids_rev.extend(reversed(byte_ids))
-                    elif self.unk_id is not None:
+                        handled = True
+                if not handled and self.unk_id is not None:
+                    if not (ids_rev and ids_rev[-1] == self.unk_id):
                         ids_rev.append(self.unk_id)
-                elif self.unk_id is not None:
-                    ids_rev.append(self.unk_id)
             else:
                 ids_rev.append(token_id)
             pos = start

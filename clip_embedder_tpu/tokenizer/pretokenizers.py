@@ -148,8 +148,21 @@ def build_pretokenizer(spec: dict | None) -> PreTokenizer:
 
         return metaspace
     if ptype == "BertPreTokenizer":
-        rx = regex.compile(r"\w+|[^\w\s]")
-        return lambda s: rx.findall(s)
+        # whitespace split, then *punctuation* isolated — HF's
+        # is_punctuation: unicode category P plus the ASCII symbol ranges
+        # (!-/, :-@, [-`, {-~). Emoji/symbols are NOT split off.
+        punct = r"[\p{P}!-/:-@\[-`{-~]"
+        prx = regex.compile(rf"({punct})")
+
+        def bert_pretok(s: str) -> list[str]:
+            out: list[str] = []
+            for word in s.split():
+                for piece in prx.split(word):
+                    if piece:
+                        out.append(piece)
+            return out
+
+        return bert_pretok
     if ptype == "Punctuation":
         behavior = spec.get("behavior", "Isolated")
         rx = regex.compile(r"\p{P}+" if behavior != "Isolated" else r"\p{P}")

@@ -201,3 +201,39 @@ def test_pad_token_vocab_lookup(tmp_path):
     path.write_text(json.dumps(spec), encoding="utf-8")
     tok = Tokenizer.from_file(path)
     assert tok.get_vocab(True).get("<pad>") == 2
+
+
+def test_fuzz_random_strings_match_hf(tmp_path):
+    """Randomized parity sweep: mixed-script unicode, whitespace runs,
+    punctuation, long words — our pipeline must match HF `tokenizers`
+    token-for-token on all three model types."""
+    import random
+
+    rng = random.Random(0)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+        " \t\n.,!?'\"-_()[]{}@#$%^&*+=/\\|~`"
+        "àéîöûçñßøæœ"
+        "αβγδεζη"
+        "абвгде"
+        "日本語中文한국어"
+        "🙂🚀🎉"
+        "​ "
+    )
+
+    def random_text():
+        n = rng.randint(0, 60)
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    texts = [random_text() for _ in range(300)]
+
+    for factory in (make_clip_style_spec, make_unigram_spec, make_wordpiece_spec):
+        spec = factory()
+        path = tmp_path / "tok.json"
+        path.write_text(json.dumps(spec), encoding="utf-8")
+        ours = Tokenizer.from_file(path)
+        theirs = hf_tokenizers.Tokenizer.from_file(str(path))
+        for text in texts:
+            got = ours.encode(text)
+            ref = theirs.encode(text).ids
+            assert got == ref, f"{factory.__name__} mismatch on {text!r}: {got} vs {ref}"
