@@ -61,3 +61,41 @@ def test_native_multithreaded_deterministic():
     b = native.host_preprocess_batch(
         arrays, image_size=32, mean=MEAN, std=STD, n_threads=4)
     np.testing.assert_array_equal(a, b)
+
+
+def test_thread_sanitizer_clean():
+    """Race detection for the native lib (SURVEY.md §5: the reference has
+    no sanitizer coverage; we gate the threaded C++ path under TSan).
+    Runs the multithreaded preprocess in a subprocess with libtsan
+    preloaded; any data-race report fails via TSAN_OPTIONS exitcode."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    tsan_lib = Path(__file__).parent.parent / "native" / "libclippre_tsan.so"
+    preload = Path("/lib/x86_64-linux-gnu/libtsan.so.2")
+    if not tsan_lib.is_file() or not preload.is_file():
+        pytest.skip("TSan build not present (make -C native tsan)")
+
+    code = f"""
+import ctypes, numpy as np
+lib = ctypes.CDLL({str(tsan_lib)!r})
+lib.clip_preprocess_batch.restype = None
+rng = np.random.default_rng(0)
+arrays = [np.ascontiguousarray(rng.integers(0,255,(50+i,60,3),dtype=np.uint8)) for i in range(16)]
+out = np.empty((16,3,32,32), np.float32)
+srcs = (ctypes.POINTER(ctypes.c_uint8)*16)(*[a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)) for a in arrays])
+hs = (ctypes.c_int*16)(*[a.shape[0] for a in arrays]); ws = (ctypes.c_int*16)(*[a.shape[1] for a in arrays])
+mean = np.asarray([.5,.5,.5], np.float32); std = np.asarray([.3,.3,.3], np.float32)
+for _ in range(3):
+    lib.clip_preprocess_batch(srcs, hs, ws, 16, out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), 32,
+        mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        0, 0, 1, 4)
+print("ok")
+"""
+    env = {"LD_PRELOAD": str(preload), "TSAN_OPTIONS": "exitcode=66",
+           "PATH": "/usr/bin:/bin"}
+    proc = subprocess.run([sys.executable, "-c", code], env=env,
+                          capture_output=True, text=True, timeout=120)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "ok" in proc.stdout
