@@ -300,9 +300,10 @@ def apply(params: Params, pixels: jax.Array, cfg: FastViTCfg, *,
 
 def _conv_from(sd: Mapping[str, np.ndarray], prefix: str) -> Params:
     """torch Conv2d [O, I/g, K, K] → HWIO."""
-    w = np.asarray(sd.get(f"{prefix}.weight"))
+    w = sd.get(f"{prefix}.weight")
     if w is None:
         raise WeightError(f"Missing conv '{prefix}.weight'")
+    w = np.asarray(w)
     p = {"w": np.ascontiguousarray(w.transpose(2, 3, 1, 0))}
     b = sd.get(f"{prefix}.bias")
     p["b"] = np.asarray(b) if b is not None else np.zeros(w.shape[0], w.dtype)

@@ -291,7 +291,15 @@ def extract_tower_params(onnx_path: Path | str, spec, *, tower: str) -> dict:
 
     g = read_onnx(onnx_path)
     if has_named_weights(g):
-        return map_state_dict(g.initializers, tower=tower, family=spec.family)
+        try:
+            return map_state_dict(g.initializers, tower=tower, family=spec.family)
+        except WeightError:
+            # Mixed-name graphs are the common constant-folded case: LN and
+            # conv initializers keep torch names while Linear/attention
+            # weights fold to anonymous onnx::MatMul_* constants. Name-based
+            # mapping fails on the missing attention weights; structural
+            # recovery works regardless of names.
+            pass
     return _structural_extract(g, spec, tower=tower)
 
 
@@ -322,8 +330,9 @@ class _Puller:
     reshape shapes, masks, or scalar scales interleaved by the exporter)."""
 
     def __init__(self, g: OnnxGraph, *, lookahead: int = 24):
-        self.arrays = [g.initializers[n] for n in _consumption_order(g)]
-        self.names = _consumption_order(g)
+        order = _consumption_order(g)
+        self.arrays = [g.initializers[n] for n in order]
+        self.names = order
         self.pos = 0
         self.lookahead = lookahead
 
@@ -496,8 +505,6 @@ def _structural_text(g: OnnxGraph, cfg) -> dict:
     params["blocks"] = _stack_blocks(blocks)
     params["ln_final"] = _pull_ln(p, d)
     if cfg.use_proj:
-        from .onnx_reader import _Puller as _  # noqa: F401
-
         w = p.pull((d, cfg.embed_dim), (cfg.embed_dim, d), what="text proj")
         if w.shape == (cfg.embed_dim, d) and cfg.embed_dim != d:
             w = w.T

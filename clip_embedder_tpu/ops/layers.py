@@ -27,8 +27,11 @@ Params = dict
 
 
 def quick_gelu(x: jax.Array) -> jax.Array:
-    """x * sigmoid(1.702 x) — original CLIP's approximation."""
-    return x * jax.nn.sigmoid(1.702 * x)
+    """x * sigmoid(1.702 x) — original CLIP's approximation. Computed in
+    ≥f32 like the other activations (bf16 sigmoid tails lose precision)."""
+    orig = x.dtype
+    x32 = x.astype(_promote(x))
+    return (x32 * jax.nn.sigmoid(1.702 * x32)).astype(orig)
 
 
 def _promote(x: jax.Array) -> jnp.dtype:

@@ -204,6 +204,10 @@ class Preprocessor:
         self.out_dtype = out_dtype
         self._weights_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
+    _WEIGHTS_CACHE_MAX = 128  # matrices are MBs each but µs to rebuild:
+    # keep a small LRU so heterogeneous bulk workloads can't grow the host
+    # cache unboundedly.
+
     def _weights(self, w: int, h: int, ph: int, pw: int):
         key = (w, h, ph, pw)
         hit = self._weights_cache.get(key)
@@ -213,8 +217,13 @@ class Preprocessor:
                 interpolation=self.interpolation, resize_mode=self.resize_mode,
                 padded_h=ph, padded_w=pw,
             )
-            if len(self._weights_cache) < 4096:
-                self._weights_cache[key] = hit
+            while len(self._weights_cache) >= self._WEIGHTS_CACHE_MAX:
+                self._weights_cache.pop(next(iter(self._weights_cache)))
+            self._weights_cache[key] = hit
+        else:
+            # LRU touch: move to the back
+            self._weights_cache.pop(key)
+            self._weights_cache[key] = hit
         return hit
 
     def __call__(self, arrays: list[np.ndarray]) -> jax.Array:

@@ -7,10 +7,17 @@ Here: weights live replicated (or TP-sharded) on every chip, the batch axis
 shards over the 'data' mesh axis, and one jitted program runs preprocess +
 tower fused across the slice. XLA partitions everything; host work is only
 JPEG decode and resize-weight construction.
+
+Jitted sharded forwards are cached at module level per
+(spec, attn_impl, mesh, tensor_parallel) — constructing several sharded
+wrappers over the same model never recompiles — and batches bucket to
+powers of two (aligned to the data axis) so varying-size streams reuse a
+handful of compiled programs.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Any, Sequence
 
 import jax
@@ -19,10 +26,69 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..errors import InferenceError
-from ..ops.preprocess import bucket_size
+from ..ops.preprocess import bucket_batch, bucket_size
 from ..utils.images import to_rgb_array
 from .mesh import DATA_AXIS, pad_to_multiple, replicate
 from .sharding import tp_param_specs
+
+
+def _batch_bucket(n: int, n_data: int) -> int:
+    """Power-of-two batch bucket, aligned to the data-axis size."""
+    return pad_to_multiple(bucket_batch(n), n_data)
+
+
+def _tp_shardings(params: dict, mesh: Mesh):
+    specs = tp_param_specs(params, tower="vit")
+    return jax.tree.map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+@lru_cache(maxsize=32)
+def _sharded_vision_forward(spec, attn_impl: str, mesh: Mesh,
+                            tensor_parallel: bool, preprocessor_key):
+    """One jitted sharded forward per (tower, mesh, layout). The preprocess
+    constants (mean/std/dtype) are part of the key via ``preprocessor_key``.
+
+    Note: for tensor_parallel the param shardings are derived from the
+    param *structure*, which is spec-determined for all supported
+    checkpoints; the shardings pytree is rebuilt per call from the params.
+    """
+    mean, std, out_dtype = preprocessor_key
+    mean = jnp.asarray(mean, jnp.float32)
+    std = jnp.asarray(std, jnp.float32)
+    batch_spec = NamedSharding(mesh, P(DATA_AXIS))
+
+    def forward(params, images_u8, wh, ww):
+        from ..ops.preprocess import resize_normalize
+        from ..vision import _jitted_vision_forward
+
+        pixels = resize_normalize(images_u8, wh, ww, mean, std,
+                                  out_dtype=out_dtype)
+        return _jitted_vision_forward(spec, attn_impl)(params, pixels)
+
+    return jax.jit(
+        forward,
+        in_shardings=(None, batch_spec, batch_spec, batch_spec),
+        out_shardings=batch_spec,
+    )
+
+
+@lru_cache(maxsize=32)
+def _sharded_text_forward(spec, attn_impl: str, mesh: Mesh):
+    batch_spec = NamedSharding(mesh, P(DATA_AXIS))
+
+    def forward(params, ids):
+        from ..text import _jitted_text_forward
+
+        return _jitted_text_forward(spec, attn_impl)(params, ids)
+
+    return jax.jit(
+        forward,
+        in_shardings=(None, batch_spec),
+        out_shardings=batch_spec,
+    )
 
 
 class ShardedVisionEmbedder:
@@ -33,37 +99,17 @@ class ShardedVisionEmbedder:
         self.inner = embedder
         self.mesh = mesh
         if tensor_parallel and embedder.spec.family == "vit":
-            specs = tp_param_specs(embedder.params, tower="vit")
-            shardings = jax.tree.map(
-                lambda s: NamedSharding(mesh, s), specs,
-                is_leaf=lambda x: isinstance(x, P),
-            )
-            self.params = jax.device_put(embedder.params, shardings)
+            self.params = jax.device_put(
+                embedder.params, _tp_shardings(embedder.params, mesh))
         else:
+            tensor_parallel = False
             self.params = replicate(embedder.params, mesh)
 
-        batch_spec = NamedSharding(mesh, P(DATA_AXIS))
-        spec = embedder.spec
-        attn_impl = embedder.attn_impl
         pp = embedder.preprocessor
-
-        def forward(params, images_u8, wh, ww):
-            from ..ops.preprocess import resize_normalize
-            from ..vision import _jitted_vision_forward
-
-            pixels = resize_normalize(
-                images_u8, wh, ww, pp.mean, pp.std, out_dtype=pp.out_dtype
-            )
-            return _jitted_vision_forward(spec, attn_impl)(params, pixels)
-
-        self._forward = jax.jit(
-            forward,
-            in_shardings=(
-                shardings if tensor_parallel and embedder.spec.family == "vit"
-                else NamedSharding(mesh, P()),
-                batch_spec, batch_spec, batch_spec,
-            ),
-            out_shardings=batch_spec,
+        self._forward = _sharded_vision_forward(
+            embedder.spec, embedder.attn_impl, mesh, tensor_parallel,
+            (tuple(np.asarray(pp.mean).tolist()),
+             tuple(np.asarray(pp.std).tolist()), pp.out_dtype),
         )
 
     def embed_images(self, images: Sequence[Any]) -> np.ndarray:
@@ -71,7 +117,7 @@ class ShardedVisionEmbedder:
             raise InferenceError("Empty batch")
         arrays = [to_rgb_array(img) for img in images]
         n_data = self.mesh.shape[DATA_AXIS]
-        bb = pad_to_multiple(len(arrays), n_data)
+        bb = _batch_bucket(len(arrays), n_data)
         ph = bucket_size(max(a.shape[0] for a in arrays))
         pw = bucket_size(max(a.shape[1] for a in arrays))
         size = self.inner.preprocessor.image_size
@@ -97,27 +143,14 @@ class ShardedTextEmbedder:
         self.inner = embedder
         self.mesh = mesh
         self.params = replicate(embedder.params, mesh)
-        batch_spec = NamedSharding(mesh, P(DATA_AXIS))
-        spec = embedder.spec
-        attn_impl = embedder.attn_impl
-
-        def forward(params, ids):
-            from ..text import _jitted_text_forward
-
-            return _jitted_text_forward(spec, attn_impl)(params, ids)
-
-        self._forward = jax.jit(
-            forward,
-            in_shardings=(NamedSharding(mesh, P()), batch_spec),
-            out_shardings=batch_spec,
-        )
+        self._forward = _sharded_text_forward(
+            embedder.spec, embedder.attn_impl, mesh)
 
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         if len(texts) == 0:
             raise InferenceError("Empty batch")
         ids, _ = self.inner.tokenize(texts)
-        n_data = self.mesh.shape[DATA_AXIS]
-        bb = pad_to_multiple(len(texts), n_data)
+        bb = _batch_bucket(len(texts), self.mesh.shape[DATA_AXIS])
         if bb != ids.shape[0]:
             pad = np.full((bb - ids.shape[0], ids.shape[1]),
                           self.inner.pad_id, np.int32)

@@ -83,15 +83,24 @@ def init_distributed(**kwargs) -> None:
 def select_platform(preferences: list[str] | None = None) -> str:
     """Ordered platform preference with fallback — the analog of the
     reference's ordered execution-provider list (reference: src/lib.rs:90-93:
-    each EP tried in order, falling back to CPU). Returns the chosen
-    platform name and pins jax to it.
+    each EP tried in order, falling back to CPU).
+
+    Pins jax to the first preference that initializes (via
+    ``jax.config.update("jax_platforms", ...)``, which takes effect even
+    after backend init) and returns its name. If none of the preferred
+    platforms is available, the default platform is left in place and its
+    name returned.
     """
     import jax
 
     preferences = preferences or ["tpu", "cpu"]
-    available = {d.platform for d in jax.devices()}
     for pref in preferences:
-        if pref in available:
-            return pref
-    # jax.devices() already raised if no platform at all
-    return next(iter(available))
+        try:
+            jax.config.update("jax_platforms", pref)
+            platform = jax.devices()[0].platform
+            if platform == pref:
+                return pref
+        except RuntimeError:
+            continue
+    jax.config.update("jax_platforms", None)
+    return jax.devices()[0].platform

@@ -38,10 +38,10 @@ class EmbedPipeline:
         self.log = get_logger()
 
     @staticmethod
-    def _decode_batch(batch: Sequence[Any]) -> list[np.ndarray]:
-        # decode within the batch is serial; parallelism comes from multiple
-        # batch decodes in flight across the pool (prefetch × workers)
-        return [to_rgb_array(img) for img in batch]
+    def _submit_batch(pool: cf.Executor, batch: Sequence[Any]) -> list[cf.Future]:
+        # per-image futures: every worker participates in decoding the
+        # in-flight batches, so decode-bound streams use the full pool
+        return [pool.submit(to_rgb_array, img) for img in batch]
 
     def embed_iter(self, images: Iterable[Any]) -> Iterator[np.ndarray]:
         """Yield one [batch, D] embedding array per input batch, preserving
@@ -57,20 +57,19 @@ class EmbedPipeline:
             return chunk or None
 
         with cf.ThreadPoolExecutor(self.decode_workers) as pool:
-            pending_decodes: list[cf.Future] = []
+            pending: list[list[cf.Future]] = []
             # prime the decode pipeline
             for _ in range(self.prefetch):
                 chunk = take()
                 if chunk is None:
                     break
-                pending_decodes.append(pool.submit(self._decode_batch, chunk))
+                pending.append(self._submit_batch(pool, chunk))
 
-            while pending_decodes:
-                arrays = pending_decodes.pop(0).result()
+            while pending:
+                arrays = [fut.result() for fut in pending.pop(0)]
                 chunk = take()
                 if chunk is not None:
-                    pending_decodes.append(
-                        pool.submit(self._decode_batch, chunk))
+                    pending.append(self._submit_batch(pool, chunk))
                 # embed_images dispatches asynchronously; numpy conversion
                 # synchronizes on this batch while the next decodes.
                 yield self.embedder.embed_images(arrays)

@@ -19,7 +19,14 @@ from ..errors import ImageError
 
 
 def to_rgb_array(image: Any) -> np.ndarray:
-    """Convert any supported image input to an RGB uint8 [H, W, 3] array."""
+    """Convert any supported image input to an RGB uint8 [H, W, 3] array.
+
+    Float arrays are interpreted by range: values all ≤ 1.0 are treated as
+    the standard 0–1 convention and scaled by 255; anything else is treated
+    as already 0–255. A float image genuinely in 0–255 scale whose peak
+    happens to be ≤ 1.0 (a near-black frame) is indistinguishable from the
+    0–1 convention — pass uint8 (or pre-scale) to avoid the ambiguity.
+    """
     if isinstance(image, np.ndarray):
         if image.ndim == 2:
             image = np.stack([image] * 3, axis=-1)

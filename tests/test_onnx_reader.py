@@ -203,3 +203,66 @@ def test_structural_extraction_folded_names(tmp_path):
         vit.apply(params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()), cfg))
     cos = (got * ref).sum(-1)
     assert (cos > 1 - 1e-6).all()
+
+
+def test_mixed_name_graph_falls_back_to_structural(tmp_path):
+    """Realistic constant-folded torch exports keep LN/conv/param names but
+    fold Linear weights to anonymous constants; extraction must fall back
+    from name-based mapping to structural recovery."""
+    torch.manual_seed(2)
+    tm = VisionTransformer(16, 8, 32, 2, 4, 64, 24).eval()
+    sd = tm.state_dict()
+
+    def named(key):
+        return f"model.visual.{key}"
+
+    seq = []  # (name, array) in consumption order
+    seq.append((named("conv1.weight"), sd["conv1.weight"].numpy()))
+    seq.append((named("class_embedding"), sd["class_embedding"].numpy()))
+    seq.append((named("positional_embedding"), sd["positional_embedding"].numpy()))
+    seq.append((named("ln_pre.weight"), sd["ln_pre.weight"].numpy()))
+    seq.append((named("ln_pre.bias"), sd["ln_pre.bias"].numpy()))
+    anon = iter(range(1000, 2000))
+    for i in range(2):
+        p = f"transformer.resblocks.{i}"
+        seq.append((named(f"{p}.ln_1.weight"), sd[f"{p}.ln_1.weight"].numpy()))
+        seq.append((named(f"{p}.ln_1.bias"), sd[f"{p}.ln_1.bias"].numpy()))
+        seq.append((f"onnx::MatMul_{next(anon)}", sd[f"{p}.attn.in_proj_weight"].numpy().T))
+        seq.append((named(f"{p}.attn.in_proj_bias"), sd[f"{p}.attn.in_proj_bias"].numpy()))
+        seq.append((f"onnx::MatMul_{next(anon)}", sd[f"{p}.attn.out_proj.weight"].numpy().T))
+        seq.append((named(f"{p}.attn.out_proj.bias"), sd[f"{p}.attn.out_proj.bias"].numpy()))
+        seq.append((named(f"{p}.ln_2.weight"), sd[f"{p}.ln_2.weight"].numpy()))
+        seq.append((named(f"{p}.ln_2.bias"), sd[f"{p}.ln_2.bias"].numpy()))
+        seq.append((f"onnx::MatMul_{next(anon)}", sd[f"{p}.mlp.c_fc.weight"].numpy().T))
+        seq.append((named(f"{p}.mlp.c_fc.bias"), sd[f"{p}.mlp.c_fc.bias"].numpy()))
+        seq.append((f"onnx::MatMul_{next(anon)}", sd[f"{p}.mlp.c_proj.weight"].numpy().T))
+        seq.append((named(f"{p}.mlp.c_proj.bias"), sd[f"{p}.mlp.c_proj.bias"].numpy()))
+    seq.append((named("ln_post.weight"), sd["ln_post.weight"].numpy()))
+    seq.append((named("ln_post.bias"), sd["ln_post.bias"].numpy()))
+    seq.append((f"onnx::MatMul_{next(anon)}", sd["proj"].numpy()))
+
+    tensors = []
+    nodes = b""
+    prev = b"input"
+    for i, (name, arr) in enumerate(seq):
+        tensors.append(make_tensor(name, np.ascontiguousarray(arr.astype(np.float32))))
+        out = f"t{i}".encode()
+        nodes += _len_field(1, (_len_field(1, prev) + _len_field(1, name.encode())
+                                + _len_field(2, out) + _len_field(4, b"MatMul")))
+        prev = out
+    graph = b"".join(_len_field(5, t) for t in tensors) + nodes
+    path = tmp_path / "visual.onnx"
+    path.write_bytes(_varint_field(1, 8) + _len_field(7, graph))
+
+    cfg = ViTCfg(image_size=16, patch_size=8, width=32, layers=2, heads=4,
+                 mlp_hidden=64, embed_dim=24)
+    params = extract_tower_params(path, TowerSpec("vit", cfg), tower="visual")
+
+    import jax.numpy as jnp
+    from clip_embedder_tpu.models import vit
+
+    x = torch.randn(2, 3, 16, 16)
+    ref = tm(x).detach().numpy()
+    got = np.asarray(vit.apply(params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()), cfg))
+    cos = (got * ref).sum(-1)
+    assert (cos > 1 - 1e-6).all()

@@ -207,3 +207,24 @@ def test_remat_train_step_matches_no_remat(mesh):
         _, _, loss = step(params, opt_state, batch)
         losses[remat] = float(loss)
     assert abs(losses[False] - losses[True]) < 1e-5
+
+
+def test_pipeline_over_sharded_embedder(mesh):
+    """EmbedPipeline composed with ShardedVisionEmbedder — the full bulk
+    indexing stack (decode overlap + mesh sharding)."""
+    from clip_embedder_tpu.parallel import ShardedVisionEmbedder
+    from clip_embedder_tpu.parallel.pipeline import EmbedPipeline
+    from test_concurrency import make_model_dir
+    from clip_embedder_tpu import Clip
+
+    clip = Clip.from_local_dir(make_model_dir())
+    sharded = ShardedVisionEmbedder(clip.vision, mesh)
+    rng = np.random.default_rng(11)
+    images = [rng.integers(0, 255, (40, 40 + i % 5, 3), dtype=np.uint8)
+              for i in range(10)]
+    pipe = EmbedPipeline(sharded, batch_size=4, prefetch=2)
+    got = pipe.embed_all(images)
+    expect = clip.vision.embed_images(images)
+    assert got.shape == expect.shape
+    cos = np.sum(got * expect, axis=-1)
+    assert (cos > 1 - 1e-5).all()
