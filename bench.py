@@ -11,7 +11,8 @@ Prints ONE JSON line:
      "unit": "images/sec/chip", "vs_baseline": N}
 
 Env knobs: BENCH_BATCH (default sweep), BENCH_DTYPE (bfloat16|float32),
-BENCH_SRC (source image size, default 512), BENCH_ATTN (xla|pallas).
+BENCH_SRC (source image size, default 512), BENCH_ATTN (xla|pallas),
+BENCH_QUANT (int8 enables W8A8 MLPs; embeddings within ~3e-4 cosine).
 """
 
 from __future__ import annotations
@@ -54,6 +55,14 @@ def main() -> None:
         ln_eps=1e-6, pos_embed_cls=False,
     )
     params = vit.init(jax.random.key(0), cfg, dtype=dtype)
+    quant = os.environ.get("BENCH_QUANT")
+    if quant == "int8":
+        import numpy as _np
+
+        from clip_embedder_tpu.ops.quant import quantize_tree
+
+        params = jax.tree.map(jnp.asarray,
+                              quantize_tree(jax.tree.map(_np.asarray, params)))
     mean = jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
     std = jnp.asarray([0.5, 0.5, 0.5], jnp.float32)
 
@@ -103,6 +112,7 @@ def main() -> None:
             "dtype": str(dtype.__name__ if hasattr(dtype, '__name__') else dtype),
             "batch": best_batch,
             "attn_impl": attn_impl,
+            "quantize": quant or "none",
             "includes_preprocess": True,
             "baseline": "988 ms/image, author CPU (reference README.md:110)",
         },

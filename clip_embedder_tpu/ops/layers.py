@@ -78,7 +78,13 @@ def layer_norm(params: Params, x: jax.Array, *, eps: float = 1e-5) -> jax.Array:
 
 
 def linear(params: Params, x: jax.Array) -> jax.Array:
-    """Affine map on the last axis. ``w: [in, out]``; bias optional."""
+    """Affine map on the last axis. ``w: [in, out]``; bias optional.
+    Params carrying ``w_q`` (int8-converted via ops.quant.quantize_tree)
+    route through the quantized path."""
+    if "w_q" in params:
+        from .quant import int8_linear
+
+        return int8_linear(params, x)
     ct = _promote(x)
     y = jnp.dot(x, params["w"], preferred_element_type=ct)
     b = params.get("b")

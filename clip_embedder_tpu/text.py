@@ -87,6 +87,7 @@ class TextEmbedder:
         model_dir: Path,
         dtype: Any = jnp.float32,
         attn_impl: str = "xla",
+        quantize: str | None = None,
     ):
         self.params = params
         self.spec = spec
@@ -96,6 +97,7 @@ class TextEmbedder:
         self.model_dir = Path(model_dir)
         self.dtype = dtype
         self.attn_impl = attn_impl
+        self.quantize = quantize
         self.pad_id = tokenizer.pad_id
         self._forward = _jitted_text_forward(spec, attn_impl)
 
@@ -104,7 +106,7 @@ class TextEmbedder:
     @classmethod
     def from_local_dir(
         cls, model_dir: Path | str, *, dtype: Any = jnp.float32,
-        attn_impl: str = "xla",
+        attn_impl: str = "xla", quantize: str | None = None,
     ) -> "TextEmbedder":
         model_dir = Path(model_dir)
         verify_model_dir(model_dir)
@@ -125,10 +127,17 @@ class TextEmbedder:
 
         spec = resolve_text(config.model_cfg)
         params = _load_or_convert_text(model_dir, spec, dtype)
+        if quantize == "int8":
+            from .ops.quant import quantize_tree
+            from .vision import to_device_tree
+
+            params = to_device_tree(quantize_tree(params), dtype)
+        elif quantize is not None:
+            raise ConfigError(f"Unknown quantize mode '{quantize}'")
         return cls(
             params=params, spec=spec, config=config, model_config=model_config,
             tokenizer=tokenizer, model_dir=model_dir, dtype=dtype,
-            attn_impl=attn_impl,
+            attn_impl=attn_impl, quantize=quantize,
         )
 
     @classmethod
@@ -148,7 +157,8 @@ class TextEmbedder:
         return TextEmbedder(
             params=self.params, spec=self.spec, config=self.config,
             model_config=self.model_config, tokenizer=self.tokenizer,
-            model_dir=self.model_dir, dtype=self.dtype, attn_impl=self.attn_impl,
+            model_dir=self.model_dir, dtype=self.dtype,
+            attn_impl=self.attn_impl, quantize=self.quantize,
         )
 
     # -- tokenization (reference: src/text.rs:111-139) ---------------------

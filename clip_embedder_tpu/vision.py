@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import ModelConfig, OpenClipConfig
-from .errors import InferenceError
+from .errors import ConfigError, InferenceError
 from .model_manager import (
     NATIVE_VISUAL,
     get_default_base_folder,
@@ -103,6 +103,7 @@ class VisionEmbedder:
         model_dir: Path,
         dtype: Any = jnp.float32,
         attn_impl: str = "xla",
+        quantize: str | None = None,
     ):
         self.params = params
         self.spec = spec
@@ -111,6 +112,7 @@ class VisionEmbedder:
         self.model_dir = Path(model_dir)
         self.dtype = dtype
         self.attn_impl = attn_impl
+        self.quantize = quantize
 
         pp = config.preprocess_cfg
         self.preprocessor = Preprocessor(
@@ -128,7 +130,7 @@ class VisionEmbedder:
     @classmethod
     def from_local_dir(
         cls, model_dir: Path | str, *, dtype: Any = jnp.float32,
-        attn_impl: str = "xla",
+        attn_impl: str = "xla", quantize: str | None = None,
     ) -> "VisionEmbedder":
         model_dir = Path(model_dir)
         verify_model_dir(model_dir)
@@ -136,9 +138,18 @@ class VisionEmbedder:
         model_config = ModelConfig.from_file(model_dir / "model_config.json")
         spec = resolve_vision(config.model_cfg)
         params = _load_or_convert_visual(model_dir, spec, dtype)
+        if quantize == "int8":
+            # opt-in W8A8 on the MLP blocks (see ops.quant for the accuracy
+            # tradeoff); incompatible with tensor-parallel sharding.
+            from .ops.quant import quantize_tree
+
+            params = to_device_tree(quantize_tree(params), dtype)
+        elif quantize is not None:
+            raise ConfigError(f"Unknown quantize mode '{quantize}'")
         return cls(
             params=params, spec=spec, config=config, model_config=model_config,
             model_dir=model_dir, dtype=dtype, attn_impl=attn_impl,
+            quantize=quantize,
         )
 
     @classmethod
@@ -159,7 +170,7 @@ class VisionEmbedder:
         return VisionEmbedder(
             params=self.params, spec=self.spec, config=self.config,
             model_config=self.model_config, model_dir=self.model_dir,
-            dtype=self.dtype, attn_impl=self.attn_impl,
+            dtype=self.dtype, attn_impl=self.attn_impl, quantize=self.quantize,
         )
 
     # -- embedding (reference: src/vision.rs:94-117) -----------------------

@@ -1,0 +1,89 @@
+"""Opt-in int8 (W8A8) quantization: numerics within the documented budget
+and end-to-end through the public API."""
+
+import json
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from clip_embedder_tpu.models import vit
+from clip_embedder_tpu.models.vit import ViTCfg
+from clip_embedder_tpu.ops.quant import int8_linear, quantize_tree, quantize_weight
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.default_rng(0)
+    w = rng.standard_normal((64, 32)).astype(np.float32)
+    q = quantize_weight(w)
+    assert q["w_q"].dtype == np.int8
+    deq = q["w_q"].astype(np.float32) * q["w_scale"]
+    rel = np.abs(deq - w).max() / np.abs(w).max()
+    assert rel < 0.01  # per-channel int8: <1% worst-case weight error
+
+
+def test_int8_linear_close_to_float():
+    rng = np.random.default_rng(1)
+    w = rng.standard_normal((64, 48)).astype(np.float32) * 0.1
+    b = rng.standard_normal(48).astype(np.float32) * 0.01
+    x = jnp.asarray(rng.standard_normal((4, 10, 64)), jnp.float32)
+
+    from clip_embedder_tpu.ops.layers import linear
+
+    ref = linear({"w": jnp.asarray(w), "b": jnp.asarray(b)}, x)
+    qp = quantize_weight(w)
+    got = int8_linear(
+        {"w_q": jnp.asarray(qp["w_q"]), "w_scale": jnp.asarray(qp["w_scale"]),
+         "b": jnp.asarray(b)}, x)
+    err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+    scale = np.abs(np.asarray(ref)).max()
+    assert err / scale < 0.03
+
+
+def test_quantized_tower_cosine_budget():
+    """Full tower with int8 MLPs: embeddings within the documented
+    ~1e-3-cosine opt-in budget of the float tower."""
+    cfg = ViTCfg(image_size=32, patch_size=8, width=64, layers=3, heads=4,
+                 mlp_hidden=256, embed_dim=48)
+    params = vit.init(jax.random.key(0), cfg)
+    x = jax.random.uniform(jax.random.key(1), (3, 32, 32, 3))
+    ref = np.asarray(vit.apply(params, x, cfg))
+
+    qparams = quantize_tree(jax.tree.map(np.asarray, params))
+    # mlp weights converted, attention untouched
+    assert "w_q" in qparams["blocks"]["mlp"]["fc"]
+    assert "w" in qparams["blocks"]["attn"]["q"]
+    got = np.asarray(vit.apply(
+        jax.tree.map(jnp.asarray, qparams), x, cfg))
+    cos = (got * ref).sum(-1)
+    assert (cos > 1 - 5e-3).all()
+
+
+def test_quantized_embedder_end_to_end():
+    from clip_embedder_tpu import Clip, VisionEmbedder
+    from test_concurrency import make_model_dir
+
+    d = make_model_dir()
+    vision = VisionEmbedder.from_local_dir(d, quantize="int8")
+    assert vision.quantize == "int8"
+    rng = np.random.default_rng(2)
+    img = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+    emb_q = vision.embed_image(img)
+    np.testing.assert_allclose(np.linalg.norm(emb_q), 1.0, atol=1e-4)
+
+    emb_f = VisionEmbedder.from_local_dir(d).embed_image(img)
+    assert float(emb_q @ emb_f) > 1 - 5e-3
+
+    dup = vision.duplicate()
+    np.testing.assert_allclose(dup.embed_image(img), emb_q, atol=1e-6)
+
+
+def test_unknown_quantize_mode_raises():
+    from clip_embedder_tpu import VisionEmbedder
+    from clip_embedder_tpu.errors import ConfigError
+    from test_concurrency import make_model_dir
+
+    with pytest.raises(ConfigError):
+        VisionEmbedder.from_local_dir(make_model_dir(), quantize="fp4")
