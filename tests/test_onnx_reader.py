@@ -266,3 +266,76 @@ def test_mixed_name_graph_falls_back_to_structural(tmp_path):
     got = np.asarray(vit.apply(params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()), cfg))
     cos = (got * ref).sum(-1)
     assert (cos > 1 - 1e-6).all()
+
+
+def test_reference_style_onnx_dir_end_to_end(tmp_path):
+    """A complete reference-style model dir (ONNX weights, all 9 contract
+    files) must load through Clip.from_local_dir: weights convert from the
+    graphs on first load, cache as visual.npz/text.npz, and serve classify;
+    a second load must use the cache."""
+    import json
+
+    import jax.numpy as jnp
+
+    from clip_embedder_tpu import Clip
+    from torch_ref import TextTransformer
+
+    sys_path_hack = None  # noqa: F841 (test_tokenizer import below)
+    from test_tokenizer import make_clip_style_spec
+
+    d = tmp_path / "onnx_model"
+    d.mkdir()
+    occ = {
+        "model_cfg": {
+            "embed_dim": 24,
+            "vision_cfg": {"image_size": 16, "layers": 2, "width": 32,
+                           "patch_size": 8, "head_width": 8},
+            "text_cfg": {"context_length": 8, "vocab_size": 120, "width": 32,
+                         "heads": 4, "layers": 2},
+        },
+        "preprocess_cfg": {"mean": [0.5, 0.5, 0.5], "std": [0.3, 0.3, 0.3]},
+    }
+    (d / "open_clip_config.json").write_text(json.dumps(occ))
+    (d / "model_config.json").write_text(json.dumps({
+        "tokenizer_needs_lowercase": False, "activation_function": "softmax",
+        "logit_scale": 50.0, "logit_bias": 0.0, "pad_id": 0,
+        "vocab_size": 120}))
+    (d / "tokenizer.json").write_text(json.dumps(make_clip_style_spec()))
+    # the contract's remaining files (content irrelevant to loading)
+    (d / "tokenizer_config.json").write_text("{}")
+    (d / "special_tokens_map.json").write_text("{}")
+
+    torch.manual_seed(3)
+    vt = VisionTransformer(16, 8, 32, 2, 4, 128, 24).eval()
+    tt = TextTransformer(8, 120, 32, 4, 2, 128, 24).eval()
+    (d / "visual.onnx").write_bytes(make_model([
+        make_tensor(f"model.visual.{k}", v.numpy())
+        for k, v in vt.state_dict().items()]))
+    (d / "text.onnx").write_bytes(make_model([
+        make_tensor(f"model.{k}", v.numpy())
+        for k, v in tt.state_dict().items()]))
+
+    # mlp_hidden=128 → head_width 8 → heads 4; mlp_ratio must match the
+    # torch model: width 32 * 4.0 = 128 ✓ (default ratio)
+    clip = Clip.from_local_dir(d)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (30, 40, 3), dtype=np.uint8)
+    results = clip.classify(img, ["a photo of a cat", "a photo of a dog"])
+    assert abs(sum(p for _, p in results) - 1.0) < 1e-5
+    assert (d / "visual.npz").is_file() and (d / "text.npz").is_file()
+
+    # second load comes from the npz cache and must agree
+    clip2 = Clip.from_local_dir(d)
+    np.testing.assert_allclose(
+        clip2.vision.embed_image(img), clip.vision.embed_image(img), atol=1e-6)
+
+    # and the towers must match the torch source models
+    x = torch.randn(2, 3, 16, 16)
+    ref = vt(x).detach().numpy()
+    import clip_embedder_tpu.models.vit as vit_mod
+
+    got = np.asarray(vit_mod.apply(
+        clip.vision.params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
+        clip.vision.spec.cfg))
+    cos = (got * ref).sum(-1)
+    assert (cos > 1 - 1e-5).all()
