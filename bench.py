@@ -38,7 +38,7 @@ def main() -> None:
     enable_compilation_cache()
 
     from clip_embedder_tpu.models import vit
-    from clip_embedder_tpu.models.vit import ViTCfg
+    from clip_embedder_tpu.models.zoo import so400m_siglip2_384
     from clip_embedder_tpu.ops.preprocess import preprocess_weights_for, resize_normalize
 
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
@@ -48,12 +48,8 @@ def main() -> None:
     src = int(os.environ.get("BENCH_SRC", "512"))
     target = 384
 
-    cfg = ViTCfg(
-        image_size=target, patch_size=16, width=1152, layers=27, heads=16,
-        mlp_hidden=4304, embed_dim=1152, activation="gelu_tanh",
-        use_class_token=False, use_ln_pre=False, pool="map", use_proj=False,
-        ln_eps=1e-6, pos_embed_cls=False,
-    )
+    cfg = so400m_siglip2_384()
+    assert cfg.image_size == target
     params = vit.init(jax.random.key(0), cfg, dtype=dtype)
     quant = os.environ.get("BENCH_QUANT")
     if quant == "int8":
@@ -102,6 +98,9 @@ def main() -> None:
             best = ips
             best_batch = batch
 
+    if best == 0.0:
+        print("benchmark failed: no batch size completed", file=sys.stderr)
+        sys.exit(1)
     result = {
         "metric": "images_per_sec_per_chip_vision_384px",
         "value": round(best, 2),

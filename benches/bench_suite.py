@@ -7,7 +7,7 @@ the default JAX device and prints a table plus one JSON line per
 measurement. Reference CPU numbers from README.md:106-115 are shown as
 vs_baseline speedups where published.
 
-    python benches/bench_suite.py [--models so400m,mobileclip_s2] [--batch N]
+    python benches/bench_suite.py [--models vit_so400m_siglip2_384,mobileclip2_s2] [--batch N]
 """
 
 from __future__ import annotations
@@ -29,39 +29,39 @@ MODELS: dict[str, dict] = {
         kind="vit", image=384, patch=16, width=1152, layers=27, heads=16,
         mlp=4304, pool="map", act="gelu_tanh",
         text=dict(ctx=64, vocab=32000, width=1152, heads=16, layers=27,
-                  mlp=4304, causal=False, pool="last"),
+                  mlp=4304, causal=False, pool="last", embed=1152),
         baseline_vision_ms=988.0, baseline_text_ms=136.0,
     ),
     "vit_gopt_siglip2_384": dict(
         kind="vit", image=384, patch=16, width=1536, layers=40, heads=16,
         mlp=6144, pool="map", act="gelu_tanh",
         text=dict(ctx=64, vocab=32000, width=1152, heads=16, layers=27,
-                  mlp=4304, causal=False, pool="last"),
+                  mlp=4304, causal=False, pool="last", embed=1152),
         baseline_vision_ms=2354.0, baseline_text_ms=128.0,
     ),
     "vit_h14_dfn5b_378": dict(
         kind="vit", image=378, patch=14, width=1280, layers=32, heads=16,
         mlp=5120, pool="cls", act="quick_gelu",
         text=dict(ctx=77, vocab=49408, width=1024, heads=16, layers=24,
-                  mlp=4096, causal=True, pool="argmax"),
+                  mlp=4096, causal=True, pool="argmax", embed=1024),
         baseline_vision_ms=1860.0, baseline_text_ms=131.0,
     ),
     "mobileclip2_s2": dict(
         kind="fastvit", variant="fastvit_mci2", image=256,
         text=dict(ctx=77, vocab=49408, width=512, heads=8, layers=12,
-                  mlp=2048, causal=True, pool="argmax"),
+                  mlp=2048, causal=True, pool="argmax", embed=512),
         baseline_vision_ms=75.0, baseline_text_ms=19.0,
     ),
     "mobileclip2_s3": dict(
         kind="fastvit", variant="fastvit_mci3", image=256,
         text=dict(ctx=77, vocab=49408, width=640, heads=10, layers=12,
-                  mlp=2560, causal=True, pool="argmax"),
+                  mlp=2560, causal=True, pool="argmax", embed=640),
         baseline_vision_ms=116.0, baseline_text_ms=35.0,
     ),
     "mobileclip2_s4": dict(
         kind="fastvit", variant="fastvit_mci4", image=256,
         text=dict(ctx=77, vocab=49408, width=768, heads=12, layers=16,
-                  mlp=3072, causal=True, pool="argmax"),
+                  mlp=3072, causal=True, pool="argmax", embed=768),
         baseline_vision_ms=192.0, baseline_text_ms=38.0,
     ),
 }
@@ -143,7 +143,7 @@ def bench_model(name: str, spec: dict, batch: int, attn_impl: str) -> list[dict]
     tcfg = TextCfgResolved(
         context_length=t["ctx"], vocab_size=t["vocab"], width=t["width"],
         heads=t["heads"], layers=t["layers"], mlp_hidden=t["mlp"],
-        embed_dim=512, causal=t["causal"], pool=t["pool"],
+        embed_dim=t.get("embed", 512), causal=t["causal"], pool=t["pool"],
     )
     tparams = text_transformer.init(jax.random.key(1), tcfg, dtype=jnp.bfloat16)
     ids = jnp.asarray(rng.integers(1, t["vocab"] - 1, (batch, t["ctx"])),
@@ -171,16 +171,22 @@ def main():
 
     enable_compilation_cache()
 
+    measured = 0
     for name in args.models.split(","):
         name = name.strip()
         if name not in MODELS:
-            print(f"unknown model '{name}'", file=sys.stderr)
+            print(f"unknown model '{name}' (choices: {', '.join(MODELS)})",
+                  file=sys.stderr)
             continue
         try:
             for row in bench_model(name, MODELS[name], args.batch, args.attn):
                 print(json.dumps(row), flush=True)
+                measured += 1
         except Exception as e:  # noqa: BLE001
             print(f"{name} failed: {type(e).__name__}: {e}", file=sys.stderr)
+    if measured == 0:
+        print("benchmark suite produced no measurements", file=sys.stderr)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

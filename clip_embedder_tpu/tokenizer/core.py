@@ -102,11 +102,12 @@ class Tokenizer:
 
     # -- encoding ---------------------------------------------------------
 
-    def _build_added_regex(self):
-        if not self.added_tokens:
+    @staticmethod
+    def _compile_added(tokens: list[AddedToken]):
+        if not tokens:
             return None
         parts = []
-        for tok in sorted(self.added_tokens, key=lambda t: -len(t.content)):
+        for tok in sorted(tokens, key=lambda t: -len(t.content)):
             pat = regex.escape(tok.content)
             if tok.lstrip:
                 pat = r"\s*" + pat
@@ -117,6 +118,14 @@ class Tokenizer:
             parts.append(pat)
         return regex.compile("|".join(parts))
 
+    def _build_added_regex(self):
+        """Two matchers, HF semantics: non-normalized added tokens match the
+        raw text; normalized ones match after the normalizer runs."""
+        raw = [t for t in self.added_tokens if not t.normalized]
+        norm = [t for t in self.added_tokens if t.normalized]
+        self._added_norm_rx = self._compile_added(norm)
+        return self._compile_added(raw)
+
     def _match_added(self, piece: str) -> int | None:
         stripped = piece.strip()
         for tok in self.added_tokens:
@@ -124,31 +133,43 @@ class Tokenizer:
                 return tok.id
         return None
 
-    def _encode_text_segment(self, text: str) -> list[int]:
-        text = self.normalizer(text)
+    def _split_on(self, rx, text: str, encode_segment) -> list[int]:
         ids: list[int] = []
-        for pretoken in self.pretokenizer(text):
-            ids.extend(self.model.tokenize(pretoken))
+        last = 0
+        for m in rx.finditer(text):
+            if m.start() > last:
+                ids.extend(encode_segment(text[last : m.start()]))
+            token_id = self._match_added(m.group(0))
+            if token_id is not None:
+                ids.append(token_id)
+            else:  # defensive: treat as plain text
+                ids.extend(encode_segment(m.group(0)))
+            last = m.end()
+        if last < len(text):
+            ids.extend(encode_segment(text[last:]))
         return ids
+
+    def _encode_text_segment(self, text: str) -> list[int]:
+        """Normalize, then match normalized added tokens, then pre-tokenize
+        and run the model on the remaining spans."""
+        text = self.normalizer(text)
+
+        def model_span(span: str) -> list[int]:
+            ids: list[int] = []
+            for pretoken in self.pretokenizer(span):
+                ids.extend(self.model.tokenize(pretoken))
+            return ids
+
+        if self._added_norm_rx is not None:
+            return self._split_on(self._added_norm_rx, text, model_span)
+        return model_span(text)
 
     def encode(self, text: str, add_special_tokens: bool = True) -> list[int]:
         """Text → token ids (with specials, truncated to max_length)."""
-        ids: list[int] = []
         if self._added_rx is None:
             ids = self._encode_text_segment(text)
         else:
-            last = 0
-            for m in self._added_rx.finditer(text):
-                if m.start() > last:
-                    ids.extend(self._encode_text_segment(text[last : m.start()]))
-                token_id = self._match_added(m.group(0))
-                if token_id is not None:
-                    ids.append(token_id)
-                else:  # defensive: treat as plain text
-                    ids.extend(self._encode_text_segment(m.group(0)))
-                last = m.end()
-            if last < len(text):
-                ids.extend(self._encode_text_segment(text[last:]))
+            ids = self._split_on(self._added_rx, text, self._encode_text_segment)
 
         if self.max_length is not None:
             budget = self.max_length - (self.num_special if add_special_tokens else 0)

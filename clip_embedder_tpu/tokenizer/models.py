@@ -149,6 +149,10 @@ class Unigram:
         self.unk_id: int | None = spec.get("unk_id")
         self.byte_fallback: bool = spec.get("byte_fallback", False)
         self.max_piece_len = max((len(p) for p in self.pieces), default=1)
+        # SentencePiece/HF unknown-char score: min vocab score - 10, so real
+        # pieces with very low log-probs still beat the unk path.
+        min_score = min((lp for _, lp in self.pieces.values()), default=0.0)
+        self.unk_penalty = min_score - 10.0
 
     def tokenize(self, word: str) -> list[int]:
         if not word:
@@ -158,7 +162,7 @@ class Unigram:
         best = [NEG] * (n + 1)
         back: list[tuple[int, int | None]] = [(0, None)] * (n + 1)
         best[0] = 0.0
-        unk_penalty = -20.0
+        unk_penalty = self.unk_penalty
         for end in range(1, n + 1):
             lo = max(0, end - self.max_piece_len)
             for start in range(lo, end):

@@ -128,6 +128,8 @@ def build_pretokenizer(spec: dict | None) -> PreTokenizer:
         split = spec.get("split", True)
 
         def metaspace(s: str) -> list[str]:
+            if not s:
+                return []
             if scheme in ("always", "first") and not s.startswith((" ", replacement)):
                 s = " " + s
             s = s.replace(" ", replacement)

@@ -43,7 +43,13 @@ class TrainConfig:
 
 
 def init_train_state(key: jax.Array, cfg: TrainConfig, *, dtype=jnp.float32):
-    """Params (both towers + learnable logit scale/bias) and optimizer state."""
+    """Params (both towers + learnable logit scale/bias).
+
+    Returns ``(params, None)`` — the optimizer state is created by
+    ``make_sharded_train_step`` (under jit, inheriting param shardings) or
+    ``init_opt_state`` for unsharded use; materializing adamw moments on
+    one device here would double the unsharded memory for nothing.
+    """
     kv, kt = jax.random.split(key)
     params = {
         "visual": vit.init(kv, cfg.vision_cfg, dtype=dtype),
@@ -53,13 +59,24 @@ def init_train_state(key: jax.Array, cfg: TrainConfig, *, dtype=jnp.float32):
         "logit_bias": jnp.asarray(-10.0 if cfg.loss == "siglip" else 0.0,
                                   dtype=jnp.float32),
     }
-    tx = make_optimizer(cfg)
-    opt_state = tx.init(params)
-    return params, opt_state
+    return params, None
+
+
+def init_opt_state(cfg: TrainConfig, params):
+    """Optimizer state for the unsharded ``train_step`` path."""
+    return make_optimizer(cfg).init(params)
+
+
+def _decay_mask(params):
+    """Decay only matrix-shaped weights: embeddings/kernels decay; biases,
+    LayerNorm scales, layer-scale gammas, and the learnable logit
+    scale/bias don't (standard open_clip recipe)."""
+    return jax.tree.map(lambda p: jnp.ndim(p) >= 2, params)
 
 
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay)
+    return optax.adamw(cfg.learning_rate, weight_decay=cfg.weight_decay,
+                       mask=_decay_mask)
 
 
 def clip_loss(img_emb: jax.Array, txt_emb: jax.Array, scale: jax.Array,

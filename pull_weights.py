@@ -139,6 +139,13 @@ def run_pull(repo_id: str, base_output_dir: Path) -> Path:
         except Exception as e:  # noqa: BLE001
             print(f"  miss {filename} ({type(e).__name__})")
 
+    if not (out / "open_clip_config.json").is_file():
+        raise SystemExit(
+            f"'{repo_id}' has no open_clip_config.json — not an "
+            f"open_clip-compatible repo (transformers-format repos are not "
+            f"supported; use the original open_clip checkpoint repo)"
+        )
+
     ckpt = None
     for filename in CHECKPOINT_CANDIDATES:
         try:
