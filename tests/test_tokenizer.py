@@ -237,3 +237,40 @@ def test_fuzz_random_strings_match_hf(tmp_path):
             got = ours.encode(text)
             ref = theirs.encode(text).ids
             assert got == ref, f"{factory.__name__} mismatch on {text!r}: {got} vs {ref}"
+
+
+def test_normalized_added_token_matches_after_normalization(tmp_path):
+    """HF semantics: added tokens with normalized=true are matched against
+    the *normalized* text (so case variants hit the special id under a
+    Lowercase normalizer)."""
+    spec = make_clip_style_spec()
+    # flip the eot token to normalized=true
+    for tok in spec["added_tokens"]:
+        if tok["content"] == "<|endoftext|>":
+            tok["normalized"] = True
+    path = tmp_path / "tok.json"
+    path.write_text(json.dumps(spec))
+    ours = Tokenizer.from_file(path)
+    theirs = hf_tokenizers.Tokenizer.from_file(str(path))
+    for text in ["cat <|ENDOFTEXT|> dog", "cat <|endoftext|> dog", "<|EndOfText|>"]:
+        assert ours.encode(text) == theirs.encode(text).ids, text
+
+
+def test_unigram_low_score_piece_beats_unk(tmp_path):
+    """SentencePiece unk score is min_score-10: a real piece with a very
+    low log-prob must still win over the unknown path."""
+    spec = {
+        "version": "1.0",
+        "added_tokens": [],
+        "normalizer": None,
+        "pre_tokenizer": {"type": "WhitespaceSplit"},
+        "post_processor": None,
+        "model": {"type": "Unigram", "unk_id": 0,
+                  "vocab": [["<unk>", 0.0], ["xy", -30.0], ["y", -5.0]],
+                  "byte_fallback": False},
+    }
+    path = tmp_path / "tok.json"
+    path.write_text(json.dumps(spec))
+    ours = Tokenizer.from_file(path)
+    theirs = hf_tokenizers.Tokenizer.from_file(str(path))
+    assert ours.encode("xy") == theirs.encode("xy").ids == [1]
