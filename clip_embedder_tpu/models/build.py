@@ -108,6 +108,11 @@ def resolve_vision(model_cfg: ModelCfg) -> TowerSpec:
             from .fastvit import resolve_fastvit
 
             return TowerSpec("fastvit", resolve_fastvit(name, v, embed_dim, model_cfg))
+        if name.startswith("convnext"):
+            from .convnext import resolve_convnext
+
+            return TowerSpec("convnext",
+                             resolve_convnext(name, v, embed_dim, model_cfg))
         raise ConfigError(f"Unsupported timm vision tower '{name}'")
 
     # ModifiedResNet towers declare per-stage depths as a list

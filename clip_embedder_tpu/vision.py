@@ -85,6 +85,10 @@ def _jitted_vision_forward(spec: TowerSpec, attn_impl: str):
             from .models import resnet
 
             return resnet.apply(params, pixels, spec.cfg)
+        if spec.family == "convnext":
+            from .models import convnext
+
+            return convnext.apply(params, pixels, spec.cfg)
         raise InferenceError(f"Unknown vision family '{spec.family}'")
 
     return jax.jit(apply)

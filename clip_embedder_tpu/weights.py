@@ -320,6 +320,10 @@ def map_state_dict(
             from .models.resnet import map_resnet_visual
 
             return map_resnet_visual(sd)
+        if family == "convnext":
+            from .models.convnext import map_convnext_visual
+
+            return map_convnext_visual(sd)
         raise WeightError(f"Unknown visual family '{family}'")
     if tower == "text":
         if family == "text_transformer":
