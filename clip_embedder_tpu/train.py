@@ -37,6 +37,11 @@ class TrainConfig:
     learning_rate: float = 1e-4
     weight_decay: float = 0.05
     tensor_parallel: bool = False
+    # FSDP/ZeRO-3-style: shard params (and optimizer moments) over the
+    # 'data' axis; GSPMD all-gathers weights per layer on demand. For
+    # towers whose replicated params + adamw moments don't fit a chip.
+    # Mutually exclusive with tensor_parallel.
+    fsdp: bool = False
     # rematerialize blocks on backward: activation memory of one layer
     # instead of all (jax.checkpoint — the HBM/FLOPs trade for big towers)
     remat: bool = False
@@ -65,6 +70,21 @@ def init_train_state(key: jax.Array, cfg: TrainConfig, *, dtype=jnp.float32):
 def init_opt_state(cfg: TrainConfig, params):
     """Optimizer state for the unsharded ``train_step`` path."""
     return make_optimizer(cfg).init(params)
+
+
+def _fsdp_spec(p, *, mesh) -> P:
+    """FSDP sharding for one param: shard the largest axis divisible by the
+    data-axis size over 'data'; small/odd params stay replicated."""
+    n = mesh.shape[DATA_AXIS]
+    if jnp.ndim(p) < 2:
+        return P()
+    axes = sorted(range(jnp.ndim(p)), key=lambda a: -p.shape[a])
+    for axis in axes:
+        if p.shape[axis] % n == 0 and p.shape[axis] >= n:
+            spec = [None] * jnp.ndim(p)
+            spec[axis] = DATA_AXIS
+            return P(*spec)
+    return P()
 
 
 def _decay_mask(params):
@@ -129,6 +149,8 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, params):
     automatically (GSPMD propagation) — no hand-written state specs.
     Returns (jitted_step, placed_params, placed_opt_state).
     """
+    if cfg.tensor_parallel and cfg.fsdp:
+        raise ValueError("tensor_parallel and fsdp are mutually exclusive")
     if cfg.tensor_parallel:
         param_specs = {
             "visual": tp_param_specs(params["visual"], tower="vit"),
@@ -136,6 +158,8 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, params):
             "logit_scale": P(),
             "logit_bias": P(),
         }
+    elif cfg.fsdp:
+        param_specs = jax.tree.map(partial(_fsdp_spec, mesh=mesh), params)
     else:
         param_specs = jax.tree.map(lambda _: P(), params)
 

@@ -228,3 +228,45 @@ def test_pipeline_over_sharded_embedder(mesh):
     assert got.shape == expect.shape
     cos = np.sum(got * expect, axis=-1)
     assert (cos > 1 - 1e-5).all()
+
+
+def test_fsdp_train_step_matches_dp(mesh):
+    """FSDP (ZeRO-3 param sharding over 'data') must produce the same loss
+    as plain DP, with params actually sharded."""
+    from clip_embedder_tpu.train import (
+        TrainConfig, init_train_state, make_sharded_train_step,
+    )
+
+    rng = np.random.default_rng(5)
+    batch = {
+        "pixels": jax.device_put(
+            jnp.asarray(rng.standard_normal((8, 32, 32, 3)), jnp.float32),
+            NamedSharding(mesh, P("data"))),
+        "input_ids": jax.device_put(
+            jnp.asarray(rng.integers(1, 127, (8, 16)), jnp.int32),
+            NamedSharding(mesh, P("data"))),
+    }
+    losses = {}
+    for fsdp in (False, True):
+        cfg = TrainConfig(vision_cfg=VCFG, text_cfg=TCFG, fsdp=fsdp)
+        params, _ = init_train_state(jax.random.key(0), cfg)
+        step, params, opt_state = make_sharded_train_step(cfg, mesh, params)
+        if fsdp:
+            # a large matrix param must actually be sharded over 'data'
+            fc = params["visual"]["blocks"]["mlp"]["fc"]["w"]
+            assert "data" in str(fc.sharding.spec)
+        _, _, loss = step(params, opt_state, batch)
+        losses[fsdp] = float(loss)
+    assert abs(losses[False] - losses[True]) < 1e-5
+
+
+def test_fsdp_and_tp_mutually_exclusive(mesh):
+    from clip_embedder_tpu.train import (
+        TrainConfig, init_train_state, make_sharded_train_step,
+    )
+
+    cfg = TrainConfig(vision_cfg=VCFG, text_cfg=TCFG, fsdp=True,
+                      tensor_parallel=True)
+    params, _ = init_train_state(jax.random.key(0), cfg)
+    with pytest.raises(ValueError):
+        make_sharded_train_step(cfg, mesh, params)
