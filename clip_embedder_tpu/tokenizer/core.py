@@ -56,7 +56,12 @@ class Tokenizer:
             spec.get("post_processor")
         )
         self.added_tokens = [AddedToken(t) for t in spec.get("added_tokens", [])]
-        self._added_rx = self._build_added_regex()
+        # Two matchers, HF semantics: non-normalized added tokens match the
+        # raw text; normalized ones match after the normalizer runs.
+        self._added_rx = self._compile_added(
+            [t for t in self.added_tokens if not t.normalized])
+        self._added_norm_rx = self._compile_added(
+            [t for t in self.added_tokens if t.normalized])
 
         # Fixed padding/truncation (configured via with_padding/with_truncation,
         # mirroring reference src/text.rs:76-85).
@@ -117,14 +122,6 @@ class Tokenizer:
                 pat = r"(?<!\S)" + pat + r"(?!\S)"
             parts.append(pat)
         return regex.compile("|".join(parts))
-
-    def _build_added_regex(self):
-        """Two matchers, HF semantics: non-normalized added tokens match the
-        raw text; normalized ones match after the normalizer runs."""
-        raw = [t for t in self.added_tokens if not t.normalized]
-        norm = [t for t in self.added_tokens if t.normalized]
-        self._added_norm_rx = self._compile_added(norm)
-        return self._compile_added(raw)
 
     def _match_added(self, piece: str) -> int | None:
         stripped = piece.strip()

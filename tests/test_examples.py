@@ -1,0 +1,90 @@
+"""Example scripts run end-to-end as subprocesses over the golden fixture
+dir (the reference's examples are exercised by CI builds; ours actually
+execute — reference: examples/*.rs)."""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).parent.parent
+FIXTURE = REPO / "tests" / "fixtures" / "golden_model"
+
+ENV = {
+    **os.environ,
+    "JAX_PLATFORMS": "cpu",
+    "CLIP_TPU_LOG": "info",
+}
+
+
+def run_example(script: str, *args: str) -> subprocess.CompletedProcess:
+    # examples force their own sys.path; run with CPU backend via env +
+    # the conftest trick is unavailable, so pass a sitecustomize-free env
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        f"import runpy, sys; sys.argv = [{script!r}, *{list(args)!r}]; "
+        f"runpy.run_path({str(REPO / 'examples' / script)!r}, run_name='__main__')"
+    )
+    return subprocess.run(
+        [sys.executable, "-c", code], env=ENV, capture_output=True,
+        text=True, timeout=300, cwd=REPO,
+    )
+
+
+@pytest.fixture(scope="module")
+def image_file(tmp_path_factory):
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    d = tmp_path_factory.mktemp("imgs")
+    img = np.load(FIXTURE / "golden_image.npy")
+    path = d / "img.png"
+    Image.fromarray(img).save(path)
+    return path
+
+
+def test_basic_example(image_file):
+    proc = run_example("basic.py", str(FIXTURE), str(image_file),
+                       "a photo of a cat", "a photo of a dog")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "a photo of a cat" in proc.stdout
+    assert "%" in proc.stdout
+
+
+def test_text_only_example():
+    proc = run_example("text_only.py", str(FIXTURE), "a cat", "a dog")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dim=32" in proc.stdout
+
+
+def test_vision_only_example(image_file):
+    proc = run_example("vision_only.py", str(FIXTURE), str(image_file))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dim=32" in proc.stdout
+
+
+def test_debug_local_example(image_file, tmp_path):
+    proc = run_example("debug_local.py", str(FIXTURE), str(image_file),
+                       "a photo of a cat")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    for marker in ("tokenization", "preprocessing", "embeddings",
+                   "raw dot product"):
+        assert marker in proc.stdout
+    (REPO / "debug_preprocessed.png").unlink(missing_ok=True)
+
+
+def test_search_example(image_file, tmp_path):
+    # a directory of two images
+    import shutil
+
+    d = tmp_path / "gallery"
+    d.mkdir()
+    shutil.copy(image_file, d / "a.png")
+    shutil.copy(image_file, d / "b.png")
+    proc = run_example("search.py", str(FIXTURE), str(d), "a photo of a cat")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "a.png" in proc.stdout and "b.png" in proc.stdout
