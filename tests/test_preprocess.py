@@ -120,3 +120,31 @@ def test_padding_does_not_leak_into_result():
     big = rng.integers(0, 255, size=(300, 400, 3), dtype=np.uint8)
     b = np.asarray(pp([arr, big]))[0]
     np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_random_size_fuzz_vs_pil():
+    """30 random (source, crop-mode, filter) combinations vs float-PIL —
+    the geometry sweep beyond the hand-picked cases."""
+    import random
+
+    rng = np.random.default_rng(9)
+    rnd = random.Random(9)
+    for _ in range(30):
+        h = rnd.randint(8, 300)
+        w = rnd.randint(8, 300)
+        target = rnd.choice([16, 32, 48, 97])
+        interp = rnd.choice(["bicubic", "bilinear"])
+        mode = rnd.choice(["shortest", "squash"])
+        arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+
+        wh, ww = preprocess_weights_for(w, h, target, interpolation=interp,
+                                        resize_mode=mode)
+        ours = np.einsum("oh,hwc,pw->opc", wh, arr.astype(np.float64), ww)
+
+        if mode == "squash":
+            box = None
+        else:
+            cx, cy, side = shortest_crop_box(w, h)
+            box = (cx, cy, cx + side, cy + side)
+        ref = pil_resize(arr, target, interp, box=box).astype(np.float64)
+        assert np.abs(ours - ref).max() <= 5e-3, (h, w, target, interp, mode)

@@ -1,0 +1,110 @@
+"""Offline coverage of the converter (pull_weights.py): a synthetic full
+open_clip checkpoint (torch state dict with visual.* + text + logit params)
+converts into a servable model dir — the reference exporter's role
+(reference: pull_onnx.py:251-303) without the network."""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+import pull_weights
+from torch_ref import TextTransformer, VisionTransformer
+
+
+@pytest.fixture()
+def checkpoint_and_dir(tmp_path):
+    torch.manual_seed(0)
+    vt = VisionTransformer(32, 8, 64, 2, 4, 256, 32, quick_gelu=True).eval()
+    tt = TextTransformer(12, 512, 64, 4, 2, 256, 32, quick_gelu=True).eval()
+    sd = {f"visual.{k}": v.numpy() for k, v in vt.state_dict().items()}
+    sd.update({k: v.numpy() for k, v in tt.state_dict().items()})
+    sd["logit_scale"] = np.asarray(np.log(100.0), np.float32)
+
+    d = tmp_path / "model"
+    d.mkdir()
+    occ = {
+        "model_cfg": {
+            "embed_dim": 32, "quick_gelu": True,
+            "vision_cfg": {"image_size": 32, "layers": 2, "width": 64,
+                           "patch_size": 8, "head_width": 16},
+            "text_cfg": {"context_length": 12, "vocab_size": 512, "width": 64,
+                         "heads": 4, "layers": 2},
+        },
+        "preprocess_cfg": {"mean": [0.5, 0.5, 0.5], "std": [0.3, 0.3, 0.3]},
+    }
+    (d / "open_clip_config.json").write_text(json.dumps(occ))
+    from test_tokenizer import make_clip_style_spec
+
+    (d / "tokenizer.json").write_text(json.dumps(make_clip_style_spec()))
+    return sd, d, occ, vt, tt
+
+
+def test_convert_checkpoint_serves(checkpoint_and_dir):
+    sd, d, occ, vt, tt = checkpoint_and_dir
+    model_config = pull_weights.derive_model_config("some/CLIP-model", occ, sd)
+    (d / "model_config.json").write_text(json.dumps(model_config))
+    # non-siglip repo: softmax head, no lowercase, exp'd logit scale
+    assert model_config["activation_function"] == "softmax"
+    assert model_config["tokenizer_needs_lowercase"] is False
+    assert abs(model_config["logit_scale"] - 100.0) < 1e-3
+    assert model_config["vocab_size"] == 512
+
+    pull_weights.convert_checkpoint(d, sd)
+    assert (d / "visual.npz").is_file() and (d / "text.npz").is_file()
+
+    from clip_embedder_tpu import Clip
+
+    clip = Clip.from_local_dir(d)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (40, 50, 3), dtype=np.uint8)
+    results = clip.classify(img, ["a photo of a cat", "a photo of a dog"])
+    assert abs(sum(p for _, p in results) - 1.0) < 1e-5
+
+    # vision tower must match the torch source
+    import jax.numpy as jnp
+    from clip_embedder_tpu.models import vit as vit_mod
+
+    x = torch.randn(2, 3, 32, 32)
+    ref = vt(x).detach().numpy()
+    got = np.asarray(vit_mod.apply(
+        clip.vision.params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()),
+        clip.vision.spec.cfg))
+    assert ((got * ref).sum(-1) > 1 - 1e-5).all()
+
+    # and the text tower
+    ids = torch.randint(1, 510, (3, 12))
+    ids[:, 0] = 511
+    ref_t = tt(ids).detach().numpy()
+    from clip_embedder_tpu.models import text_transformer as tt_mod
+
+    got_t = np.asarray(tt_mod.apply(
+        clip.text.params, jnp.asarray(ids.numpy()), clip.text.spec.cfg))
+    assert ((got_t * ref_t).sum(-1) > 1 - 1e-5).all()
+
+
+def test_derive_model_config_siglip_rules(checkpoint_and_dir):
+    """SigLIP detection rules (reference: pull_onnx.py:128-150): repo name
+    or init_logit_bias; pad_id 1 for SigLIP-v1, 0 for SigLIP2."""
+    sd, _, occ, _, _ = checkpoint_and_dir
+    sd = dict(sd)
+    sd["logit_bias"] = np.asarray(-12.9, np.float32)
+
+    mc = pull_weights.derive_model_config("timm/ViT-SO400M-14-SigLIP", occ, sd)
+    assert mc["activation_function"] == "sigmoid"
+    assert mc["tokenizer_needs_lowercase"] is True
+    assert mc["pad_id"] == 1
+    assert abs(mc["logit_bias"] + 12.9) < 1e-5
+
+    mc2 = pull_weights.derive_model_config("timm/ViT-B-16-SigLIP2", occ, sd)
+    assert mc2["pad_id"] == 0
+
+    occ_bias = dict(occ)
+    occ_bias["model_cfg"] = {**occ["model_cfg"], "init_logit_bias": -10.0}
+    mc3 = pull_weights.derive_model_config("someone/NoNameHint", occ_bias, sd)
+    assert mc3["activation_function"] == "sigmoid"
