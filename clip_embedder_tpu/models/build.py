@@ -28,7 +28,9 @@ _TIMM_VIT_SIZES: dict[str, tuple[int, int, int, int]] = {
     "base": (768, 12, 12, 3072),
     "large": (1024, 24, 16, 4096),
     "huge": (1280, 32, 16, 5120),
-    "so150m": (896, 27, 14, 3456),
+    # NOTE: so150m deliberately absent — timm's so150m ViTs are reg4
+    # (register-token) variants this implementation doesn't model; an
+    # unknown-size error beats silently-wrong shapes.
     "so400m": (1152, 27, 16, 4304),
     "giant": (1408, 40, 16, 6144),
     "giantopt": (1536, 40, 16, 6144),
@@ -63,6 +65,7 @@ def _parse_timm_vit(name: str, vcfg, embed_dim: int, timm_pool: str | None,
     patch = int(m.group(1))
 
     is_siglip = "siglip" in name
+    norm_after_pool = False
     if timm_pool:
         pool = timm_pool
     elif "gap" in name.split("_"):
@@ -71,8 +74,15 @@ def _parse_timm_vit(name: str, vcfg, embed_dim: int, timm_pool: str | None,
         pool = "map"
     else:
         pool = "tok"
+    if pool == "avg":
+        # classic timm global_pool='avg': the final norm is fc_norm, applied
+        # AFTER pooling (unlike SigLIP 'gap' towers, which norm first).
+        pool = "gap"
+        norm_after_pool = True
 
-    use_proj = timm_proj not in (None, "none", "")
+    # open_clip TimmModel defaults to a linear projection when timm_proj is
+    # omitted; SigLIP configs set 'none' explicitly.
+    use_proj = (timm_proj or "linear") not in ("none", "")
     return ViTCfg(
         image_size=vcfg.image_size,
         patch_size=patch,
@@ -89,6 +99,7 @@ def _parse_timm_vit(name: str, vcfg, embed_dim: int, timm_pool: str | None,
         proj_bias=True,
         ln_eps=1e-6,
         pos_embed_cls=not is_siglip and pool != "gap",
+        norm_after_pool=norm_after_pool,
     )
 
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from einops import rearrange
 
 from ..ops.attention import multi_head_attention
-from ..ops.layers import ACTIVATIONS, layer_norm, linear, mlp
+from ..ops.layers import ACTIVATIONS, gelu, layer_norm, linear, mlp
 from ..ops.normalize import l2_normalize
 
 Params = dict
@@ -54,6 +54,8 @@ class ViTCfg:
     use_layer_scale: bool = False
     ln_eps: float = 1e-5
     pos_embed_cls: bool = True        # class token has a pos-embed row
+    # classic timm global_pool='avg': fc_norm applies AFTER pooling
+    norm_after_pool: bool = False
 
     @property
     def grid(self) -> int:
@@ -251,14 +253,22 @@ def apply(
         x = layer_norm(params["ln_post"], x, eps=cfg.ln_eps)
         pooled = _map_pool(cfg, act, params, x)
     elif cfg.pool == "gap":
-        x = layer_norm(params["ln_post"], x, eps=cfg.ln_eps)
         start = 1 if cfg.use_class_token else 0
-        pooled = jnp.mean(x[:, start:], axis=1)
+        if cfg.norm_after_pool:
+            pooled = jnp.mean(x[:, start:], axis=1)
+            pooled = layer_norm(params["ln_post"], pooled, eps=cfg.ln_eps)
+        else:
+            x = layer_norm(params["ln_post"], x, eps=cfg.ln_eps)
+            pooled = jnp.mean(x[:, start:], axis=1)
     else:  # cls / tok
         pooled = layer_norm(params["ln_post"], x[:, :1], eps=cfg.ln_eps)[:, 0]
 
     if cfg.use_proj and "proj" in params:
-        pooled = linear(params["proj"], pooled)
+        proj = params["proj"]
+        if "fc" in proj:  # open_clip timm_proj='mlp': Linear→gelu→Linear
+            pooled = linear(proj["out"], gelu(linear(proj["fc"], pooled)))
+        else:
+            pooled = linear(proj, pooled)
     if normalize:
         pooled = l2_normalize(pooled)
     return pooled

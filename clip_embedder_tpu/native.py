@@ -73,6 +73,8 @@ def host_preprocess_batch(
     for a in arrays:
         if a.ndim != 3 or a.shape[2] != 3:
             raise ImageError(f"Expected [H, W, 3] u8 arrays, got {a.shape}")
+        if a.shape[0] == 0 or a.shape[1] == 0:
+            raise ImageError(f"Empty image dimension: {a.shape}")
 
     shape = ((batch, 3, image_size, image_size) if chw
              else (batch, image_size, image_size, 3))

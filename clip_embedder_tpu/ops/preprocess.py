@@ -77,6 +77,8 @@ def resize_weights(
     output axis. Implements Pillow's precompute_coeffs math: antialiased
     support scaling and edge-window renormalization.
     """
+    if in_size <= 0:
+        raise ImageError(f"Invalid source dimension {in_size}")
     if crop_size is None:
         crop_size = float(in_size)
     padded = padded_in_size or in_size

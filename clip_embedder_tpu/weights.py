@@ -261,7 +261,9 @@ def map_timm_visual(sd: Mapping[str, np.ndarray]) -> Params:
         },
         "pos_embed": pos,
         "blocks": _stack_blocks(blocks),
-        "ln_post": _ln(sd, "norm"),
+        # global_pool='avg' checkpoints carry fc_norm (post-pool) instead
+        # of a trunk norm (build.py sets norm_after_pool accordingly)
+        "ln_post": _ln(sd, "norm" if "norm.weight" in sd else "fc_norm"),
     }
     if "cls_token" in sd:
         params["cls_token"] = np.asarray(sd["cls_token"]).reshape(1, 1, -1)
@@ -288,7 +290,17 @@ def map_timm_visual(sd: Mapping[str, np.ndarray]) -> Params:
                 "proj": _linear(sd, "attn_pool.mlp.fc2"),
             },
         }
-    if "head.weight" in sd:
+    # open_clip TimmModel projections live under head.*: 'linear' →
+    # head.proj (Sequential with dropout), 'mlp' → head.fc1/fc2 (timm Mlp);
+    # a bare head.weight is the trunk's own classifier-style head.
+    if "head.proj.weight" in sd:
+        params["proj"] = _linear(sd, "head.proj")
+    elif "head.fc1.weight" in sd:
+        params["proj"] = {
+            "fc": _linear(sd, "head.fc1"),
+            "out": _linear(sd, "head.fc2"),
+        }
+    elif "head.weight" in sd:
         params["proj"] = _linear(sd, "head")
     return params
 

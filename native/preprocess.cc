@@ -100,27 +100,39 @@ void resize_one(const uint8_t* src, int src_h, int src_w,
   Weights wy = precompute(out_size, src_h, crop_y, crop_h, filter);
   Weights wx = precompute(out_size, src_w, crop_x, crop_w, filter);
 
-  // Pass 1: vertical — rows [out_size, src_w, 3] in double for accuracy.
-  std::vector<double> tmp(static_cast<size_t>(out_size) * src_w * 3);
+  // Only the columns the horizontal pass will actually sample matter —
+  // for a "shortest"-mode panorama that's the centered crop window, not
+  // the full width. Bound them from the horizontal coefficient windows.
+  int x_lo = src_w, x_hi = 0;
+  for (int ox = 0; ox < out_size; ++ox) {
+    x_lo = std::min(x_lo, wx.xmin[ox]);
+    x_hi = std::max(x_hi, wx.xmin[ox] + wx.count[ox]);
+  }
+  if (x_lo >= x_hi) { x_lo = 0; x_hi = std::min(1, src_w); }
+  const int win_w = x_hi - x_lo;
+
+  // Pass 1: vertical — rows [out_size, win_w, 3] in double for accuracy.
+  std::vector<double> tmp(static_cast<size_t>(out_size) * win_w * 3);
   for (int oy = 0; oy < out_size; ++oy) {
     const double* k = &wy.coeffs[static_cast<size_t>(oy) * wy.max_count];
     int ymin = wy.xmin[oy], n = wy.count[oy];
-    double* row = &tmp[static_cast<size_t>(oy) * src_w * 3];
-    std::memset(row, 0, sizeof(double) * src_w * 3);
+    double* row = &tmp[static_cast<size_t>(oy) * win_w * 3];
+    std::memset(row, 0, sizeof(double) * win_w * 3);
     for (int t = 0; t < n; ++t) {
-      const uint8_t* srow = src + static_cast<size_t>(ymin + t) * src_w * 3;
+      const uint8_t* srow = src +
+          (static_cast<size_t>(ymin + t) * src_w + x_lo) * 3;
       double coef = k[t];
-      for (int x = 0; x < src_w * 3; ++x) row[x] += coef * srow[x];
+      for (int x = 0; x < win_w * 3; ++x) row[x] += coef * srow[x];
     }
   }
 
-  // Pass 2: horizontal + normalize + layout.
+  // Pass 2: horizontal + normalize + layout (indices shifted by x_lo).
   const double inv255 = 1.0 / 255.0;
   for (int oy = 0; oy < out_size; ++oy) {
-    const double* row = &tmp[static_cast<size_t>(oy) * src_w * 3];
+    const double* row = &tmp[static_cast<size_t>(oy) * win_w * 3];
     for (int ox = 0; ox < out_size; ++ox) {
       const double* k = &wx.coeffs[static_cast<size_t>(ox) * wx.max_count];
-      int xmin = wx.xmin[ox], n = wx.count[ox];
+      int xmin = wx.xmin[ox] - x_lo, n = wx.count[ox];
       double acc[3] = {0, 0, 0};
       for (int t = 0; t < n; ++t) {
         const double* px = row + static_cast<size_t>(xmin + t) * 3;
@@ -162,6 +174,10 @@ void clip_preprocess_batch(const uint8_t** srcs, const int* hs, const int* ws,
   size_t per = static_cast<size_t>(3) * out_size * out_size;
   auto work = [&](int i) {
     int h = hs[i], w = ws[i];
+    if (h <= 0 || w <= 0) {  // guard empty dims: zero-fill the slot
+      std::memset(out + per * i, 0, per * sizeof(float));
+      return;
+    }
     double cx = 0.0, cy = 0.0, cw = w, ch = h;
     if (resize_mode == 0) {
       double side = std::min(w, h);
