@@ -104,8 +104,12 @@ def apply(params: Params, pixels: jax.Array, cfg: ConvNeXtCfg, *,
 
         x, _ = jax.lax.scan(body, x, stage["blocks"])
 
-    pooled = jnp.mean(x, axis=(1, 2))
-    pooled = layer_norm(params["head_norm"], pooled, eps=cfg.ln_eps)
+    if "pre_norm" in params:  # head_norm_first checkpoints: LN before pool
+        x = layer_norm(params["pre_norm"], x, eps=cfg.ln_eps)
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(x.dtype)
+    else:
+        pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(x.dtype)
+        pooled = layer_norm(params["head_norm"], pooled, eps=cfg.ln_eps)
     proj = params.get("proj")
     if proj is not None:
         if cfg.proj == "mlp":
@@ -229,10 +233,11 @@ def map_convnext_visual(sd: Mapping[str, np.ndarray]) -> Params:
         params["stages"].append(stage)
 
     # timm NormMlpClassifierHead with num_classes=0 keeps head.norm
+    # (post-pool); head_norm_first models carry norm_pre (pre-pool) instead.
     if "head.norm.weight" in sd:
         params["head_norm"] = _ln(sd, "head.norm")
     else:
-        params["head_norm"] = _ln(sd, "norm_pre")
+        params["pre_norm"] = _ln(sd, "norm_pre")
 
     # open_clip TimmModel projection lives outside the trunk:
     # 'linear' → head.proj, 'mlp' → head.fc1/head.fc2 (after strip, keys may

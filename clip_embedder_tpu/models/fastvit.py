@@ -53,6 +53,9 @@ class FastViTCfg:
     head_dim: int = 32
     final_conv_ratio: float = 2.0
     use_head_proj: bool = True       # project GAP features to embed_dim
+    # timm lkc_use_act: the mci (MobileCLIP) family applies an activation
+    # after the large-kernel downsample conv; classic fastvit variants don't
+    lkc_act: bool = False
 
 
 # Known timm fastvit variants (inference-form shapes). MobileCLIP uses the
@@ -85,35 +88,43 @@ _FASTVIT_VARIANTS: dict[str, dict] = {
                          mixers=("repmixer",) * 3 + ("attention",),
                          pos_embs=(False, False, False, True)),
     # MobileCLIP image encoders
-    "fastvit_mci0": dict(depths=(2, 6, 10, 2), dims=(64, 128, 256, 512),
+    "fastvit_mci0": dict(lkc_act=True, depths=(2, 6, 10, 2), dims=(64, 128, 256, 512),
                          mlp_ratios=(3, 3, 3, 3),
                          mixers=("repmixer",) * 3 + ("attention",),
                          pos_embs=(False, False, False, True)),
-    "fastvit_mci1": dict(depths=(4, 12, 20, 4), dims=(64, 128, 256, 512),
+    "fastvit_mci1": dict(lkc_act=True, depths=(4, 12, 20, 4), dims=(64, 128, 256, 512),
                          mlp_ratios=(3, 3, 3, 3),
                          mixers=("repmixer",) * 3 + ("attention",),
                          pos_embs=(False, False, False, True)),
-    "fastvit_mci2": dict(depths=(4, 12, 24, 4), dims=(80, 160, 320, 640),
+    "fastvit_mci2": dict(lkc_act=True, depths=(4, 12, 24, 4), dims=(80, 160, 320, 640),
                          mlp_ratios=(3, 3, 3, 3),
                          mixers=("repmixer",) * 3 + ("attention",),
                          pos_embs=(False, False, False, True)),
     # MobileCLIP2-S3/S4 (MCi3/MCi4) — dims follow the published scaling;
     # conversion re-checks against checkpoint shapes.
-    "fastvit_mci3": dict(depths=(4, 12, 24, 4), dims=(96, 192, 384, 768),
+    "fastvit_mci3": dict(lkc_act=True, depths=(4, 12, 24, 4), dims=(96, 192, 384, 768),
                          mlp_ratios=(3, 3, 3, 3),
                          mixers=("repmixer",) * 3 + ("attention",),
                          pos_embs=(False, False, False, True)),
-    "fastvit_mci4": dict(depths=(4, 12, 24, 4), dims=(128, 256, 512, 1024),
+    "fastvit_mci4": dict(lkc_act=True, depths=(4, 12, 24, 4), dims=(128, 256, 512, 1024),
                          mlp_ratios=(3, 3, 3, 3),
                          mixers=("repmixer",) * 3 + ("attention",),
                          pos_embs=(False, False, False, True)),
 }
 
 
+_ALIASES = {
+    "mobileclip_s0": "fastvit_mci0", "mobileclip_s1": "fastvit_mci1",
+    "mobileclip_s2": "fastvit_mci2", "mobileclip2_s2": "fastvit_mci2",
+    "mobileclip2_s3": "fastvit_mci3", "mobileclip2_s4": "fastvit_mci4",
+}
+
+
 def resolve_fastvit(name: str, vcfg, embed_dim: int, model_cfg) -> FastViTCfg:
-    base = _FASTVIT_VARIANTS.get(name)
+    base = _FASTVIT_VARIANTS.get(name) or _FASTVIT_VARIANTS.get(
+        _ALIASES.get(name, ""))
     if base is None:
-        # normalize aliases like "mci2" / "mobileclip_s2"
+        # normalize bare aliases like "mci2"
         for key in _FASTVIT_VARIANTS:
             if key.endswith(name) or name.endswith(key.removeprefix("fastvit_")):
                 base = _FASTVIT_VARIANTS[key]
@@ -130,6 +141,7 @@ def resolve_fastvit(name: str, vcfg, embed_dim: int, model_cfg) -> FastViTCfg:
         mlp_ratios=tuple(merged["mlp_ratios"]),
         mixers=tuple(merged["mixers"]),
         pos_embs=tuple(merged["pos_embs"]),
+        lkc_act=bool(merged.get("lkc_act", False)),
     )
 
 
@@ -266,7 +278,9 @@ def apply(params: Params, pixels: jax.Array, cfg: FastViTCfg, *,
     for i, stage in enumerate(params["stages"]):
         if "downsample" in stage:
             d = stage["downsample"]
-            x = gelu(_conv(d["dw"], x, stride=2, groups=x.shape[-1]))
+            x = _conv(d["dw"], x, stride=2, groups=x.shape[-1])
+            if cfg.lkc_act:  # timm lkc_use_act (mci family only)
+                x = gelu(x)
             x = gelu(_conv(d["pw"], x))
         if "cpe" in stage:
             x = _conv(stage["cpe"], x, groups=x.shape[-1])
@@ -284,7 +298,9 @@ def apply(params: Params, pixels: jax.Array, cfg: FastViTCfg, *,
         x, _ = jax.lax.scan(block_fn, x, stage["blocks"])
 
     x = gelu(_conv(params["final_conv"], x, groups=x.shape[-1]))
-    pooled = jnp.mean(x, axis=(1, 2))
+    # f32 pooling accumulation (bf16 reduction over many positions loses
+    # digits — same rationale as ops.layers.layer_norm)
+    pooled = jnp.mean(x.astype(jnp.float32), axis=(1, 2)).astype(x.dtype)
     if "head" in params:
         from ..ops.layers import linear
 
@@ -401,8 +417,22 @@ def map_fastvit_visual(sd: Mapping[str, np.ndarray]) -> Params:
                 }
                 ffn_prefix = f"{bp}.mlp"
                 ls_key = f"{bp}.layer_scale_2.gamma"
+            dw = conv_any(f"{ffn_prefix}.conv.conv", f"{ffn_prefix}.conv")
+            # timm ConvMlp's depthwise conv is ConvNormAct: conv (bias-free)
+            # followed by a BatchNorm that reparameterize_model does NOT
+            # fuse — fold it here (w·s per out-channel, b = β − mean·s).
+            bn_prefix = f"{ffn_prefix}.conv.bn"
+            if f"{bn_prefix}.weight" in sd:
+                gamma = np.asarray(sd[f"{bn_prefix}.weight"], np.float64)
+                beta = np.asarray(sd[f"{bn_prefix}.bias"], np.float64)
+                mean_ = np.asarray(sd[f"{bn_prefix}.running_mean"], np.float64)
+                var_ = np.asarray(sd[f"{bn_prefix}.running_var"], np.float64)
+                scale = gamma / np.sqrt(var_ + 1e-5)
+                dw["w"] = (dw["w"] * scale[None, None, None, :]).astype(np.float32)
+                dw["b"] = (np.asarray(dw["b"], np.float64) * scale
+                           + beta - mean_ * scale).astype(np.float32)
             block["ffn"] = {
-                "dw": conv_any(f"{ffn_prefix}.conv.conv", f"{ffn_prefix}.conv"),
+                "dw": dw,
                 "fc1": _conv_from(sd, f"{ffn_prefix}.fc1"),
                 "fc2": _conv_from(sd, f"{ffn_prefix}.fc2"),
                 "ls": np.asarray(sd[ls_key]).reshape(-1),

@@ -37,7 +37,7 @@ class BertCfg:
     embed_dim: int
     pad_id: int = 0
     activation: str = "gelu"
-    pooler: str = "cls"          # cls | mean
+    pooler: str = "cls"          # cls | cls_pooler | mean | max
     proj: str = "linear"         # linear | mlp | none
     ln_eps: float = 1e-12
 
@@ -54,7 +54,18 @@ def resolve_hf_text(model_cfg) -> BertCfg:
             "hf_model_name text towers need text_cfg.hf_config "
             "(written by pull_weights.py at conversion time)"
         )
+    # open_clip pooler types: cls_pooler (BERT pooler_output =
+    # tanh(dense(CLS))), cls_last_hidden_state_pooler (raw CLS),
+    # mean_pooler (masked mean), max_pooler (masked max).
     pooler_type = t.extra.get("pooler_type", "cls_last_hidden_state_pooler")
+    if pooler_type == "cls_pooler":
+        pooler = "cls_pooler"
+    elif "mean" in pooler_type:
+        pooler = "mean"
+    elif "max" in pooler_type:
+        pooler = "max"
+    else:
+        pooler = "cls"
     proj_type = t.extra.get("proj_type", "linear")
     return BertCfg(
         context_length=t.context_length,
@@ -65,7 +76,7 @@ def resolve_hf_text(model_cfg) -> BertCfg:
         mlp_hidden=int(hf_cfg["intermediate_size"]),
         embed_dim=model_cfg.embed_dim,
         pad_id=int(hf_cfg.get("pad_token_id", 0)),
-        pooler="mean" if "mean" in pooler_type else "cls",
+        pooler=pooler,
         proj={"mlp": "mlp", "none": "none"}.get(proj_type, "linear"),
         ln_eps=float(hf_cfg.get("layer_norm_eps", 1e-12)),
     )
@@ -144,6 +155,12 @@ def apply(params: Params, input_ids: jax.Array, cfg: BertCfg, *,
     if cfg.pooler == "mean":
         denom = jnp.maximum(valid.sum(-1, keepdims=True), 1.0)
         pooled = (x * valid[..., None]).sum(1) / denom
+    elif cfg.pooler == "max":
+        neg = jnp.asarray(-1e30, x.dtype)
+        pooled = jnp.max(jnp.where(valid[..., None] > 0, x, neg), axis=1)
+    elif cfg.pooler == "cls_pooler" and "pooler" in params:
+        # BERT pooler_output: tanh(dense(CLS))
+        pooled = jnp.tanh(linear(params["pooler"], x[:, 0]))
     else:
         pooled = x[:, 0]
 
@@ -196,6 +213,9 @@ def map_hf_text(sd: Mapping[str, np.ndarray]) -> Params:
         "embed_ln": _ln(sd, "embeddings.LayerNorm"),
         "blocks": _stack_blocks(blocks),
     }
+
+    if "pooler.dense.weight" in sd:
+        params["pooler"] = _linear(sd, "pooler.dense")
 
     if "proj.weight" in sd:  # linear proj
         params["proj"] = _linear(sd, "proj")

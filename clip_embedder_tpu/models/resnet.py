@@ -96,7 +96,8 @@ def apply(params: Params, pixels: jax.Array, cfg: ResNetCfg, *,
     p = params["attnpool"]
     b, h, w, c = x.shape
     tokens = x.reshape(b, h * w, c)
-    mean_tok = jnp.mean(tokens, axis=1, keepdims=True)
+    mean_tok = jnp.mean(tokens.astype(jnp.float32), axis=1,
+                        keepdims=True).astype(tokens.dtype)
     tokens = jnp.concatenate([mean_tok, tokens], axis=1)  # [B, 1+HW, C]
     tokens = tokens + p["pos_embed"].astype(tokens.dtype)[None]
 

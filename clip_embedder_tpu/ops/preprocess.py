@@ -228,12 +228,15 @@ class Preprocessor:
             self._weights_cache[key] = hit
         return hit
 
-    def __call__(self, arrays: list[np.ndarray]) -> jax.Array:
-        """list of [H, W, 3] uint8 arrays → [B, S, S, 3] preprocessed batch
-        (padded to the batch bucket; caller slices to len(arrays))."""
+    def stage_host_batch(
+        self, arrays: list[np.ndarray], *, batch_bucket: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Host staging shared by the single-device and mesh-sharded paths:
+        zero-pad images into a bucketed u8 batch and build the per-image
+        resize weight matrices. Returns (batch_u8, whs, wws)."""
         if not arrays:
             raise ImageError("Empty batch")
-        bb = bucket_batch(len(arrays))
+        bb = batch_bucket or bucket_batch(len(arrays))
         ph = bucket_size(max(a.shape[0] for a in arrays))
         pw = bucket_size(max(a.shape[1] for a in arrays))
 
@@ -246,7 +249,12 @@ class Preprocessor:
             wh, ww = self._weights(w, h, ph, pw)
             whs[i] = wh
             wws[i] = ww
+        return batch, whs, wws
 
+    def __call__(self, arrays: list[np.ndarray]) -> jax.Array:
+        """list of [H, W, 3] uint8 arrays → [B, S, S, 3] preprocessed batch
+        (padded to the batch bucket; caller slices to len(arrays))."""
+        batch, whs, wws = self.stage_host_batch(arrays)
         return resize_normalize(
             jnp.asarray(batch), jnp.asarray(whs), jnp.asarray(wws),
             self.mean, self.std, out_dtype=self.out_dtype,

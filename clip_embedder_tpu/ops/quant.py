@@ -36,14 +36,21 @@ def quantize_weight(w: np.ndarray) -> dict:
     return {"w_q": w_q, "w_scale": np.squeeze(scale, axis=-2)}
 
 
-def quantize_tree(params: Params, *, paths: tuple[str, ...] = ("mlp",)) -> Params:
+# MLP-block subtree names across the vision families: vit/text 'mlp',
+# fastvit 'ffn', convnext block linears 'fc1'/'fc2'.
+DEFAULT_QUANT_PATHS = ("mlp", "ffn", "fc1", "fc2")
+
+
+def quantize_tree(params: Params, *,
+                  paths: tuple[str, ...] = DEFAULT_QUANT_PATHS) -> Params:
     """Convert the Linear leaves under the given subtree names (default:
-    every ``mlp`` block) to int8. Leaves keep their bias; other params are
-    untouched. Works on numpy or jax trees; returns a new tree."""
+    the MLP blocks of every family) to int8. Only matmul weights quantize
+    (2-D, or 3-D stacked-layer); convs and other leaves are untouched.
+    Works on numpy or jax trees; returns a new tree."""
 
     def walk(node, under_target: bool):
         if isinstance(node, dict):
-            if under_target and "w" in node and np.ndim(node["w"]) >= 2:
+            if under_target and "w" in node and np.ndim(node["w"]) in (2, 3):
                 q = quantize_weight(np.asarray(node["w"]))
                 out = {k: v for k, v in node.items() if k != "w"}
                 out.update(q)

@@ -98,6 +98,13 @@ class ShardedVisionEmbedder:
     def __init__(self, embedder, mesh: Mesh, *, tensor_parallel: bool = False):
         self.inner = embedder
         self.mesh = mesh
+        if tensor_parallel and getattr(embedder, "quantize", None):
+            from ..errors import ConfigError
+
+            raise ConfigError(
+                "tensor_parallel is not supported with quantized embedders "
+                "(TP partition specs describe full-precision param trees)"
+            )
         if tensor_parallel and embedder.spec.family == "vit":
             self.params = jax.device_put(
                 embedder.params, _tp_shardings(embedder.params, mesh))
@@ -116,22 +123,9 @@ class ShardedVisionEmbedder:
         if len(images) == 0:
             raise InferenceError("Empty batch")
         arrays = [to_rgb_array(img) for img in images]
-        n_data = self.mesh.shape[DATA_AXIS]
-        bb = _batch_bucket(len(arrays), n_data)
-        ph = bucket_size(max(a.shape[0] for a in arrays))
-        pw = bucket_size(max(a.shape[1] for a in arrays))
-        size = self.inner.preprocessor.image_size
-
-        batch = np.zeros((bb, ph, pw, 3), dtype=np.uint8)
-        whs = np.zeros((bb, size, ph), dtype=np.float32)
-        wws = np.zeros((bb, size, pw), dtype=np.float32)
-        for i, a in enumerate(arrays):
-            h, w = a.shape[:2]
-            batch[i, :h, :w] = a
-            wh, ww = self.inner.preprocessor._weights(w, h, ph, pw)
-            whs[i] = wh
-            wws[i] = ww
-
+        bb = _batch_bucket(len(arrays), self.mesh.shape[DATA_AXIS])
+        batch, whs, wws = self.inner.preprocessor.stage_host_batch(
+            arrays, batch_bucket=bb)
         embs = self._forward(self.params, batch, whs, wws)
         return np.asarray(embs[: len(images)].astype(jnp.float32))
 

@@ -35,15 +35,21 @@ from .weights import load_pytree, save_pytree
 
 
 def to_device_tree(params: dict, dtype) -> dict:
-    """numpy pytree → device pytree, casting float leaves to ``dtype``."""
+    """numpy pytree → device pytree, casting float leaves to ``dtype``.
+    Dequantization scales (``w_scale``) stay f32 — rounding them to bf16
+    would add systematic per-channel error on top of the int8 budget."""
+    from jax.tree_util import tree_map_with_path
 
-    def conv(a):
+    def conv(path, a):
         a = np.asarray(a)
-        if np.issubdtype(a.dtype, np.floating):
-            return jnp.asarray(a, dtype=dtype)
-        return jnp.asarray(a)
+        if not np.issubdtype(a.dtype, np.floating):
+            return jnp.asarray(a)
+        key = getattr(path[-1], "key", None) if path else None
+        if key == "w_scale":
+            return jnp.asarray(a, dtype=jnp.float32)
+        return jnp.asarray(a, dtype=dtype)
 
-    return jax.tree.map(conv, params)
+    return tree_map_with_path(conv, params)
 
 
 def _load_or_convert_visual(model_dir: Path, spec: TowerSpec, dtype) -> dict:
@@ -147,7 +153,16 @@ class VisionEmbedder:
             # tradeoff); incompatible with tensor-parallel sharding.
             from .ops.quant import quantize_tree
 
-            params = to_device_tree(quantize_tree(params), dtype)
+            qparams = quantize_tree(params)
+            if not any(
+                getattr(p[-1], "key", None) == "w_q"
+                for p, _ in jax.tree_util.tree_flatten_with_path(qparams)[0]
+            ):
+                raise ConfigError(
+                    f"int8 quantization found no quantizable (matmul) "
+                    f"layers for the '{spec.family}' family"
+                )
+            params = to_device_tree(qparams, dtype)
         elif quantize is not None:
             raise ConfigError(f"Unknown quantize mode '{quantize}'")
         return cls(

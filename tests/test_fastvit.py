@@ -31,9 +31,11 @@ def pair():
         if isinstance(m, torch.nn.BatchNorm2d):
             m.running_mean.normal_(0, 0.5)
             m.running_var.uniform_(0.5, 2.0)
+    # torch ref's Downsample applies act after the large-kernel conv, which
+    # matches the mci family's lkc_use_act=True
     cfg = FastViTCfg(image_size=64, embed_dim=48, depths=DEPTHS, dims=DIMS,
                      mlp_ratios=RATIOS, mixers=MIXERS, pos_embs=POS,
-                     head_dim=32)
+                     head_dim=32, lkc_act=True)
     sd = {f"trunk.{k}": v.numpy() for k, v in tm.state_dict().items()}
     params = fastvit.map_fastvit_visual(sd)
     return tm, cfg, params
@@ -73,6 +75,12 @@ def test_resolve_fastvit_variants():
     assert cfg.dims == (80, 160, 320, 640)
     assert cfg.depths == (4, 12, 24, 4)
     assert cfg.mixers[-1] == "attention"
+    assert cfg.lkc_act is True
+
+    # mobileclip aliases resolve (the router accepts these names)
+    assert resolve_fastvit("mobileclip2_s3", vcfg, 512, None).dims == (96, 192, 384, 768)
+    assert resolve_fastvit("mobileclip_s0", vcfg, 512, None).depths == (2, 6, 10, 2)
+    assert resolve_fastvit("fastvit_sa12", vcfg, 512, None).lkc_act is False
 
     # config override wins over registry
     vcfg2 = VisionCfg(image_size=256,

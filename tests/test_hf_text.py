@@ -104,3 +104,32 @@ def test_resolve_from_config():
     assert spec.cfg.width == 64
     assert spec.cfg.proj == "mlp"
     assert spec.cfg.pooler == "cls"
+
+
+def test_cls_pooler_output_matches_transformers():
+    """open_clip 'cls_pooler' semantics: BERT pooler_output =
+    tanh(dense(CLS))."""
+    config = transformers.BertConfig(
+        vocab_size=120, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=32, pad_token_id=0,
+    )
+    torch.manual_seed(2)
+    model = transformers.BertModel(config, add_pooling_layer=True).eval()
+    cfg = BertCfg(
+        context_length=16, vocab_size=120, width=64, heads=4, layers=2,
+        mlp_hidden=128, embed_dim=64, pad_id=0, pooler="cls_pooler",
+        proj="none",
+    )
+    sd = {f"transformer.{k}": v.detach().numpy()
+          for k, v in model.state_dict().items()}
+    params = hf_text.map_hf_text(sd)
+    assert "pooler" in params
+
+    ids = make_ids()
+    mask = (ids != 0).long()
+    with torch.no_grad():
+        ref = model(input_ids=ids, attention_mask=mask).pooler_output.numpy()
+    got = np.asarray(hf_text.apply(params, jnp.asarray(ids.numpy()), cfg,
+                                   normalize=False))
+    np.testing.assert_allclose(got, ref, atol=3e-4)

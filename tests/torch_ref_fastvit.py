@@ -28,15 +28,20 @@ class ReparamConv(nn.Module):
 
 
 class ConvFFN(nn.Module):
+    """timm ConvMlp: the depthwise conv is ConvNormAct — bias-free conv
+    followed by a BatchNorm that reparameterize_model does NOT fuse."""
+
     def __init__(self, dim, hidden):
         super().__init__()
         self.conv = nn.Sequential()
-        self.conv.add_module("conv", nn.Conv2d(dim, dim, 7, padding=3, groups=dim))
+        self.conv.add_module("conv", nn.Conv2d(dim, dim, 7, padding=3,
+                                               groups=dim, bias=False))
+        self.conv.add_module("bn", nn.BatchNorm2d(dim))
         self.fc1 = nn.Conv2d(dim, hidden, 1)
         self.fc2 = nn.Conv2d(hidden, dim, 1)
 
     def forward(self, x):
-        y = self.conv.conv(x)
+        y = self.conv.bn(self.conv.conv(x))
         y = self.fc2(F.gelu(self.fc1(y)))
         return y
 
