@@ -110,7 +110,14 @@ def resolve_vision(model_cfg: ModelCfg) -> TowerSpec:
 
     if v.timm_model_name:
         name = v.timm_model_name
-        if name.startswith("vit_"):
+        # EVA01 (eva_giant_*) is structurally a timm ViT: cls token, abs pos
+        # embed, standard MLP — only the qkv bias layout differs (handled in
+        # the weight mapper). EVA02 (eva02_*) has rope/SwiGLU: models.eva02.
+        if name.startswith("eva02_"):
+            from .eva02 import resolve_eva02
+
+            return TowerSpec("eva02", resolve_eva02(name, v, embed_dim))
+        if name.startswith(("vit_", "eva_")):
             return TowerSpec(
                 "vit",
                 _parse_timm_vit(name, v, embed_dim, v.timm_pool, v.timm_proj),

@@ -1,0 +1,272 @@
+"""EVA02 vision towers (EVA02-B/L CLIP models — timm ``eva02_*_clip_*``
+under open_clip).
+
+EVA-02 architecture (paper: EVA-02: A Visual Representation for Neon
+Genesis): ViT with
+  * separate q/k/v projections (k bias-free),
+  * 2D axial rotary position embedding on q/k over the patch tokens (the
+    class token is not rotated), applied on top of a learned absolute
+    pos-embed,
+  * sub-LN: a LayerNorm on the merged attention output before the
+    out-projection, and one inside the FFN before its down-projection,
+  * SwiGLU FFN: silu(w_gate·x) ⊙ (w_x·x) → ffn_ln → w_out.
+
+Rope conventions here follow timm's ``RotaryEmbeddingCat`` (rotate-half,
+y/x axis embeddings concatenated over the head dim, inverse-frequency bands
+with configurable temperature). NOTE: rope frequency/layout conventions are
+implemented from the published description and verified against this
+module's own torch mirror (tests/test_eva02.py) — validation against real
+timm checkpoints is tracked as a round-2 item (COMPONENTS.md gaps).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from einops import rearrange
+
+from ..errors import ConfigError
+from ..ops.attention import attention_core
+from ..ops.layers import layer_norm, linear
+from ..ops.normalize import l2_normalize
+
+Params = dict
+
+
+@dataclass(frozen=True)
+class Eva02Cfg:
+    image_size: int
+    patch_size: int
+    width: int
+    layers: int
+    heads: int
+    mlp_hidden: int        # SwiGLU hidden size
+    embed_dim: int
+    use_proj: bool = True
+    rope_temperature: float = 100.0
+    ln_eps: float = 1e-6
+
+    @property
+    def grid(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def head_dim(self) -> int:
+        return self.width // self.heads
+
+
+# width, layers, heads, swiglu hidden for the eva02 clip variants.
+_EVA02_VARIANTS: dict[str, tuple[int, int, int, int]] = {
+    "base": (768, 12, 12, 2048),
+    "large": (1024, 24, 16, 2730),
+}
+
+
+def resolve_eva02(name: str, vcfg, embed_dim: int) -> Eva02Cfg:
+    import re
+
+    size_key = next((k for k in _EVA02_VARIANTS if f"_{k}_" in name), None)
+    if size_key is None:
+        raise ConfigError(
+            f"Unsupported EVA02 variant '{name}' (supported sizes: "
+            f"{', '.join(_EVA02_VARIANTS)})"
+        )
+    m = re.search(r"patch(\d+)", name)
+    if not m:
+        raise ConfigError(f"No patch size in '{name}'")
+    width, layers, heads, hidden = _EVA02_VARIANTS[size_key]
+    override = vcfg.extra.get("eva02_cfg", {})
+    return Eva02Cfg(
+        image_size=vcfg.image_size,
+        patch_size=int(m.group(1)),
+        width=override.get("width", width),
+        layers=override.get("layers", layers),
+        heads=override.get("heads", heads),
+        mlp_hidden=override.get("mlp_hidden", hidden),
+        embed_dim=embed_dim,
+        use_proj=(vcfg.timm_proj or "linear") not in ("none", ""),
+        rope_temperature=override.get("rope_temperature", 100.0),
+    )
+
+
+def rope_embed(grid: int, head_dim: int, temperature: float) -> np.ndarray:
+    """Axial 2D rope table [grid², head_dim] of angles: the y-axis angles
+    fill the first head_dim/2 lanes, x-axis the second half; each axis uses
+    head_dim/4 inverse-frequency bands repeated for the rotate-half pairs.
+    """
+    bands = head_dim // 4
+    inv_freq = 1.0 / (temperature ** (np.arange(bands) / bands))
+    coords = np.arange(grid, dtype=np.float64)
+    y_ang = np.einsum("y,f->yf", coords, inv_freq)  # [grid, bands]
+    x_ang = np.einsum("x,f->xf", coords, inv_freq)
+    # broadcast over the grid; per position concat [y_bands, x_bands] and
+    # duplicate for the two rotate-half lanes
+    yy = np.repeat(y_ang[:, None, :], grid, axis=1)   # [gy, gx, bands]
+    xx = np.repeat(x_ang[None, :, :], grid, axis=0)
+    ang_half = np.concatenate([yy, xx], axis=-1)      # [gy, gx, head_dim/2]
+    ang = np.concatenate([ang_half, ang_half], axis=-1)
+    return ang.reshape(grid * grid, head_dim)
+
+
+def _rotate_half(x: jax.Array) -> jax.Array:
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def _apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
+    """x: [B, H, N, D] patch tokens (no cls); sin/cos: [N, D]."""
+    orig = x.dtype
+    x32 = x.astype(jnp.float32)
+    return (x32 * cos + _rotate_half(x32) * sin).astype(orig)
+
+
+def apply(params: Params, pixels: jax.Array, cfg: Eva02Cfg, *,
+          normalize: bool = True) -> jax.Array:
+    """[B, H, W, 3] → [B, embed_dim]."""
+    from .vit import patchify
+
+    x = patchify(pixels, cfg.patch_size)
+    x = linear(params["patch_embed"], x)
+    cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype),
+                           (x.shape[0], 1, cfg.width))
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(x.dtype)
+
+    ang = jnp.asarray(rope_embed(cfg.grid, cfg.head_dim,
+                                 cfg.rope_temperature), jnp.float32)
+    sin, cos = jnp.sin(ang), jnp.cos(ang)
+
+    def body(carry, block):
+        h = layer_norm(block["ln1"], carry, eps=cfg.ln_eps)
+        q = rearrange(linear(block["attn"]["q"], h), "b n (h d) -> b h n d",
+                      h=cfg.heads)
+        k = rearrange(linear(block["attn"]["k"], h), "b n (h d) -> b h n d",
+                      h=cfg.heads)
+        v = rearrange(linear(block["attn"]["v"], h), "b n (h d) -> b h n d",
+                      h=cfg.heads)
+        # rope on patch tokens only; cls (position 0) passes through
+        q = jnp.concatenate([q[:, :, :1], _apply_rope(q[:, :, 1:], sin, cos)],
+                            axis=2)
+        k = jnp.concatenate([k[:, :, :1], _apply_rope(k[:, :, 1:], sin, cos)],
+                            axis=2)
+        o = attention_core(q, k, v)
+        o = rearrange(o, "b h n d -> b n (h d)")
+        o = layer_norm(block["attn"]["inner_ln"], o, eps=cfg.ln_eps)  # sub-LN
+        carry = carry + linear(block["attn"]["out"], o)
+
+        h = layer_norm(block["ln2"], carry, eps=cfg.ln_eps)
+        gate = jax.nn.silu(linear(block["mlp"]["w_gate"], h).astype(jnp.float32))
+        val = linear(block["mlp"]["w_x"], h).astype(jnp.float32)
+        hidden = (gate * val).astype(h.dtype)
+        hidden = layer_norm(block["mlp"]["ffn_ln"], hidden, eps=cfg.ln_eps)
+        carry = carry + linear(block["mlp"]["w_out"], hidden)
+        return carry, None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    pooled = layer_norm(params["ln_post"], x[:, :1], eps=cfg.ln_eps)[:, 0]
+    if cfg.use_proj and "proj" in params:
+        pooled = linear(params["proj"], pooled)
+    if normalize:
+        pooled = l2_normalize(pooled)
+    return pooled
+
+
+def init(key: jax.Array, cfg: Eva02Cfg, *, dtype=jnp.float32) -> Params:
+    from .vit import _init_linear, _init_ln
+
+    keys = jax.random.split(key, 8)
+    patch_dim = cfg.patch_size ** 2 * 3
+    n = cfg.grid ** 2 + 1
+    params: Params = {
+        "patch_embed": _init_linear(keys[0], patch_dim, cfg.width,
+                                    std=patch_dim ** -0.5, dtype=dtype),
+        "cls_token": (jax.random.normal(keys[1], (1, 1, cfg.width)) * 0.02
+                      ).astype(dtype),
+        "pos_embed": (jax.random.normal(keys[2], (1, n, cfg.width)) * 0.02
+                      ).astype(dtype),
+        "ln_post": _init_ln(cfg.width, dtype),
+    }
+    blocks = []
+    for i in range(cfg.layers):
+        bk = jax.random.fold_in(keys[3], i)
+        kq, kk, kv, ko, k1, k2, k3 = jax.random.split(bk, 7)
+        blocks.append({
+            "ln1": _init_ln(cfg.width, dtype),
+            "attn": {
+                "q": _init_linear(kq, cfg.width, cfg.width, dtype=dtype),
+                "k": _init_linear(kk, cfg.width, cfg.width, bias=False,
+                                  dtype=dtype),
+                "v": _init_linear(kv, cfg.width, cfg.width, dtype=dtype),
+                "inner_ln": _init_ln(cfg.width, dtype),
+                "out": _init_linear(ko, cfg.width, cfg.width, dtype=dtype),
+            },
+            "ln2": _init_ln(cfg.width, dtype),
+            "mlp": {
+                "w_gate": _init_linear(k1, cfg.width, cfg.mlp_hidden, dtype=dtype),
+                "w_x": _init_linear(k2, cfg.width, cfg.mlp_hidden, dtype=dtype),
+                "ffn_ln": _init_ln(cfg.mlp_hidden, dtype),
+                "w_out": _init_linear(k3, cfg.mlp_hidden, cfg.width, dtype=dtype),
+            },
+        })
+    import jax as _jax
+
+    params["blocks"] = _jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    if cfg.use_proj:
+        params["proj"] = _init_linear(keys[4], cfg.width, cfg.embed_dim,
+                                      dtype=dtype)
+    return params
+
+
+def map_eva02_visual(sd: Mapping[str, np.ndarray]) -> Params:
+    """Map a timm eva02 state dict (``visual.trunk.*``) onto the pytree.
+
+    timm naming: blocks.N.{norm1,norm2}, attn.{q_proj,k_proj,v_proj,norm,
+    proj}, mlp.{fc1_g,fc1_x,norm,fc2}; patch_embed.proj, cls_token,
+    pos_embed, norm; open_clip projection under head.proj.
+    """
+    from ..weights import (_conv_to_patch, _get, _linear, _ln, _max_index,
+                           _stack_blocks, strip_prefix)
+
+    sd = {k: np.asarray(v) for k, v in strip_prefix(
+        dict(sd), "model.", "visual.", "trunk.").items()}
+    n = _max_index(sd, r"blocks\.(\d+)\.norm1\.weight")
+    blocks = []
+    for i in range(n):
+        p = f"blocks.{i}"
+        blocks.append({
+            "ln1": _ln(sd, f"{p}.norm1"),
+            "attn": {
+                "q": _linear(sd, f"{p}.attn.q_proj"),
+                "k": _linear(sd, f"{p}.attn.k_proj"),
+                "v": _linear(sd, f"{p}.attn.v_proj"),
+                "inner_ln": _ln(sd, f"{p}.attn.norm"),
+                "out": _linear(sd, f"{p}.attn.proj"),
+            },
+            "ln2": _ln(sd, f"{p}.norm2"),
+            "mlp": {
+                "w_gate": _linear(sd, f"{p}.mlp.fc1_g"),
+                "w_x": _linear(sd, f"{p}.mlp.fc1_x"),
+                "ffn_ln": _ln(sd, f"{p}.mlp.norm"),
+                "w_out": _linear(sd, f"{p}.mlp.fc2"),
+            },
+        })
+    pos = np.asarray(_get(sd, "pos_embed"))
+    if pos.ndim == 2:
+        pos = pos[None]
+    params: Params = {
+        "patch_embed": {
+            "w": _conv_to_patch(_get(sd, "patch_embed.proj.weight")),
+            "b": _get(sd, "patch_embed.proj.bias"),
+        },
+        "cls_token": np.asarray(_get(sd, "cls_token")).reshape(1, 1, -1),
+        "pos_embed": pos,
+        "blocks": _stack_blocks(blocks),
+        "ln_post": _ln(sd, "norm"),
+    }
+    if "head.proj.weight" in sd:
+        params["proj"] = _linear(sd, "head.proj")
+    return params

@@ -95,6 +95,10 @@ def _jitted_vision_forward(spec: TowerSpec, attn_impl: str):
             from .models import convnext
 
             return convnext.apply(params, pixels, spec.cfg)
+        if spec.family == "eva02":
+            from .models import eva02
+
+            return eva02.apply(params, pixels, spec.cfg)
         raise InferenceError(f"Unknown vision family '{spec.family}'")
 
     return jax.jit(apply)

@@ -225,9 +225,13 @@ def map_clip_text(sd: Mapping[str, np.ndarray]) -> Params:
 # ---------------------------------------------------------------------------
 
 def _timm_block(sd, prefix: str) -> Params:
-    attn = _split_qkv(
-        _get(sd, f"{prefix}.attn.qkv.weight"), sd.get(f"{prefix}.attn.qkv.bias")
-    )
+    qkv_bias = sd.get(f"{prefix}.attn.qkv.bias")
+    if qkv_bias is None and f"{prefix}.attn.q_bias" in sd:
+        # EVA attention: separate q/v biases, bias-free k
+        q_b = np.asarray(sd[f"{prefix}.attn.q_bias"])
+        v_b = np.asarray(sd[f"{prefix}.attn.v_bias"])
+        qkv_bias = np.concatenate([q_b, np.zeros_like(q_b), v_b])
+    attn = _split_qkv(_get(sd, f"{prefix}.attn.qkv.weight"), qkv_bias)
     attn["out"] = _linear(sd, f"{prefix}.attn.proj")
     block = {
         "ln1": _ln(sd, f"{prefix}.norm1"),
@@ -336,6 +340,10 @@ def map_state_dict(
             from .models.convnext import map_convnext_visual
 
             return map_convnext_visual(sd)
+        if family == "eva02":
+            from .models.eva02 import map_eva02_visual
+
+            return map_eva02_visual(sd)
         raise WeightError(f"Unknown visual family '{family}'")
     if tower == "text":
         if family == "text_transformer":

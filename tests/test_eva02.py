@@ -1,0 +1,170 @@
+"""EVA02 tower parity vs an independent torch mirror (rope/SwiGLU/sub-LN
+with timm naming). Rope conventions follow the published description; see
+models/eva02.py for the real-checkpoint-validation caveat.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+from torch import nn
+
+import jax
+import jax.numpy as jnp
+
+from clip_embedder_tpu.models import eva02
+from clip_embedder_tpu.models.eva02 import Eva02Cfg, map_eva02_visual, rope_embed
+
+
+class TorchEva02Block(nn.Module):
+    def __init__(self, dim, heads, hidden):
+        super().__init__()
+        self.heads = heads
+        self.norm1 = nn.LayerNorm(dim, eps=1e-6)
+        self.attn = nn.Module()
+        self.attn.q_proj = nn.Linear(dim, dim)
+        self.attn.k_proj = nn.Linear(dim, dim, bias=False)
+        self.attn.v_proj = nn.Linear(dim, dim)
+        self.attn.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.attn.proj = nn.Linear(dim, dim)
+        self.norm2 = nn.LayerNorm(dim, eps=1e-6)
+        self.mlp = nn.Module()
+        self.mlp.fc1_g = nn.Linear(dim, hidden)
+        self.mlp.fc1_x = nn.Linear(dim, hidden)
+        self.mlp.norm = nn.LayerNorm(hidden, eps=1e-6)
+        self.mlp.fc2 = nn.Linear(hidden, dim)
+
+    @staticmethod
+    def _rot_half(x):
+        x1, x2 = x.chunk(2, dim=-1)
+        return torch.cat([-x2, x1], dim=-1)
+
+    def _rope(self, x, sin, cos):
+        return x * cos + self._rot_half(x) * sin
+
+    def forward(self, x, sin, cos):
+        b, n, d = x.shape
+        h = self.norm1(x)
+        q = self.attn.q_proj(h).view(b, n, self.heads, -1).transpose(1, 2)
+        k = self.attn.k_proj(h).view(b, n, self.heads, -1).transpose(1, 2)
+        v = self.attn.v_proj(h).view(b, n, self.heads, -1).transpose(1, 2)
+        q = torch.cat([q[:, :, :1], self._rope(q[:, :, 1:], sin, cos)], dim=2)
+        k = torch.cat([k[:, :, :1], self._rope(k[:, :, 1:], sin, cos)], dim=2)
+        o = F.scaled_dot_product_attention(q, k, v)
+        o = o.transpose(1, 2).reshape(b, n, d)
+        o = self.attn.norm(o)
+        x = x + self.attn.proj(o)
+
+        h = self.norm2(x)
+        hidden = F.silu(self.mlp.fc1_g(h)) * self.mlp.fc1_x(h)
+        x = x + self.mlp.fc2(self.mlp.norm(hidden))
+        return x
+
+
+class TorchEva02(nn.Module):
+    def __init__(self, image_size, patch, dim, depth, heads, hidden, embed_dim):
+        super().__init__()
+        from torch_ref import PatchEmbed
+
+        self.patch_embed = PatchEmbed(patch, dim)
+        grid = image_size // patch
+        self.cls_token = nn.Parameter(0.02 * torch.randn(1, 1, dim))
+        self.pos_embed = nn.Parameter(0.02 * torch.randn(1, grid * grid + 1, dim))
+        self.blocks = nn.ModuleList(
+            TorchEva02Block(dim, heads, hidden) for _ in range(depth))
+        self.norm = nn.LayerNorm(dim, eps=1e-6)
+        self.head = nn.Module()
+        self.head.proj = nn.Linear(dim, embed_dim)
+        ang = torch.tensor(rope_embed(grid, dim // heads, 100.0),
+                           dtype=torch.float32)
+        self.register_buffer("sin", ang.sin())
+        self.register_buffer("cos", ang.cos())
+
+    def forward(self, x):
+        x = self.patch_embed(x)
+        cls = self.cls_token.expand(x.shape[0], -1, -1)
+        x = torch.cat([cls, x], dim=1) + self.pos_embed
+        for blk in self.blocks:
+            x = blk(x, self.sin, self.cos)
+        pooled = self.norm(x[:, 0])
+        return F.normalize(self.head.proj(pooled), dim=-1)
+
+
+def test_eva02_parity():
+    torch.manual_seed(0)
+    tm = TorchEva02(32, 8, 64, 2, 4, 96, 48).eval()
+    cfg = Eva02Cfg(image_size=32, patch_size=8, width=64, layers=2, heads=4,
+                   mlp_hidden=96, embed_dim=48)
+    sd = {f"trunk.{k}": v.numpy() for k, v in tm.state_dict().items()
+          if k not in ("sin", "cos")}
+    params = map_eva02_visual(sd)
+
+    x = torch.randn(2, 3, 32, 32)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+    got = np.asarray(eva02.apply(
+        params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()), cfg))
+    cos = (got * ref).sum(-1)
+    assert (cos > 1 - 1e-5).all()
+    np.testing.assert_allclose(got, ref, atol=5e-3)
+
+
+def test_eva02_resolve_and_routing():
+    from clip_embedder_tpu.config import ModelCfg
+    from clip_embedder_tpu.models.build import resolve_vision
+
+    mc = ModelCfg.from_dict({
+        "embed_dim": 512,
+        "vision_cfg": {"image_size": 224,
+                       "timm_model_name": "eva02_base_patch16_clip_224",
+                       "timm_proj": "linear"},
+        "text_cfg": {"context_length": 77},
+    })
+    spec = resolve_vision(mc)
+    assert spec.family == "eva02"
+    assert spec.cfg.width == 768 and spec.cfg.mlp_hidden == 2048
+
+    # EVA01 giant routes through the plain ViT parser
+    mc2 = ModelCfg.from_dict({
+        "embed_dim": 1024,
+        "vision_cfg": {"image_size": 224,
+                       "timm_model_name": "eva_giant_patch14_224",
+                       "timm_proj": "linear"},
+        "text_cfg": {"context_length": 77},
+    })
+    spec2 = resolve_vision(mc2)
+    assert spec2.family == "vit"
+    assert spec2.cfg.width == 1408 and spec2.cfg.layers == 40
+
+
+def test_eva_qkv_bias_synthesis():
+    """EVA attention stores q_bias/v_bias separately with a bias-free k —
+    the timm mapper must synthesize the packed qkv bias."""
+    from clip_embedder_tpu.weights import map_timm_visual
+
+    torch.manual_seed(1)
+    from torch_ref import TimmSiglipViT
+
+    tm = TimmSiglipViT(16, 8, 32, 1, 4, 64).eval()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    # rewrite block 0's fused qkv bias into EVA's split layout
+    qkv_b = sd.pop("blocks.0.attn.qkv.bias")
+    sd["blocks.0.attn.q_bias"] = qkv_b[:32]
+    sd["blocks.0.attn.v_bias"] = qkv_b[64:]
+    params = map_timm_visual(sd)
+    np.testing.assert_array_equal(params["blocks"]["attn"]["q"]["b"][0], qkv_b[:32])
+    np.testing.assert_array_equal(params["blocks"]["attn"]["k"]["b"][0],
+                                  np.zeros(32, np.float32))
+    np.testing.assert_array_equal(params["blocks"]["attn"]["v"]["b"][0], qkv_b[64:])
+
+
+def test_eva02_init_apply():
+    cfg = Eva02Cfg(image_size=32, patch_size=8, width=64, layers=2, heads=4,
+                   mlp_hidden=96, embed_dim=32)
+    params = eva02.init(jax.random.key(0), cfg)
+    out = eva02.apply(params,
+                      jax.random.uniform(jax.random.key(1), (2, 32, 32, 3)),
+                      cfg)
+    assert out.shape == (2, 32)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1), 1.0,
+                               atol=1e-5)
