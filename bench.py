@@ -101,6 +101,24 @@ def main() -> None:
     if best == 0.0:
         print("benchmark failed: no batch size completed", file=sys.stderr)
         sys.exit(1)
+
+    # p50 single-image latency (the second tracked metric in BASELINE.json)
+    p50_ms = None
+    try:
+        one = jnp.asarray(rng.integers(0, 255, size=(1, src, src, 3),
+                                       dtype=np.uint8))
+        wh1 = jnp.asarray(wh_np)[None]
+        ww1 = jnp.asarray(ww_np)[None]
+        jax.block_until_ready(embed(params, one, wh1, ww1))
+        times = []
+        for _ in range(20):
+            t0 = time.perf_counter()
+            jax.block_until_ready(embed(params, one, wh1, ww1))
+            times.append(time.perf_counter() - t0)
+        p50_ms = round(sorted(times)[len(times) // 2] * 1e3, 2)
+        print(f"p50 single-image: {p50_ms} ms", file=sys.stderr)
+    except Exception as e:  # noqa: BLE001
+        print(f"p50 measurement failed: {type(e).__name__}", file=sys.stderr)
     result = {
         "metric": "images_per_sec_per_chip_vision_384px",
         "value": round(best, 2),
@@ -113,6 +131,9 @@ def main() -> None:
             "attn_impl": attn_impl,
             "quantize": quant or "none",
             "includes_preprocess": True,
+            "p50_single_image_ms": p50_ms,
+            "p50_vs_baseline_988ms": (round(988.0 / p50_ms, 1) if p50_ms
+                                      else None),
             "baseline": "988 ms/image, author CPU (reference README.md:110)",
         },
     }

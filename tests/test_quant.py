@@ -87,3 +87,17 @@ def test_unknown_quantize_mode_raises():
 
     with pytest.raises(ConfigError):
         VisionEmbedder.from_local_dir(make_model_dir(), quantize="fp4")
+
+
+def test_clip_quantize_passthrough():
+    """quantize='int8' flows through Clip.from_local_dir to both towers."""
+    from clip_embedder_tpu import Clip
+    from test_concurrency import make_model_dir
+
+    clip = Clip.from_local_dir(make_model_dir(), quantize="int8")
+    assert clip.vision.quantize == "int8"
+    assert clip.text.quantize == "int8"
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
+    results = clip.classify(img, ["a cat", "a dog"])
+    assert abs(sum(p for _, p in results) - 1.0) < 1e-5
