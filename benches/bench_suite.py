@@ -78,7 +78,8 @@ def _time(fn, *args, iters=5):
     return (time.perf_counter() - t0) / iters
 
 
-def bench_model(name: str, spec: dict, batch: int, attn_impl: str) -> list[dict]:
+def bench_model(name: str, spec: dict, batch: int, attn_impl: str,
+                quant: str | None = None) -> list[dict]:
     import jax
     import jax.numpy as jnp
 
@@ -113,6 +114,11 @@ def bench_model(name: str, spec: dict, batch: int, attn_impl: str) -> list[dict]
         vcfg = resolve_fastvit(spec["variant"], VisionCfg(image_size=image), 512, None)
         vparams = fastvit.init(jax.random.key(0), vcfg, dtype=jnp.bfloat16)
         vision_fn = jax.jit(lambda p, x: fastvit.apply(p, x, vcfg))
+    if quant == "int8":
+        from clip_embedder_tpu.ops.quant import quantize_tree
+
+        vparams = jax.tree.map(jnp.asarray,
+                               quantize_tree(jax.tree.map(np.asarray, vparams)))
 
     # preprocess (on-device) from 512px sources
     src = 512
@@ -165,6 +171,8 @@ def main():
     parser.add_argument("--models", default=",".join(MODELS))
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--attn", default="pallas", choices=["xla", "pallas"])
+    parser.add_argument("--quant", default=None, choices=[None, "int8"],
+                        help="W8A8 MLPs (opt-in accuracy tradeoff)")
     args = parser.parse_args()
 
     from clip_embedder_tpu.utils.compilation_cache import enable_compilation_cache
@@ -179,7 +187,8 @@ def main():
                   file=sys.stderr)
             continue
         try:
-            for row in bench_model(name, MODELS[name], args.batch, args.attn):
+            for row in bench_model(name, MODELS[name], args.batch, args.attn,
+                                   args.quant):
                 print(json.dumps(row), flush=True)
                 measured += 1
         except Exception as e:  # noqa: BLE001

@@ -270,3 +270,20 @@ def test_fsdp_and_tp_mutually_exclusive(mesh):
     params, _ = init_train_state(jax.random.key(0), cfg)
     with pytest.raises(ValueError):
         make_sharded_train_step(cfg, mesh, params)
+
+
+def test_pipeline_propagates_decode_errors(mesh):
+    """A bad input inside a stream must surface as ImageError, not hang."""
+    from clip_embedder_tpu.errors import ClipError
+    from clip_embedder_tpu.parallel.pipeline import EmbedPipeline
+    from test_concurrency import make_model_dir
+    from clip_embedder_tpu import Clip
+
+    clip = Clip.from_local_dir(make_model_dir())
+    rng = np.random.default_rng(0)
+    images = [rng.integers(0, 255, (32, 32, 3), dtype=np.uint8),
+              object(),  # undecodable
+              rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)]
+    pipe = EmbedPipeline(clip.vision, batch_size=2)
+    with pytest.raises(ClipError):
+        pipe.embed_all(images)
