@@ -11,12 +11,17 @@ Genesis): ViT with
     out-projection, and one inside the FFN before its down-projection,
   * SwiGLU FFN: silu(w_gate·x) ⊙ (w_x·x) → ffn_ln → w_out.
 
-Rope conventions here follow timm's ``RotaryEmbeddingCat`` (rotate-half,
-y/x axis embeddings concatenated over the head dim, inverse-frequency bands
-with configurable temperature). NOTE: rope frequency/layout conventions are
-implemented from the published description and verified against this
-module's own torch mirror (tests/test_eva02.py) — validation against real
-timm checkpoints is tracked as a round-2 item (COMPONENTS.md gaps).
+Rope conventions here transcribe timm's ``RotaryEmbeddingCat`` with
+``in_pixels=False`` — the code path real eva02_*_clip_* checkpoints were
+trained under: per axis ``head_dim/4`` inverse-frequency bands
+(``1/temperature**(i/bands)``, temperature 10000), y-axis bands then x-axis
+bands along the head dim, each band duplicated into ADJACENT lanes
+(``repeat_interleave(2)``), rotation over even/odd lane pairs
+(``rot(x) = (-x1, x0, -x3, x2, …)``), and grid coordinates rescaled to the
+pretrain grid via ``ref_feat_shape`` (16×16 for every eva02 clip variant:
+timm eva.py model defs). The pair-rotation convention is anchored against
+``transformers``' GPT-J rotary implementation in tests/test_eva02.py;
+full-checkpoint validation still needs network (tracked in COMPONENTS.md).
 """
 
 from __future__ import annotations
@@ -47,7 +52,11 @@ class Eva02Cfg:
     mlp_hidden: int        # SwiGLU hidden size
     embed_dim: int
     use_proj: bool = True
-    rope_temperature: float = 100.0
+    rope_temperature: float = 10000.0
+    # Pretrain grid size (timm ref_feat_shape): rope coordinates are rescaled
+    # arange(grid)/grid*ref_grid so fine-tuned resolutions keep the pretrain
+    # frequency range. All eva02 clip variants pin (16, 16).
+    rope_ref_grid: int | None = 16
     ln_eps: float = 1e-6
 
     @property
@@ -89,39 +98,46 @@ def resolve_eva02(name: str, vcfg, embed_dim: int) -> Eva02Cfg:
         mlp_hidden=override.get("mlp_hidden", hidden),
         embed_dim=embed_dim,
         use_proj=(vcfg.timm_proj or "linear") not in ("none", ""),
-        rope_temperature=override.get("rope_temperature", 100.0),
+        rope_temperature=override.get("rope_temperature", 10000.0),
+        rope_ref_grid=override.get("rope_ref_grid", 16),
     )
 
 
-def rope_embed(grid: int, head_dim: int, temperature: float) -> np.ndarray:
-    """Axial 2D rope table [grid², head_dim] of angles: the y-axis angles
-    fill the first head_dim/2 lanes, x-axis the second half; each axis uses
-    head_dim/4 inverse-frequency bands repeated for the rotate-half pairs.
+def rope_embed(grid: int, head_dim: int, temperature: float = 10000.0,
+               ref_grid: int | None = None) -> np.ndarray:
+    """Axial 2D rope angle table [grid², head_dim], timm
+    ``RotaryEmbeddingCat(in_pixels=False)`` layout: per position the head
+    dim holds [y bands, x bands], each axis contributing head_dim/4
+    inverse-frequency bands duplicated into adjacent even/odd lanes
+    (``repeat_interleave(2, -1)``). ``ref_grid`` rescales the integer grid
+    coordinates to the pretrain feature grid (timm ref_feat_shape).
     """
     bands = head_dim // 4
     inv_freq = 1.0 / (temperature ** (np.arange(bands) / bands))
     coords = np.arange(grid, dtype=np.float64)
+    if ref_grid is not None:
+        coords = coords / grid * ref_grid
     y_ang = np.einsum("y,f->yf", coords, inv_freq)  # [grid, bands]
     x_ang = np.einsum("x,f->xf", coords, inv_freq)
-    # broadcast over the grid; per position concat [y_bands, x_bands] and
-    # duplicate for the two rotate-half lanes
     yy = np.repeat(y_ang[:, None, :], grid, axis=1)   # [gy, gx, bands]
     xx = np.repeat(x_ang[None, :, :], grid, axis=0)
     ang_half = np.concatenate([yy, xx], axis=-1)      # [gy, gx, head_dim/2]
-    ang = np.concatenate([ang_half, ang_half], axis=-1)
+    ang = np.repeat(ang_half, 2, axis=-1)             # adjacent-lane pairs
     return ang.reshape(grid * grid, head_dim)
 
 
-def _rotate_half(x: jax.Array) -> jax.Array:
-    x1, x2 = jnp.split(x, 2, axis=-1)
-    return jnp.concatenate([-x2, x1], axis=-1)
+def _rotate_pairs(x: jax.Array) -> jax.Array:
+    """timm ``rot`` / GPT-J ``rotate_every_two``: (x0,x1,…) → (-x1,x0,…)."""
+    x_even = x[..., 0::2]
+    x_odd = x[..., 1::2]
+    return jnp.stack([-x_odd, x_even], axis=-1).reshape(x.shape)
 
 
 def _apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
     """x: [B, H, N, D] patch tokens (no cls); sin/cos: [N, D]."""
     orig = x.dtype
     x32 = x.astype(jnp.float32)
-    return (x32 * cos + _rotate_half(x32) * sin).astype(orig)
+    return (x32 * cos + _rotate_pairs(x32) * sin).astype(orig)
 
 
 def apply(params: Params, pixels: jax.Array, cfg: Eva02Cfg, *,
@@ -137,7 +153,8 @@ def apply(params: Params, pixels: jax.Array, cfg: Eva02Cfg, *,
     x = x + params["pos_embed"].astype(x.dtype)
 
     ang = jnp.asarray(rope_embed(cfg.grid, cfg.head_dim,
-                                 cfg.rope_temperature), jnp.float32)
+                                 cfg.rope_temperature, cfg.rope_ref_grid),
+                      jnp.float32)
     sin, cos = jnp.sin(ang), jnp.cos(ang)
 
     def body(carry, block):

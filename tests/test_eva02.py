@@ -35,12 +35,12 @@ class TorchEva02Block(nn.Module):
         self.mlp.fc2 = nn.Linear(hidden, dim)
 
     @staticmethod
-    def _rot_half(x):
-        x1, x2 = x.chunk(2, dim=-1)
-        return torch.cat([-x2, x1], dim=-1)
+    def _rot(x):
+        # timm pos_embed_sincos.rot / GPT-J rotate_every_two
+        return torch.stack([-x[..., 1::2], x[..., ::2]], -1).reshape(x.shape)
 
     def _rope(self, x, sin, cos):
-        return x * cos + self._rot_half(x) * sin
+        return x * cos + self._rot(x) * sin
 
     def forward(self, x, sin, cos):
         b, n, d = x.shape
@@ -75,7 +75,7 @@ class TorchEva02(nn.Module):
         self.norm = nn.LayerNorm(dim, eps=1e-6)
         self.head = nn.Module()
         self.head.proj = nn.Linear(dim, embed_dim)
-        ang = torch.tensor(rope_embed(grid, dim // heads, 100.0),
+        ang = torch.tensor(rope_embed(grid, dim // heads, 10000.0, ref_grid=16),
                            dtype=torch.float32)
         self.register_buffer("sin", ang.sin())
         self.register_buffer("cos", ang.cos())
@@ -156,6 +156,48 @@ def test_eva_qkv_bias_synthesis():
     np.testing.assert_array_equal(params["blocks"]["attn"]["k"]["b"][0],
                                   np.zeros(32, np.float32))
     np.testing.assert_array_equal(params["blocks"]["attn"]["v"]["b"][0], qkv_b[64:])
+
+
+def test_rope_pair_rotation_matches_transformers_gptj():
+    """timm's RotaryEmbeddingCat applies the same even/odd pair rotation as
+    GPT-J rotary. Anchor our _apply_rope on transformers' implementation
+    (third-party code, not a self-written mirror): with the duplicated
+    angle table, x*cos + rot(x)*sin must equal GPT-J's
+    apply_rotary_pos_emb fed the un-duplicated half table."""
+    from transformers.models.gptj.modeling_gptj import apply_rotary_pos_emb
+
+    from clip_embedder_tpu.models.eva02 import _apply_rope
+
+    grid, head_dim, heads = 4, 16, 2
+    ang = rope_embed(grid, head_dim, 10000.0, ref_grid=16)  # [N, D]
+    # adjacent lanes hold duplicated angles; GPT-J duplicates internally
+    np.testing.assert_array_equal(ang[:, 0::2], ang[:, 1::2])
+    ang_half = torch.tensor(ang[:, 0::2], dtype=torch.float32)  # [N, D/2]
+
+    torch.manual_seed(0)
+    x = torch.randn(2, grid * grid, heads, head_dim)  # [B, T, H, D] (gptj)
+    ref = apply_rotary_pos_emb(
+        x, ang_half.sin()[None], ang_half.cos()[None]).numpy()
+
+    ang_j = jnp.asarray(ang, jnp.float32)
+    got = np.asarray(_apply_rope(
+        jnp.asarray(x.permute(0, 2, 1, 3).numpy()),  # [B, H, N, D]
+        jnp.sin(ang_j), jnp.cos(ang_j)))
+    np.testing.assert_allclose(got.transpose(0, 2, 1, 3), ref, atol=1e-6)
+
+
+def test_rope_table_ref_grid_rescale():
+    """ref_feat_shape semantics: a 24-grid table (336px/14) must sample the
+    same frequency range as the 16-grid pretrain table — max angle equals
+    the ref grid's, and coordinates scale by ref/grid."""
+    t16 = rope_embed(16, 16, 10000.0, ref_grid=16)
+    t24 = rope_embed(24, 16, 10000.0, ref_grid=16)
+    # row stride in y: position (y=g, x=0) angle = coord * inv_freq
+    # coords are arange(g)/g*16, so the last row's y-angle < 16 in both
+    assert t24[:, 0].max() < 16.0 and t16[:, 0].max() < 16.0
+    # identity when ref == grid: plain integer coords
+    t_plain = rope_embed(16, 16, 10000.0, ref_grid=None)
+    np.testing.assert_allclose(t16, t_plain, atol=1e-12)
 
 
 def test_eva02_init_apply():
