@@ -207,15 +207,30 @@ class OnnxGraph:
 
     def __init__(self):
         self.initializers: dict[str, np.ndarray] = {}
-        self.nodes: list[tuple[str, list[str], list[str]]] = []
+        # (op_type, inputs, outputs, int_attrs) per node in file order
+        self.nodes: list[tuple[str, list[str], list[str], dict[str, int]]] = []
         self.inputs: list[str] = []
         self.outputs: list[str] = []
 
 
-def _parse_node(buf: memoryview) -> tuple[str, list[str], list[str]]:
+def _parse_int_attr(buf: memoryview) -> tuple[str, int | None]:
+    """AttributeProto subset: name (field 1) + i (field 3, varint)."""
+    name, ival = "", None
+    for field, wtype, val in _iter_fields(buf):
+        if field == 1 and wtype == 2:
+            name = bytes(val).decode("utf-8")
+        elif field == 3 and wtype == 0:
+            ival = val
+    return name, ival
+
+
+def _parse_node(
+    buf: memoryview,
+) -> tuple[str, list[str], list[str], dict[str, int]]:
     op_type = ""
     inputs: list[str] = []
     outputs: list[str] = []
+    attrs: dict[str, int] = {}
     for field, wtype, val in _iter_fields(buf):
         if field == 1 and wtype == 2:
             inputs.append(bytes(val).decode("utf-8"))
@@ -223,7 +238,11 @@ def _parse_node(buf: memoryview) -> tuple[str, list[str], list[str]]:
             outputs.append(bytes(val).decode("utf-8"))
         elif field == 4 and wtype == 2:
             op_type = bytes(val).decode("utf-8")
-    return op_type, inputs, outputs
+        elif field == 5 and wtype == 2:  # attribute (int-valued only)
+            name, ival = _parse_int_attr(val)
+            if name and ival is not None:
+                attrs[name] = ival
+    return op_type, inputs, outputs, attrs
 
 
 def _value_info_name(buf: memoryview) -> str:
@@ -312,7 +331,7 @@ def _consumption_order(g: OnnxGraph) -> list[str]:
     """
     seen: set[str] = set()
     order: list[str] = []
-    for _, inputs, _ in g.nodes:
+    for _, inputs, _, _ in g.nodes:
         for name in inputs:
             if name in g.initializers and name not in seen:
                 seen.add(name)
@@ -335,6 +354,13 @@ class _Puller:
         self.names = order
         self.pos = 0
         self.lookahead = lookahead
+        # first consuming node per initializer: (op_type, int attrs)
+        self.consumers: dict[str, tuple[str, dict[str, int]]] = {}
+        for op_type, inputs, _, attrs in g.nodes:
+            for name in inputs:
+                if name in g.initializers and name not in self.consumers:
+                    self.consumers[name] = (op_type, attrs)
+        self.last_name: str | None = None
 
     def pull(self, *shapes: tuple, what: str = "") -> np.ndarray:
         shape_set = {tuple(s) for s in shapes}
@@ -342,6 +368,7 @@ class _Puller:
         for i in range(self.pos, end):
             if tuple(self.arrays[i].shape) in shape_set:
                 arr = self.arrays[i]
+                self.last_name = self.names[i]
                 # consume: drop it so it can't match twice
                 del self.arrays[i]
                 del self.names[i]
@@ -362,17 +389,25 @@ class _Puller:
 def _pull_linear(p: _Puller, d_in: int, d_out: int, *, what: str,
                  bias: bool = True) -> dict:
     """Pull a Linear as either torch layout [out, in] (Gemm, transB) or
-    folded layout [in, out] (MatMul constant). Square weights are ambiguous
-    in shape; folded exports store the MatMul operand pre-transposed, and
-    Gemm keeps torch order — we orient by which shape matched."""
+    folded layout [in, out] (MatMul constant). Rectangular weights orient by
+    which shape matched; square weights are shape-ambiguous, so orient by
+    the consuming node: Gemm with transB keeps torch [out, in] order (and
+    transB=0 means the exporter already folded the transpose), while a
+    MatMul constant is pre-transposed [in, out]."""
     w = p.pull((d_in, d_out), (d_out, d_in), what=what)
     if w.shape == (d_in, d_out) and d_in != d_out:
         mapped = np.ascontiguousarray(w)
     elif w.shape == (d_out, d_in) and d_in != d_out:
         mapped = np.ascontiguousarray(w.T)
     else:
-        # square: folded MatMul constants are [in, out]; keep as-is.
-        mapped = np.ascontiguousarray(w)
+        op, attrs = p.consumers.get(p.last_name or "", ("", {}))
+        if op == "Gemm":
+            transposed = bool(attrs.get("transB", 0))
+            mapped = np.ascontiguousarray(w.T if transposed else w)
+        else:
+            # MatMul (or unknown consumer, e.g. fused exports with no node
+            # skeleton): folded constants are [in, out]; keep as-is.
+            mapped = np.ascontiguousarray(w)
     out = {"w": mapped}
     if bias:
         b = p.maybe((d_out,))

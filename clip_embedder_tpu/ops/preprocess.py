@@ -174,11 +174,11 @@ def resize_normalize(
     return x.astype(out_dtype)
 
 
-def bucket_size(n: int, *, multiple: int = 128, max_size: int = 4096) -> int:
-    """Round a source dimension up to a bucket so arbitrary image sizes reuse
-    a handful of compiled programs."""
-    b = max(multiple, math.ceil(n / multiple) * multiple)
-    return min(b, max(n, max_size)) if n > max_size else b
+def bucket_size(n: int, *, multiple: int = 128) -> int:
+    """Round a source dimension up to a 128-multiple bucket so arbitrary
+    image sizes reuse a bounded program set (every size, including >4096px
+    giants, lands on a multiple — never an exact per-image size)."""
+    return max(multiple, math.ceil(n / multiple) * multiple)
 
 
 def bucket_batch(n: int) -> int:

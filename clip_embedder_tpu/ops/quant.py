@@ -65,6 +65,35 @@ def quantize_tree(params: Params, *,
     return walk(params, False)
 
 
+def quantize_tree_checked(params: Params, family: str, *,
+                          paths: tuple[str, ...] = DEFAULT_QUANT_PATHS) -> Params:
+    """``quantize_tree`` that raises when nothing quantized — the shared
+    contract for both embedders (a silently no-op ``quantize="int8"`` hides
+    a perf bug from the caller)."""
+    from ..errors import ConfigError
+
+    qparams = quantize_tree(params, paths=paths)
+    found = []
+
+    def scan(node):
+        if isinstance(node, dict):
+            if "w_q" in node:
+                found.append(True)
+            for v in node.values():
+                scan(v)
+        elif isinstance(node, list):
+            for v in node:
+                scan(v)
+
+    scan(qparams)
+    if not found:
+        raise ConfigError(
+            f"int8 quantization found no quantizable (matmul) layers for "
+            f"the '{family}' family"
+        )
+    return qparams
+
+
 def int8_linear(params: Params, x: jax.Array) -> jax.Array:
     """Quantized affine map: dynamic per-row activation quant → int8 MXU
     matmul → fused dequant. ``params``: {"w_q": [in,out] i8,

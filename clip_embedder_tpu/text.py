@@ -89,6 +89,9 @@ class TextEmbedder:
         attn_impl: str = "xla",
         quantize: str | None = None,
     ):
+        from .vision import check_attn_impl
+
+        check_attn_impl(spec.family, attn_impl)
         self.params = params
         self.spec = spec
         self.config = config
@@ -128,10 +131,12 @@ class TextEmbedder:
         spec = resolve_text(config.model_cfg)
         params = _load_or_convert_text(model_dir, spec, dtype)
         if quantize == "int8":
-            from .ops.quant import quantize_tree
+            # same no-quantizable-layers contract as VisionEmbedder
+            from .ops.quant import quantize_tree_checked
             from .vision import to_device_tree
 
-            params = to_device_tree(quantize_tree(params), dtype)
+            params = to_device_tree(
+                quantize_tree_checked(params, spec.family), dtype)
         elif quantize is not None:
             raise ConfigError(f"Unknown quantize mode '{quantize}'")
         return cls(

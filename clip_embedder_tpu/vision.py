@@ -104,6 +104,21 @@ def _jitted_vision_forward(spec: TowerSpec, attn_impl: str):
     return jax.jit(apply)
 
 
+# families whose forward actually threads attn_impl; anything else must not
+# silently ignore a non-default request (it would report e.g. "pallas" while
+# running the XLA path).
+ATTN_IMPL_FAMILIES = frozenset({"vit", "text_transformer"})
+
+
+def check_attn_impl(family: str, attn_impl: str) -> None:
+    if attn_impl != "xla" and family not in ATTN_IMPL_FAMILIES:
+        raise ConfigError(
+            f"attn_impl='{attn_impl}' is not supported for the '{family}' "
+            f"family (supported families: {sorted(ATTN_IMPL_FAMILIES)}); "
+            "use the default attn_impl='xla'"
+        )
+
+
 class VisionEmbedder:
     """Image tower + preprocessing (reference: src/vision.rs:20-27)."""
 
@@ -119,6 +134,7 @@ class VisionEmbedder:
         attn_impl: str = "xla",
         quantize: str | None = None,
     ):
+        check_attn_impl(spec.family, attn_impl)
         self.params = params
         self.spec = spec
         self.config = config
@@ -155,18 +171,10 @@ class VisionEmbedder:
         if quantize == "int8":
             # opt-in W8A8 on the MLP blocks (see ops.quant for the accuracy
             # tradeoff); incompatible with tensor-parallel sharding.
-            from .ops.quant import quantize_tree
+            from .ops.quant import quantize_tree_checked
 
-            qparams = quantize_tree(params)
-            if not any(
-                getattr(p[-1], "key", None) == "w_q"
-                for p, _ in jax.tree_util.tree_flatten_with_path(qparams)[0]
-            ):
-                raise ConfigError(
-                    f"int8 quantization found no quantizable (matmul) "
-                    f"layers for the '{spec.family}' family"
-                )
-            params = to_device_tree(qparams, dtype)
+            params = to_device_tree(
+                quantize_tree_checked(params, spec.family), dtype)
         elif quantize is not None:
             raise ConfigError(f"Unknown quantize mode '{quantize}'")
         return cls(

@@ -64,14 +64,51 @@ def make_tensor(name: str, arr: np.ndarray, *, external: str | None = None,
     return body
 
 
-def make_model(tensors: list[bytes]) -> bytes:
+def make_node(op: str, inputs: list[str], outputs: list[str],
+              int_attrs: dict[str, int] | None = None) -> bytes:
+    body = b"".join(_len_field(1, i.encode()) for i in inputs)
+    body += b"".join(_len_field(2, o.encode()) for o in outputs)
+    body += _len_field(4, op.encode())
+    for k, v in (int_attrs or {}).items():
+        attr = _len_field(1, k.encode()) + _varint_field(3, v)
+        body += _len_field(5, attr)
+    return body
+
+
+def make_model(tensors: list[bytes], nodes: list[bytes] | None = None) -> bytes:
     graph = b"".join(_len_field(5, t) for t in tensors)
-    # a node, for structure-parsing coverage
-    node = (_len_field(1, b"x") + _len_field(2, b"y") + _len_field(4, b"Relu"))
-    graph += _len_field(1, node)
+    if nodes is None:
+        # a node, for structure-parsing coverage
+        nodes = [make_node("Relu", ["x"], ["y"])]
+    graph += b"".join(_len_field(1, n) for n in nodes)
     model = _varint_field(1, 8)  # ir_version
     model += _len_field(7, graph)
     return model
+
+
+def test_square_weight_gemm_vs_matmul_orientation(tmp_path):
+    """Square anonymous weights are shape-ambiguous: a Gemm(transB=1)
+    consumer stores torch [out, in] and must transpose; a MatMul constant is
+    already folded [in, out] and must not."""
+    from clip_embedder_tpu.onnx_reader import _Puller, _pull_linear
+
+    d = 8
+    w_t = np.arange(d * d, dtype=np.float32).reshape(d, d)   # torch [out,in]
+    bias = np.zeros(d, np.float32)
+    w_m = np.ascontiguousarray(w_t.T)                        # folded [in,out]
+    tensors = [make_tensor("gemm_w", w_t), make_tensor("gemm_b", bias),
+               make_tensor("mm_w", w_m)]
+    nodes = [make_node("Gemm", ["x", "gemm_w", "gemm_b"], ["y"],
+                       {"alpha_unused": 1, "transB": 1}),
+             make_node("MatMul", ["y", "mm_w"], ["z"])]
+    path = tmp_path / "model.onnx"
+    path.write_bytes(make_model(tensors, nodes))
+
+    p = _Puller(read_onnx(path))
+    lin_gemm = _pull_linear(p, d, d, what="gemm square")
+    np.testing.assert_array_equal(lin_gemm["w"], w_t.T)
+    lin_mm = _pull_linear(p, d, d, what="matmul square", bias=False)
+    np.testing.assert_array_equal(lin_mm["w"], w_m)
 
 
 def test_roundtrip_raw_and_external_and_bf16(tmp_path):
@@ -108,7 +145,7 @@ def test_roundtrip_raw_and_external_and_bf16(tmp_path):
     np.testing.assert_array_equal(g.initializers["ids"], ids)
     # bf16 → f32 upcast loses the low mantissa bits we chopped
     np.testing.assert_allclose(g.initializers["w_bf16"], bf, atol=0.04, rtol=0.01)
-    assert g.nodes == [("Relu", ["x"], ["y"])]
+    assert g.nodes == [("Relu", ["x"], ["y"], {})]
 
 
 def test_extract_named_weights_end_to_end(tmp_path):

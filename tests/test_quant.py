@@ -101,3 +101,41 @@ def test_clip_quantize_passthrough():
     img = rng.integers(0, 255, (40, 40, 3), dtype=np.uint8)
     results = clip.classify(img, ["a cat", "a dog"])
     assert abs(sum(p for _, p in results) - 1.0) < 1e-5
+
+
+def test_no_quantizable_layers_raises_for_both_towers():
+    """Shared contract: quantize='int8' on a params tree with no matmul
+    layers raises for vision AND text (round-1 had a silent text no-op)."""
+    from clip_embedder_tpu.errors import ConfigError
+    from clip_embedder_tpu.ops.quant import quantize_tree_checked
+
+    no_matmul = {"stem": {"conv": {"w": np.zeros((3, 3, 3, 8), np.float32)}}}
+    for family in ("fastvit", "hf_bert"):
+        with pytest.raises(ConfigError, match="no quantizable"):
+            quantize_tree_checked(no_matmul, family)
+
+
+def test_bucket_size_bounded_program_set():
+    """Any source size maps onto a 128-multiple bucket — including >4096px
+    giants (round-1 returned exact sizes there, one program per image)."""
+    from clip_embedder_tpu.ops.preprocess import bucket_size
+
+    rng = np.random.default_rng(0)
+    for n in [1, 127, 128, 129, 4096, 4097, 5000, 9999,
+              *rng.integers(1, 20000, 200).tolist()]:
+        b = bucket_size(int(n))
+        assert b % 128 == 0 and b >= n and b - n < 128 + 1
+
+
+def test_attn_impl_rejected_for_unsupported_family():
+    """attn_impl='pallas' on a family whose forward ignores it must raise,
+    not silently run the XLA path (ADVICE round 1)."""
+    from clip_embedder_tpu.errors import ConfigError
+    from clip_embedder_tpu.vision import check_attn_impl
+
+    check_attn_impl("vit", "pallas")
+    check_attn_impl("fastvit", "xla")
+    with pytest.raises(ConfigError, match="attn_impl"):
+        check_attn_impl("fastvit", "pallas")
+    with pytest.raises(ConfigError, match="attn_impl"):
+        check_attn_impl("hf_bert", "pallas")
