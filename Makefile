@@ -1,7 +1,7 @@
 # Developer entry points (the reference's justfile analog —
 # reference: justfile:1-33).
 
-.PHONY: test test-fast bench native check dryrun clean
+.PHONY: test test-fast bench native check lint dryrun clean
 
 native:
 	$(MAKE) -C native
@@ -24,6 +24,10 @@ dryrun:
 check:
 	python -m compileall -q clip_embedder_tpu
 	python -c "import clip_embedder_tpu"
+	python tools/lint.py
+
+lint:
+	python tools/lint.py
 
 clean:
 	$(MAKE) -C native clean

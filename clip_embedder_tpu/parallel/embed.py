@@ -26,7 +26,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..errors import InferenceError
-from ..ops.preprocess import bucket_batch, bucket_size
+from ..ops.preprocess import bucket_batch
 from ..utils.images import to_rgb_array
 from .mesh import DATA_AXIS, pad_to_multiple, replicate
 from .sharding import tp_param_specs

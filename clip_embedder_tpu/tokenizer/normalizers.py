@@ -110,7 +110,9 @@ def _bert_normalizer(clean_text, handle_chinese_chars, strip_accents, lowercase)
             out = []
             for c in s:
                 cp = ord(c)
-                if cp == 0 or cp == 0xFFFD or unicodedata.category(c).startswith("C") and c not in "\t\n\r":
+                if (cp == 0 or cp == 0xFFFD
+                        or unicodedata.category(c).startswith("C")
+                        and c not in "\t\n\r"):
                     continue
                 out.append(" " if c in "\t\n\r" or unicodedata.category(c) == "Zs" else c)
             s = "".join(out)

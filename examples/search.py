@@ -40,8 +40,6 @@ def main():
         with timed(f"embed {len(paths)} images on {mesh.shape}", logger):
             img_embs = sharded.embed_images([str(p) for p in paths])
         text_emb = clip.text.embed_text(query)
-        import numpy as np
-
         sims = img_embs @ text_emb
         ranked = sorted(enumerate(sims.tolist()), key=lambda kv: -kv[1])
     else:
