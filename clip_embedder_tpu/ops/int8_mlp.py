@@ -1,0 +1,159 @@
+"""Fused W8A8 transformer-MLP Pallas kernel.
+
+The unfused int8 path (ops.quant.int8_linear) leaves most of the int8 MXU
+rate (measured 1.4× bf16 on v5e) on the table because the dynamic
+activation quant / dequant epilogues are separate VPU passes with HBM
+round-trips between them. This kernel runs the whole MLP block
+
+    x → rowquant → int8 matmul (fc1) → dequant+bias → gelu_tanh
+      → rowquant → int8 matmul (fc2) → dequant+bias → y
+
+per row tile with both int8 weight matrices resident in VMEM, so the
+intermediate [T, hidden] activations never touch HBM.
+
+Weight layout matches ops.quant.quantize_weight: per-output-channel
+symmetric int8 (``w_q`` [in, out] int8, ``w_scale`` [out] f32); activations
+use per-row (per-token) symmetric int8, computed in-kernel.
+
+Numerics match the unfused path within int8 rounding (A/B-tested in
+tests/test_quant.py); like the unfused path it is opt-in via
+``quantize="int8"`` (reference embeddings move ~1e-4–1e-3 cosine).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Params = dict
+
+
+def _row_quant(x32: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """[T, K] f32 → int8 with per-row symmetric scale."""
+    amax = jnp.max(jnp.abs(x32), axis=-1, keepdims=True)
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(x32 / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _act(h: jax.Array, name: str) -> jax.Array:
+    if name == "gelu_tanh":
+        return jax.nn.gelu(h, approximate=True)
+    if name == "gelu":
+        return jax.nn.gelu(h, approximate=False)
+    if name == "quick_gelu":
+        return h * jax.nn.sigmoid(1.702 * h)
+    if name == "relu":
+        return jnp.maximum(h, 0.0)
+    raise ValueError(f"unsupported in-kernel activation '{name}'")
+
+
+def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                o_ref, *, activation: str):
+    x32 = x_ref[:].astype(jnp.float32)
+    xq, xs = _row_quant(x32)
+    h = jax.lax.dot_general(
+        xq, w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    h = h * (xs * s1_ref[0]) + b1_ref[0]
+    h = _act(h, activation)
+    aq, as_ = _row_quant(h)
+    y = jax.lax.dot_general(
+        aq, w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = y * (as_ * s2_ref[0]) + b2_ref[0]
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("activation", "interpret"))
+def int8_mlp(params: Params, x: jax.Array, *,
+             activation: str = "gelu_tanh",
+             interpret: bool = False) -> jax.Array:
+    """Fused quantized MLP block. ``params``: {"fc": {"w_q", "w_scale",
+    "b"}, "proj": {"w_q", "w_scale", "b"}} (ops.quant.quantize_tree layout).
+    ``x``: [..., K]; the activation runs in f32 inside the kernel.
+    """
+    fc, pr = params["fc"], params["proj"]
+    w1, s1 = fc["w_q"], fc["w_scale"].astype(jnp.float32)
+    w2, s2 = pr["w_q"], pr["w_scale"].astype(jnp.float32)
+    k_in, hidden = w1.shape
+    k_out = w2.shape[1]
+    b1 = fc.get("b")
+    b1 = (jnp.zeros((hidden,), jnp.float32) if b1 is None
+          else b1.astype(jnp.float32))
+    b2 = pr.get("b")
+    b2 = (jnp.zeros((k_out,), jnp.float32) if b2 is None
+          else b2.astype(jnp.float32))
+    # scales/biases as [1, N] rows — TPU VMEM refs want ≥2D layouts
+    s1, b1 = s1.reshape(1, hidden), b1.reshape(1, hidden)
+    s2, b2 = s2.reshape(1, k_out), b2.reshape(1, k_out)
+
+    orig_shape = x.shape
+    rows = 1
+    for dim in orig_shape[:-1]:
+        rows *= dim
+    x2 = x.reshape(rows, k_in)
+
+    tile = 256 if rows % 256 == 0 else 128
+    rp = (rows + tile - 1) // tile * tile
+    if rp != rows:
+        x2 = jnp.pad(x2, ((0, rp - rows), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_kernel, activation=activation),
+        out_shape=jax.ShapeDtypeStruct((rp, k_out), x.dtype),
+        grid=(rp // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, k_in), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            # weights/scales/biases: constant index map → resident in VMEM
+            pl.BlockSpec((k_in, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hidden), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hidden, k_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, k_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * k_in * hidden + 2 * rp * hidden * k_out,
+            bytes_accessed=(rp * (k_in + k_out) * 2
+                            + k_in * hidden + hidden * k_out),
+            transcendentals=rp * hidden,
+        ),
+        interpret=interpret,
+    )(x2, w1, s1, b1, w2, s2, b2)
+    return out[:rows].reshape(*orig_shape[:-1], k_out)
+
+
+def fits_fused_mlp(params: Params, activation_name: str) -> bool:
+    """Static eligibility: both MLP linears quantized, a supported in-kernel
+    activation, both weight matrices small enough to co-reside in VMEM, and
+    a TPU backend (the kernel is Mosaic-only)."""
+    fc = params.get("fc")
+    pr = params.get("proj")
+    if not (isinstance(fc, dict) and isinstance(pr, dict)):
+        return False
+    if "w_q" not in fc or "w_q" not in pr:
+        return False
+    if activation_name not in ("gelu_tanh", "gelu", "quick_gelu", "relu"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    vmem_bytes = fc["w_q"].size + pr["w_q"].size  # int8 = 1 byte each
+    return vmem_bytes <= 11 * 1024 * 1024

@@ -59,6 +59,8 @@ ACTIVATIONS: dict[str, Callable[[jax.Array], jax.Array]] = {
     "relu": jax.nn.relu,
 }
 
+_ACTIVATION_NAMES = {fn: name for name, fn in ACTIVATIONS.items()}
+
 
 def layer_norm(params: Params, x: jax.Array, *, eps: float = 1e-5) -> jax.Array:
     """LayerNorm over the last axis with f32 statistics.
@@ -102,7 +104,18 @@ def mlp(
     """Transformer MLP block: linear → act → linear.
 
     params: {"fc": linear-params, "proj": linear-params}
+
+    Quantized blocks (``w_q`` leaves) route to the fused W8A8 Pallas kernel
+    on TPU (ops.int8_mlp — the intermediate activations never leave VMEM);
+    elsewhere they fall back to the unfused int8 matmuls.
     """
+    fc = params.get("fc")
+    if isinstance(fc, dict) and "w_q" in fc:
+        from .int8_mlp import fits_fused_mlp, int8_mlp
+
+        name = _ACTIVATION_NAMES.get(activation)
+        if name and fits_fused_mlp(params, name):
+            return int8_mlp(params, x, activation=name)
     h = linear(params["fc"], x)
     h = activation(h)
     return linear(params["proj"], h)

@@ -83,3 +83,33 @@ def test_tower_with_pallas_attn_matches_xla_attn():
         assert (cos > 1 - 1e-6).all()
     finally:
         flash_mod.flash_attention = orig
+
+
+@pytest.mark.parametrize("d", [72, 128])
+def test_flash_fast_softmax_matches_exact(d):
+    """fast_softmax (clamped exp, no max pass) must match the exact-max
+    softmax for realistic logit magnitudes, for both the spare-lane (d=72)
+    and row-sum-fallback (d=128) denominators."""
+    k1, k2, k3 = jax.random.split(jax.random.key(0), 3)
+    q = jax.random.normal(k1, (2, 3, 40, d))
+    k = jax.random.normal(k2, (2, 3, 40, d))
+    v = jax.random.normal(k3, (2, 3, 40, d))
+    exact = flash_attention(q, k, v, interpret=True)
+    fast = flash_attention(q, k, v, fast_softmax=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(exact),
+                               atol=2e-6)
+    ref = attention_core(q, k, v)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_exact_lane_multiple_head_dim():
+    """d an exact lane multiple (no spare lane): denominator falls back to
+    the explicit row-sum; numerics must still match the XLA core."""
+    k1, k2, k3 = jax.random.split(jax.random.key(1), 3)
+    q = jax.random.normal(k1, (1, 2, 16, 128))
+    k = jax.random.normal(k2, (1, 2, 16, 128))
+    v = jax.random.normal(k3, (1, 2, 16, 128))
+    out = flash_attention(q, k, v, interpret=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(attention_core(q, k, v)),
+                               atol=2e-5)

@@ -139,3 +139,33 @@ def test_attn_impl_rejected_for_unsupported_family():
         check_attn_impl("fastvit", "pallas")
     with pytest.raises(ConfigError, match="attn_impl"):
         check_attn_impl("hf_bert", "pallas")
+
+
+def test_fused_int8_mlp_matches_unfused():
+    """The fused W8A8 Pallas MLP kernel (interpret mode) must match the
+    unfused int8_linear→act→int8_linear path bit-near-exactly, for every
+    supported in-kernel activation."""
+    import jax.numpy as jnp
+
+    from clip_embedder_tpu.ops.int8_mlp import int8_mlp
+    from clip_embedder_tpu.ops.layers import ACTIVATIONS
+    from clip_embedder_tpu.ops.quant import int8_linear, quantize_weight
+
+    rng = np.random.default_rng(3)
+    K, H = 256, 384
+    w1 = (rng.standard_normal((K, H)) * 0.05).astype(np.float32)
+    w2 = (rng.standard_normal((H, K)) * 0.05).astype(np.float32)
+    b1 = (rng.standard_normal(H) * 0.01).astype(np.float32)
+    b2 = (rng.standard_normal(K) * 0.01).astype(np.float32)
+    params = {
+        "fc": {**{k: jnp.asarray(v) for k, v in quantize_weight(w1).items()},
+               "b": jnp.asarray(b1)},
+        "proj": {**{k: jnp.asarray(v) for k, v in quantize_weight(w2).items()},
+                 "b": jnp.asarray(b2)},
+    }
+    x = jnp.asarray(rng.standard_normal((2, 50, K)).astype(np.float32))
+    for name, act in ACTIVATIONS.items():
+        ref = int8_linear(params["proj"], act(int8_linear(params["fc"], x)))
+        got = int8_mlp(params, x, activation=name, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, err_msg=name)
