@@ -141,6 +141,78 @@ def int8_mlp(params: Params, x: jax.Array, *,
     return out[:rows].reshape(*orig_shape[:-1], k_out)
 
 
+def _linear_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
+    x32 = x_ref[:].astype(jnp.float32)
+    xq, xs = _row_quant(x32)
+    y = jax.lax.dot_general(
+        xq, w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = y * (xs * s_ref[0]) + b_ref[0]
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int8_linear_fused(params: Params, x: jax.Array, *,
+                      interpret: bool = False) -> jax.Array:
+    """Fused W8A8 affine map (one matmul): in-kernel dynamic row quant →
+    int8 MXU matmul → fused dequant + bias. Same params layout as
+    ops.quant.int8_linear; used for the attention projections under
+    ``quantize="int8_all"``."""
+    w, s = params["w_q"], params["w_scale"].astype(jnp.float32)
+    k_in, k_out = w.shape
+    b = params.get("b")
+    b = jnp.zeros((k_out,), jnp.float32) if b is None else b.astype(jnp.float32)
+    s, b = s.reshape(1, k_out), b.reshape(1, k_out)
+
+    orig_shape = x.shape
+    rows = 1
+    for dim in orig_shape[:-1]:
+        rows *= dim
+    x2 = x.reshape(rows, k_in)
+    tile = 256 if rows % 256 == 0 else 128
+    rp = (rows + tile - 1) // tile * tile
+    if rp != rows:
+        x2 = jnp.pad(x2, ((0, rp - rows), (0, 0)))
+
+    out = pl.pallas_call(
+        _linear_kernel,
+        out_shape=jax.ShapeDtypeStruct((rp, k_out), x.dtype),
+        grid=(rp // tile,),
+        in_specs=[
+            pl.BlockSpec((tile, k_in), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k_in, k_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_out), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile, k_out), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * k_in * k_out,
+            bytes_accessed=rp * (k_in + k_out) * 2 + k_in * k_out,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, w, s, b)
+    return out[:rows].reshape(*orig_shape[:-1], k_out)
+
+
+def fits_fused_linear(params: Params) -> bool:
+    """Static eligibility for the fused W8A8 linear: 2-D quantized weight,
+    VMEM-resident, TPU backend."""
+    w = params.get("w_q")
+    if w is None or w.ndim != 2:
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    return w.size <= 11 * 1024 * 1024
+
+
 def fits_fused_mlp(params: Params, activation_name: str) -> bool:
     """Static eligibility: both MLP linears quantized, a supported in-kernel
     activation, both weight matrices small enough to co-reside in VMEM, and

@@ -84,8 +84,12 @@ def linear(params: Params, x: jax.Array) -> jax.Array:
     Params carrying ``w_q`` (int8-converted via ops.quant.quantize_tree)
     route through the quantized path."""
     if "w_q" in params:
+        from .int8_mlp import fits_fused_linear, int8_linear_fused
         from .quant import int8_linear
 
+        rows = x.size // x.shape[-1]
+        if rows >= 128 and fits_fused_linear(params):
+            return int8_linear_fused(params, x)
         return int8_linear(params, x)
     ct = _promote(x)
     y = jnp.dot(x, params["w"], preferred_element_type=ct)

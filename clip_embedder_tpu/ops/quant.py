@@ -39,6 +39,10 @@ def quantize_weight(w: np.ndarray) -> dict:
 # MLP-block subtree names across the vision families: vit/text 'mlp',
 # fastvit 'ffn', convnext block linears 'fc1'/'fc2'.
 DEFAULT_QUANT_PATHS = ("mlp", "ffn", "fc1", "fc2")
+# "int8_all" additionally quantizes the attention projections (q/k/v/out) —
+# a larger speedup with a correspondingly larger accuracy cost (~1e-3
+# cosine); served by the fused Pallas linear kernel on TPU.
+QUANT_PATHS_ALL = DEFAULT_QUANT_PATHS + ("attn",)
 
 
 def quantize_tree(params: Params, *,
@@ -66,12 +70,16 @@ def quantize_tree(params: Params, *,
 
 
 def quantize_tree_checked(params: Params, family: str, *,
-                          paths: tuple[str, ...] = DEFAULT_QUANT_PATHS) -> Params:
+                          mode: str = "int8",
+                          paths: tuple[str, ...] | None = None) -> Params:
     """``quantize_tree`` that raises when nothing quantized — the shared
     contract for both embedders (a silently no-op ``quantize="int8"`` hides
-    a perf bug from the caller)."""
+    a perf bug from the caller). ``mode``: "int8" (MLP blocks) or
+    "int8_all" (MLP + attention projections)."""
     from ..errors import ConfigError
 
+    if paths is None:
+        paths = QUANT_PATHS_ALL if mode == "int8_all" else DEFAULT_QUANT_PATHS
     qparams = quantize_tree(params, paths=paths)
     found = []
 

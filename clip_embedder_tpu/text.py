@@ -130,13 +130,14 @@ class TextEmbedder:
 
         spec = resolve_text(config.model_cfg)
         params = _load_or_convert_text(model_dir, spec, dtype)
-        if quantize == "int8":
+        if quantize in ("int8", "int8_all"):
             # same no-quantizable-layers contract as VisionEmbedder
             from .ops.quant import quantize_tree_checked
             from .vision import to_device_tree
 
             params = to_device_tree(
-                quantize_tree_checked(params, spec.family), dtype)
+                quantize_tree_checked(params, spec.family, mode=quantize),
+                dtype)
         elif quantize is not None:
             raise ConfigError(f"Unknown quantize mode '{quantize}'")
         return cls(

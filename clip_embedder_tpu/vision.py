@@ -168,13 +168,15 @@ class VisionEmbedder:
         model_config = ModelConfig.from_file(model_dir / "model_config.json")
         spec = resolve_vision(config.model_cfg)
         params = _load_or_convert_visual(model_dir, spec, dtype)
-        if quantize == "int8":
-            # opt-in W8A8 on the MLP blocks (see ops.quant for the accuracy
-            # tradeoff); incompatible with tensor-parallel sharding.
+        if quantize in ("int8", "int8_all"):
+            # opt-in W8A8: "int8" = MLP blocks, "int8_all" = MLP + attention
+            # projections (see ops.quant for the accuracy tradeoffs);
+            # incompatible with tensor-parallel sharding.
             from .ops.quant import quantize_tree_checked
 
             params = to_device_tree(
-                quantize_tree_checked(params, spec.family), dtype)
+                quantize_tree_checked(params, spec.family, mode=quantize),
+                dtype)
         elif quantize is not None:
             raise ConfigError(f"Unknown quantize mode '{quantize}'")
         return cls(

@@ -169,3 +169,44 @@ def test_fused_int8_mlp_matches_unfused():
         got = int8_mlp(params, x, activation=name, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5, err_msg=name)
+
+
+def test_fused_int8_linear_matches_unfused():
+    """int8_linear_fused (interpret) ≡ the unfused int8_linear."""
+    import jax.numpy as jnp
+
+    from clip_embedder_tpu.ops.int8_mlp import int8_linear_fused
+    from clip_embedder_tpu.ops.quant import int8_linear, quantize_weight
+
+    rng = np.random.default_rng(4)
+    w = (rng.standard_normal((256, 192)) * 0.05).astype(np.float32)
+    b = (rng.standard_normal(192) * 0.01).astype(np.float32)
+    params = {**{k: jnp.asarray(v) for k, v in quantize_weight(w).items()},
+              "b": jnp.asarray(b)}
+    x = jnp.asarray(rng.standard_normal((150, 256)).astype(np.float32))
+    ref = int8_linear(params, x)
+    got = int8_linear_fused(params, x, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_int8_all_mode_quantizes_attention():
+    """quantize='int8_all' must quantize the attention projections too and
+    stay within a ~2e-3 cosine budget of the float tower."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_embedder_tpu.models import vit
+    from clip_embedder_tpu.models.vit import ViTCfg
+    from clip_embedder_tpu.ops.quant import quantize_tree_checked
+
+    cfg = ViTCfg(image_size=32, patch_size=8, width=64, layers=2, heads=4,
+                 mlp_hidden=128, embed_dim=32)
+    params = vit.init(jax.random.key(0), cfg)
+    qparams = quantize_tree_checked(
+        jax.tree.map(np.asarray, params), "vit", mode="int8_all")
+    assert "w_q" in jax.tree.map(lambda x: x, qparams)["blocks"]["attn"]["q"]
+    x = jax.random.uniform(jax.random.key(1), (2, 32, 32, 3))
+    ref = np.asarray(vit.apply(params, x, cfg))
+    got = np.asarray(vit.apply(jax.tree.map(jnp.asarray, qparams), x, cfg))
+    cos = (ref * got).sum(-1)
+    assert (cos > 1 - 2e-3).all(), cos
