@@ -213,24 +213,69 @@ class OnnxGraph:
         self.outputs: list[str] = []
 
 
-def _parse_int_attr(buf: memoryview) -> tuple[str, int | None]:
-    """AttributeProto subset: name (field 1) + i (field 3, varint)."""
-    name, ival = "", None
+def _signed(v: int) -> int:
+    """Protobuf int64 varints are two's-complement; recover the sign."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _parse_attr(buf: memoryview):
+    """Full AttributeProto: name + whichever payload is present.
+
+    Returns (name, value) where value is int, float, bytes, np.ndarray
+    (tensor, inline data only), or a list of ints/floats/bytes.
+    """
+    name = ""
+    value = None
+    ints: list[int] = []
+    floats: list[float] = []
+    strings: list[bytes] = []
     for field, wtype, val in _iter_fields(buf):
         if field == 1 and wtype == 2:
             name = bytes(val).decode("utf-8")
-        elif field == 3 and wtype == 0:
-            ival = val
-    return name, ival
+        elif field == 2 and wtype == 5:  # f
+            value = struct.unpack("<f", val)[0]
+        elif field == 3 and wtype == 0:  # i
+            value = _signed(val)
+        elif field == 4 and wtype == 2:  # s
+            value = bytes(val)
+        elif field == 5 and wtype == 2:  # t (TensorProto)
+            t = _parse_tensor(val)
+            try:
+                value = _tensor_to_array(t, Path("."))
+            except WeightError:
+                value = None
+        elif field == 7:  # floats: packed (wtype 2) or repeated fixed32
+            if wtype == 2:
+                floats.extend(
+                    struct.unpack(f"<{len(val) // 4}f", bytes(val)))
+            elif wtype == 5:
+                floats.append(struct.unpack("<f", val)[0])
+        elif field == 8:  # ints: packed (wtype 2) or repeated varint
+            if wtype == 2:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    ints.append(_signed(v))
+            elif wtype == 0:
+                ints.append(_signed(val))
+        elif field == 9 and wtype == 2:  # strings
+            strings.append(bytes(val))
+    if ints:
+        value = ints
+    elif floats:
+        value = floats
+    elif strings:
+        value = strings
+    return name, value
 
 
 def _parse_node(
     buf: memoryview,
-) -> tuple[str, list[str], list[str], dict[str, int]]:
+) -> tuple[str, list[str], list[str], dict]:
     op_type = ""
     inputs: list[str] = []
     outputs: list[str] = []
-    attrs: dict[str, int] = {}
+    attrs: dict = {}
     for field, wtype, val in _iter_fields(buf):
         if field == 1 and wtype == 2:
             inputs.append(bytes(val).decode("utf-8"))
@@ -238,10 +283,10 @@ def _parse_node(
             outputs.append(bytes(val).decode("utf-8"))
         elif field == 4 and wtype == 2:
             op_type = bytes(val).decode("utf-8")
-        elif field == 5 and wtype == 2:  # attribute (int-valued only)
-            name, ival = _parse_int_attr(val)
-            if name and ival is not None:
-                attrs[name] = ival
+        elif field == 5 and wtype == 2:  # attribute
+            name, avalue = _parse_attr(val)
+            if name and avalue is not None:
+                attrs[name] = avalue
     return op_type, inputs, outputs, attrs
 
 

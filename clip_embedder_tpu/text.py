@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import ModelConfig, OpenClipConfig
-from .errors import ConfigError, InferenceError
+from .errors import ConfigError, InferenceError, WeightError
 from .model_manager import (
     NATIVE_TEXT,
     get_default_base_folder,
@@ -37,6 +37,11 @@ from .weights import load_pytree, save_pytree
 
 def _load_or_convert_text(model_dir: Path, spec: TowerSpec, dtype) -> dict:
     from .vision import to_device_tree
+
+    if spec.family == "onnx":
+        from .onnx_exec import get_tower
+
+        return {k: jnp.asarray(v) for k, v in get_tower(spec.cfg).params.items()}
 
     native = model_dir / NATIVE_TEXT
     if native.is_file():
@@ -59,7 +64,7 @@ def _jitted_text_forward(spec: TowerSpec, attn_impl: str):
 
     enable_compilation_cache()
 
-    def apply(params, ids):
+    def apply(params, ids, mask=None):
         if spec.family == "text_transformer":
             from .models import text_transformer
 
@@ -68,6 +73,19 @@ def _jitted_text_forward(spec: TowerSpec, attn_impl: str):
             from .models import hf_text
 
             return hf_text.apply(params, ids, spec.cfg)
+        if spec.family == "onnx":
+            # run-any-graph fallback (MCT and friends); mask passed only if
+            # the graph declares it (reference: src/text.rs:90,156-161)
+            from .onnx_exec import get_tower
+            from .ops.normalize import l2_normalize
+
+            tower = get_tower(spec.cfg)
+            name = next((n for n in ("input_ids", "input")
+                         if n in tower.input_names), tower.input_names[0])
+            feeds = {name: ids}
+            if mask is not None and "attention_mask" in tower.input_names:
+                feeds["attention_mask"] = mask
+            return l2_normalize(tower(params, feeds))
         raise InferenceError(f"Unknown text family '{spec.family}'")
 
     return jax.jit(apply)
@@ -128,8 +146,20 @@ class TextEmbedder:
         tokenizer.with_padding(length=ctx_len, pad_id=int(pad_id))
         tokenizer.with_truncation(max_length=ctx_len)
 
-        spec = resolve_text(config.model_cfg)
-        params = _load_or_convert_text(model_dir, spec, dtype)
+        try:
+            spec = resolve_text(config.model_cfg)
+            params = _load_or_convert_text(model_dir, spec, dtype)
+        except (ConfigError, WeightError):
+            # run-any-graph fallback (e.g. MobileCLIP-S0's MCT text tower):
+            # families without a native tower, or graphs whose structure
+            # doesn't match the resolved one, run via the ONNX executor
+            onnx_path = model_dir / "text.onnx"
+            if not onnx_path.is_file():
+                raise
+            from .onnx_exec import OnnxCfg
+
+            spec = TowerSpec("onnx", OnnxCfg(str(onnx_path)))
+            params = _load_or_convert_text(model_dir, spec, dtype)
         if quantize in ("int8", "int8_all"):
             # same no-quantizable-layers contract as VisionEmbedder
             from .ops.quant import quantize_tree_checked
@@ -185,11 +215,13 @@ class TextEmbedder:
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         if len(texts) == 0:
             raise InferenceError("Empty batch")
-        ids, _mask = self.tokenize(texts)
+        ids, mask = self.tokenize(texts)
         # Pad the batch axis to a bucket so jit caches a handful of programs.
         bb = bucket_batch(len(texts))
         if bb != ids.shape[0]:
             pad = np.full((bb - ids.shape[0], ids.shape[1]), self.pad_id, np.int32)
             ids = np.concatenate([ids, pad], axis=0)
-        embs = self._forward(self.params, jnp.asarray(ids))
+            mask = np.concatenate(
+                [mask, np.zeros_like(pad)], axis=0)
+        embs = self._forward(self.params, jnp.asarray(ids), jnp.asarray(mask))
         return np.asarray(embs[: len(texts)].astype(jnp.float32))

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .config import ModelConfig, OpenClipConfig
-from .errors import ConfigError, InferenceError
+from .errors import ConfigError, InferenceError, WeightError
 from .model_manager import (
     NATIVE_VISUAL,
     get_default_base_folder,
@@ -56,6 +56,12 @@ def _load_or_convert_visual(model_dir: Path, spec: TowerSpec, dtype) -> dict:
     """Load native weights, converting from ONNX once if needed (the cache
     role the reference's model dir plays for ORT — SURVEY.md §5
     checkpoint/resume)."""
+    if spec.family == "onnx":
+        # fallback family: the graph initializers ARE the params; keep f32
+        # (the graph's own numerics), no npz caching needed
+        from .onnx_exec import get_tower
+
+        return {k: jnp.asarray(v) for k, v in get_tower(spec.cfg).params.items()}
     native = model_dir / NATIVE_VISUAL
     if native.is_file():
         return load_pytree(native, dtype=dtype)
@@ -99,6 +105,19 @@ def _jitted_vision_forward(spec: TowerSpec, attn_impl: str):
             from .models import eva02
 
             return eva02.apply(params, pixels, spec.cfg)
+        if spec.family == "onnx":
+            from .onnx_exec import get_tower
+            from .ops.normalize import l2_normalize
+
+            tower = get_tower(spec.cfg)
+            name = next((n for n in ("pixel_values", "input")
+                         if n in tower.input_names), tower.input_names[0])
+            nchw = jnp.transpose(pixels, (0, 3, 1, 2)).astype(jnp.float32)
+            out = tower(params, {name: nchw})
+            # exported graphs bake normalize=True (pull_onnx.py:53-68);
+            # re-normalizing is a no-op there and enforces our unit-norm
+            # contract for graphs that don't
+            return l2_normalize(out)
         raise InferenceError(f"Unknown vision family '{spec.family}'")
 
     return jax.jit(apply)
@@ -166,8 +185,17 @@ class VisionEmbedder:
         verify_model_dir(model_dir)
         config = OpenClipConfig.from_file(model_dir / "open_clip_config.json")
         model_config = ModelConfig.from_file(model_dir / "model_config.json")
-        spec = resolve_vision(config.model_cfg)
-        params = _load_or_convert_visual(model_dir, spec, dtype)
+        try:
+            spec = resolve_vision(config.model_cfg)
+            params = _load_or_convert_visual(model_dir, spec, dtype)
+        except (ConfigError, WeightError):
+            onnx_path = model_dir / "visual.onnx"
+            if not onnx_path.is_file():
+                raise
+            from .onnx_exec import OnnxCfg
+
+            spec = TowerSpec("onnx", OnnxCfg(str(onnx_path)))
+            params = _load_or_convert_visual(model_dir, spec, dtype)
         if quantize in ("int8", "int8_all"):
             # opt-in W8A8: "int8" = MLP blocks, "int8_all" = MLP + attention
             # projections (see ops.quant for the accuracy tradeoffs);

@@ -1,0 +1,245 @@
+"""ONNX executor tests: export real torch models with torch.onnx (the same
+exporter the reference's pull_onnx.py uses, opset 18 — reference:
+pull_onnx.py:159-181) and check the from-scratch JAX executor reproduces
+torch's outputs. This is the "run any exported open_clip model" fallback
+(reference capability: src/onnx.rs:13-29 executes arbitrary graphs)."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+from torch import nn
+
+import jax
+import jax.numpy as jnp
+
+from clip_embedder_tpu.onnx_exec import OnnxTower
+from clip_embedder_tpu.errors import WeightError
+
+# torch's legacy exporter calls _add_onnxscript_fn unconditionally, which
+# imports the (uninstalled) `onnx` package just to re-serialize the proto.
+# For models without custom onnxscript functions the step is a no-op, so
+# shim it to identity — the exported bytes are unchanged.
+from torch.onnx._internal.torchscript_exporter import (  # noqa: E402
+    onnx_proto_utils as _opu,
+)
+
+_opu._add_onnxscript_fn = lambda model_bytes, custom_opsets: model_bytes
+
+
+def export(model, dummy, path, input_name="input", output_name="output"):
+    torch.onnx.export(
+        model, dummy, str(path),
+        input_names=[input_name], output_names=[output_name],
+        dynamic_axes={input_name: {0: "batch"}, output_name: {0: "batch"}},
+        opset_version=18, do_constant_folding=True, dynamo=False,
+    )
+
+
+def run_tower(path, feeds):
+    tower = OnnxTower(path)
+    params = {k: jnp.asarray(v) for k, v in tower.params.items()}
+    fn = jax.jit(lambda p, f: tower(p, f))
+    return np.asarray(fn(params, feeds))
+
+
+def test_mlp_layernorm_gelu(tmp_path):
+    torch.manual_seed(0)
+    model = nn.Sequential(
+        nn.Linear(32, 64), nn.GELU(), nn.LayerNorm(64), nn.Linear(64, 16),
+        nn.Softmax(dim=-1),
+    ).eval()
+    x = torch.randn(3, 32)
+    path = tmp_path / "mlp.onnx"
+    export(model, x, path)
+    with torch.no_grad():
+        ref = model(x).numpy()
+    got = run_tower(path, {"input": jnp.asarray(x.numpy())})
+    np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+class TinyTextTower(nn.Module):
+    """CLIP-style text tower: embed → pos → transformer → argmax-EOT pool
+    → proj → L2 normalize (the exporter wrapper bakes normalize=True,
+    reference: pull_onnx.py:53-68)."""
+
+    def __init__(self, vocab=64, ctx=12, dim=32, heads=4):
+        super().__init__()
+        self.tok = nn.Embedding(vocab, dim)
+        self.pos = nn.Parameter(0.02 * torch.randn(ctx, dim))
+        layer = nn.TransformerEncoderLayer(
+            dim, heads, dim * 2, batch_first=True, norm_first=True,
+            dropout=0.0)
+        self.encoder = nn.TransformerEncoder(layer, 2)
+        self.ln = nn.LayerNorm(dim)
+        self.proj = nn.Linear(dim, 16, bias=False)
+
+    def forward(self, ids):
+        x = self.tok(ids) + self.pos
+        x = self.encoder(x)
+        x = self.ln(x)
+        pooled = x[torch.arange(x.shape[0]), ids.argmax(dim=-1)]
+        return F.normalize(self.proj(pooled), dim=-1)
+
+
+def test_text_tower_with_argmax_pooling(tmp_path):
+    torch.manual_seed(1)
+    model = TinyTextTower().eval()
+    ids = torch.randint(0, 64, (2, 12))
+    path = tmp_path / "text.onnx"
+    export(model, ids, path, input_name="input_ids",
+           output_name="text_embeddings")
+    with torch.no_grad():
+        ref = model(ids).numpy()
+    got = run_tower(path, {"input_ids": jnp.asarray(ids.numpy())})
+    np.testing.assert_allclose(got, ref, atol=5e-5)
+    np.testing.assert_allclose(np.linalg.norm(got, axis=-1), 1.0, atol=1e-5)
+
+
+class MctLikeTextTower(nn.Module):
+    """MobileCLIP-S0-style hybrid text encoder: 1-D depthwise-conv mixing
+    blocks + a transformer layer + last-token pooling. The native families
+    don't model this — the ONNX fallback must run it."""
+
+    def __init__(self, vocab=64, ctx=12, dim=32):
+        super().__init__()
+        self.tok = nn.Embedding(vocab, dim)
+        self.dw = nn.Conv1d(dim, dim, 5, padding=2, groups=dim)
+        self.pw = nn.Conv1d(dim, dim, 1)
+        self.bn = nn.BatchNorm1d(dim)
+        layer = nn.TransformerEncoderLayer(
+            dim, 4, dim * 2, batch_first=True, norm_first=True, dropout=0.0)
+        self.block = nn.TransformerEncoder(layer, 1)
+        self.ln = nn.LayerNorm(dim)
+        self.proj = nn.Linear(dim, 16, bias=False)
+
+    def forward(self, ids):
+        x = self.tok(ids)                       # [B, T, C]
+        c = x.transpose(1, 2)                   # [B, C, T]
+        c = self.bn(self.pw(torch.relu(self.dw(c))))
+        x = x + c.transpose(1, 2)
+        x = self.block(x)
+        pooled = self.ln(x)[:, -1]
+        return F.normalize(self.proj(pooled), dim=-1)
+
+
+def test_mct_like_hybrid_text_tower(tmp_path):
+    torch.manual_seed(2)
+    model = MctLikeTextTower().eval()
+    ids = torch.randint(0, 64, (2, 12))
+    path = tmp_path / "text.onnx"
+    export(model, ids, path, input_name="input_ids",
+           output_name="text_embeddings")
+    with torch.no_grad():
+        ref = model(ids).numpy()
+    got = run_tower(path, {"input_ids": jnp.asarray(ids.numpy())})
+    np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+class TinyConvTower(nn.Module):
+    def __init__(self, embed_dim=8):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, 8, 3, stride=2, padding=1)
+        self.bn = nn.BatchNorm2d(8)
+        self.pool = nn.MaxPool2d(2)
+        self.conv2 = nn.Conv2d(8, 16, 3, padding=1, groups=8)
+        self.head = nn.Linear(16, embed_dim)
+
+    def forward(self, x):
+        x = self.pool(torch.relu(self.bn(self.conv1(x))))
+        x = torch.nn.functional.hardswish(self.conv2(x))
+        x = x.mean(dim=(2, 3))
+        return F.normalize(self.head(x), dim=-1)
+
+
+def test_conv_tower(tmp_path):
+    torch.manual_seed(3)
+    model = TinyConvTower().eval()
+    x = torch.randn(2, 3, 16, 16)
+    path = tmp_path / "visual.onnx"
+    export(model, x, path, input_name="pixel_values",
+           output_name="image_embeddings")
+    with torch.no_grad():
+        ref = model(x).numpy()
+    got = run_tower(path, {"pixel_values": jnp.asarray(x.numpy())})
+    np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_unsupported_op_raises(tmp_path):
+    class Weird(nn.Module):
+        def forward(self, x):
+            return torch.fft.rfft(x, dim=-1).real
+
+    x = torch.randn(2, 8)
+    path = tmp_path / "weird.onnx"
+    try:
+        export(Weird().eval(), x, path)
+    except Exception:
+        pytest.skip("exporter rejected the op before our executor could")
+    with pytest.raises(WeightError, match="unsupported op"):
+        run_tower(path, {"input": jnp.asarray(x.numpy())})
+
+
+def _write_model_dir(tmp_path, image_size=16, ctx=12):
+    import json
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).parent))
+    from test_tokenizer import make_clip_style_spec
+
+    d = tmp_path / "model"
+    d.mkdir()
+    occ = {
+        "model_cfg": {
+            "embed_dim": 16,
+            "vision_cfg": {"image_size": image_size, "layers": 2,
+                           "width": 64, "patch_size": 8, "head_width": 16},
+            "text_cfg": {"context_length": ctx, "vocab_size": 64,
+                         "width": 64, "heads": 4, "layers": 2},
+        },
+        "preprocess_cfg": {"mean": [0.5, 0.5, 0.5], "std": [0.5, 0.5, 0.5]},
+    }
+    (d / "open_clip_config.json").write_text(json.dumps(occ))
+    (d / "model_config.json").write_text(json.dumps({
+        "tokenizer_needs_lowercase": False,
+        "activation_function": "softmax", "logit_scale": 20.0,
+        "logit_bias": 0.0, "pad_id": 0}))
+    (d / "tokenizer.json").write_text(json.dumps(make_clip_style_spec()))
+    return d
+
+
+from pathlib import Path  # noqa: E402
+
+
+def test_clip_end_to_end_with_onnx_fallback_towers(tmp_path):
+    """A model dir whose exported towers don't match any native family must
+    still serve through Clip — the reference's run-any-graph capability.
+    The text tower is the MCT-like hybrid (conv+transformer); the vision
+    tower is a conv net the config mis-describes (structural extraction
+    fails → ONNX fallback)."""
+    from clip_embedder_tpu import Clip
+
+    d = _write_model_dir(tmp_path)
+    torch.manual_seed(7)
+    export(MctLikeTextTower(ctx=12).eval(), torch.randint(0, 64, (2, 12)),
+           d / "text.onnx", input_name="input_ids",
+           output_name="text_embeddings")
+    export(TinyConvTower(embed_dim=16).eval(), torch.randn(2, 3, 16, 16),
+           d / "visual.onnx", input_name="pixel_values",
+           output_name="image_embeddings")
+
+    clip = Clip.from_local_dir(d)
+    assert clip.text.spec.family == "onnx"
+    assert clip.vision.spec.family == "onnx"
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (20, 24, 3), dtype=np.uint8)
+    results = clip.classify(img, ["a cat", "a dog", "a beignet"])
+    probs = [p for _, p in results]
+    assert abs(sum(probs) - 1) < 1e-4
+    assert sorted(probs, reverse=True) == probs
+    embs = clip.vision.embed_images([img, img])
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=-1), 1.0, atol=1e-4)
+    # duplicate() shares the jitted graph (no recompile) like native families
+    dup = clip.duplicate()
+    r2 = dup.classify(img, ["a cat", "a dog", "a beignet"])
+    assert all(abs(a[1] - b[1]) < 1e-5 for a, b in zip(results, r2))
