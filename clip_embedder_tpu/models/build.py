@@ -28,9 +28,10 @@ _TIMM_VIT_SIZES: dict[str, tuple[int, int, int, int]] = {
     "base": (768, 12, 12, 3072),
     "large": (1024, 24, 16, 4096),
     "huge": (1280, 32, 16, 5120),
-    # NOTE: so150m deliberately absent — timm's so150m ViTs are reg4
-    # (register-token) variants this implementation doesn't model; an
-    # unknown-size error beats silently-wrong shapes.
+    # so150m (shape-optimized 150M, timm vit_so150m_*_reg4_*): register
+    # tokens handled via ViTCfg.reg_tokens; dims per timm's model def —
+    # wrong dims fail loudly at weight load, so this can't be silently off.
+    "so150m": (896, 18, 14, 2304),
     "so400m": (1152, 27, 16, 4304),
     "giant": (1408, 40, 16, 6144),
     "giantopt": (1536, 40, 16, 6144),
@@ -69,6 +70,8 @@ def _parse_timm_vit(name: str, vcfg, embed_dim: int, timm_pool: str | None,
     if not m:
         raise ConfigError(f"No patch size in timm model name '{name}'")
     patch = int(m.group(1))
+    reg = re.search(r"_reg(\d+)", name)
+    reg_tokens = int(reg.group(1)) if reg else 0
 
     is_siglip = "siglip" in name
     norm_after_pool = False
@@ -98,14 +101,19 @@ def _parse_timm_vit(name: str, vcfg, embed_dim: int, timm_pool: str | None,
         mlp_hidden=mlp_hidden,
         embed_dim=embed_dim if use_proj else width,
         activation="gelu_tanh" if is_siglip else "gelu",
-        use_class_token=not is_siglip and pool != "gap",
+        # register-token models (timm reg*_gap/map defs) carry no class
+        # token and no prefix pos-embed rows
+        use_class_token=(not is_siglip and pool != "gap"
+                         and reg_tokens == 0),
         use_ln_pre=False,
         pool=pool,
         use_proj=use_proj,
         proj_bias=True,
         ln_eps=1e-6,
-        pos_embed_cls=not is_siglip and pool != "gap",
+        pos_embed_cls=(not is_siglip and pool != "gap"
+                       and reg_tokens == 0),
         norm_after_pool=norm_after_pool,
+        reg_tokens=reg_tokens,
     )
 
 

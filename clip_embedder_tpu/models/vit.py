@@ -56,6 +56,10 @@ class ViTCfg:
     pos_embed_cls: bool = True        # class token has a pos-embed row
     # classic timm global_pool='avg': fc_norm applies AFTER pooling
     norm_after_pool: bool = False
+    # timm register tokens (vit_*_reg4_* / so150m family): learnable prefix
+    # tokens after the class token, excluded from gap pooling; whether they
+    # carry pos-embed rows is inferred from the loaded table's length.
+    reg_tokens: int = 0
 
     @property
     def grid(self) -> int:
@@ -66,8 +70,12 @@ class ViTCfg:
         return self.grid * self.grid
 
     @property
+    def prefix_tokens(self) -> int:
+        return (1 if self.use_class_token else 0) + self.reg_tokens
+
+    @property
     def seq_len(self) -> int:
-        return self.num_patches + (1 if self.use_class_token else 0)
+        return self.num_patches + self.prefix_tokens
 
     @property
     def head_dim(self) -> int:
@@ -136,6 +144,10 @@ def init(key: jax.Array, cfg: ViTCfg, *, dtype=jnp.float32) -> Params:
     if cfg.use_class_token:
         params["cls_token"] = (
             jax.random.normal(keys[2], (1, 1, cfg.width)) * 0.02
+        ).astype(dtype)
+    if cfg.reg_tokens:
+        params["reg_tokens"] = (
+            jax.random.normal(keys[7], (1, cfg.reg_tokens, cfg.width)) * 0.02
         ).astype(dtype)
     if cfg.use_ln_pre:
         params["ln_pre"] = _init_ln(cfg.width, dtype)
@@ -232,12 +244,22 @@ def apply(
     x = patchify(pixels, cfg.patch_size)
     x = linear(params["patch_embed"], x)
 
+    pos = params["pos_embed"].astype(x.dtype)
+    prefix = []
     if cfg.use_class_token:
-        cls = jnp.broadcast_to(
-            params["cls_token"].astype(x.dtype), (x.shape[0], 1, cfg.width)
-        )
-        x = jnp.concatenate([cls, x], axis=1)
-    x = x + params["pos_embed"].astype(x.dtype)
+        prefix.append(jnp.broadcast_to(
+            params["cls_token"].astype(x.dtype), (x.shape[0], 1, cfg.width)))
+    if cfg.reg_tokens:
+        prefix.append(jnp.broadcast_to(
+            params["reg_tokens"].astype(x.dtype),
+            (x.shape[0], cfg.reg_tokens, cfg.width)))
+    if pos.shape[1] == cfg.num_patches and prefix:
+        # timm no_embed_class layout: pos covers patches only; prefix
+        # tokens (cls/registers) join after the add
+        x = jnp.concatenate(prefix + [x + pos], axis=1)
+    else:
+        x = jnp.concatenate(prefix + [x], axis=1) if prefix else x
+        x = x + pos
 
     if cfg.use_ln_pre:
         x = layer_norm(params["ln_pre"], x, eps=cfg.ln_eps)
@@ -253,7 +275,7 @@ def apply(
         x = layer_norm(params["ln_post"], x, eps=cfg.ln_eps)
         pooled = _map_pool(cfg, act, params, x)
     elif cfg.pool == "gap":
-        start = 1 if cfg.use_class_token else 0
+        start = cfg.prefix_tokens
         if cfg.norm_after_pool:
             pooled = jnp.mean(x[:, start:], axis=1)
             pooled = layer_norm(params["ln_post"], pooled, eps=cfg.ln_eps)

@@ -271,6 +271,9 @@ def map_timm_visual(sd: Mapping[str, np.ndarray]) -> Params:
     }
     if "cls_token" in sd:
         params["cls_token"] = np.asarray(sd["cls_token"]).reshape(1, 1, -1)
+    if "reg_token" in sd:  # timm register tokens (vit_*_reg*_ / so150m)
+        reg = np.asarray(sd["reg_token"])
+        params["reg_tokens"] = reg.reshape(1, -1, reg.shape[-1])
 
     if "attn_pool.latent" in sd:
         kv = _get(sd, "attn_pool.kv.weight")
