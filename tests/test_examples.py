@@ -88,3 +88,17 @@ def test_search_example(image_file, tmp_path):
     proc = run_example("search.py", str(FIXTURE), str(d), "a photo of a cat")
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "a.png" in proc.stdout and "b.png" in proc.stdout
+
+
+def test_search_example_over_committed_assets():
+    """The out-of-the-box demo story: rank the committed assets/img corpus
+    (the reference ships 8 demo photos for examples/search.rs:26-58)."""
+    assets = REPO / "assets" / "img"
+    images = [p for p in assets.iterdir()
+              if p.suffix.lower() in (".jpg", ".jpeg", ".png", ".webp")]
+    assert len(images) >= 8, "demo corpus shrank"
+    proc = run_example("search.py", str(FIXTURE), str(assets),
+                       "a starry night sky")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    for p in images:
+        assert p.name in proc.stdout
