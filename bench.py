@@ -55,7 +55,10 @@ def main() -> None:
     dtype = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}[
         os.environ.get("BENCH_DTYPE", "bfloat16")
     ]
-    attn_impl = os.environ.get("BENCH_ATTN", "pallas")
+    # serving default: the clamped-softmax Pallas kernel (pallas_fast) —
+    # numerics within 2e-6 of exact softmax on realistic logits
+    # (tests/test_flash.py), ~2% faster end-to-end
+    attn_impl = os.environ.get("BENCH_ATTN", "pallas_fast")
     src = int(os.environ.get("BENCH_SRC", "512"))
     iters = int(os.environ.get("BENCH_ITERS", "30"))
     target = 384
@@ -127,6 +130,31 @@ def main() -> None:
         print("benchmark failed: no batch size completed", file=sys.stderr)
         sys.exit(1)
 
+    # opt-in int8 alternate, measured at the winning batch when the main
+    # run is bf16 (reported in detail, not as the headline metric)
+    int8_ips = None
+    if quant is None and best_batch:
+        try:
+            import numpy as _np
+
+            from clip_embedder_tpu.ops.quant import quantize_tree
+
+            qparams = jax.tree.map(
+                jnp.asarray,
+                quantize_tree(jax.tree.map(_np.asarray, params)))
+            images = jnp.asarray(rng.integers(
+                0, 255, size=(best_batch, src, src, 3), dtype=np.uint8))
+            wh = jnp.broadcast_to(jnp.asarray(wh_np), (best_batch, target, src))
+            ww = jnp.broadcast_to(jnp.asarray(ww_np), (best_batch, target, src))
+            float(embed_chain(qparams, images, wh, ww))
+            t0 = time.perf_counter()
+            float(embed_chain(qparams, images, wh, ww))
+            int8_ips = round(best_batch / ((time.perf_counter() - t0) / iters), 2)
+            print(f"int8 alternate (batch {best_batch}): {int8_ips} img/s",
+                  file=sys.stderr)
+        except Exception as e:  # noqa: BLE001
+            print(f"int8 alternate failed: {type(e).__name__}", file=sys.stderr)
+
     # p50 single-image latency, honest wall-clock including dispatch (the
     # second tracked metric in BASELINE.json)
     p50_ms = None
@@ -158,6 +186,7 @@ def main() -> None:
             "attn_impl": attn_impl,
             "quantize": quant or "none",
             "includes_preprocess": True,
+            "int8_images_per_sec": int8_ips,
             "methodology": (
                 f"{iters} full steps chained on-device in one jitted "
                 "fori_loop with cross-iteration data dependency; scalar "

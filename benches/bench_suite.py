@@ -67,15 +67,49 @@ MODELS: dict[str, dict] = {
 }
 
 
-def _time(fn, *args, iters=5):
-    import jax
+_RTT_CACHE: list[float] = []
 
-    out = jax.block_until_ready(fn(*args))
+
+def _dispatch_rtt() -> float:
+    """One-call dispatch floor of this environment (the axon tunnel costs
+    ~29 ms per call; a production host pays microseconds)."""
+    import jax
+    import jax.numpy as jnp
+
+    if not _RTT_CACHE:
+        nop = jax.jit(lambda x: x + 1)
+        float(nop(jnp.float32(1)))
+        t0 = time.perf_counter()
+        float(nop(jnp.float32(2)))
+        _RTT_CACHE.append(time.perf_counter() - t0)
+    return _RTT_CACHE[0]
+
+
+def _time(fn, params, x, *, iters=20):
+    """Per-step time of ``fn(params, x)`` measured by chaining ``iters``
+    executions on-device in one jitted fori_loop with a cross-iteration
+    data dependency (so XLA can't hoist the loop body), then subtracting
+    the single dispatch RTT. See bench.py's methodology note."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def chain(params, x):
+        def body(_, acc):
+            if jnp.issubdtype(x.dtype, jnp.floating):
+                x_i = x + (acc * 1e-30).astype(x.dtype)
+            else:
+                # integer inputs: a never-true data-dependent select keeps
+                # the dependency without touching the values
+                x_i = jnp.where(acc > jnp.float32(1e30), x + 1, x)
+            out = fn(params, x_i)
+            return acc + jnp.sum(out.reshape(-1)[:1].astype(jnp.float32))
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(chain(params, x))  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    float(chain(params, x))
+    return max(time.perf_counter() - t0 - _dispatch_rtt(), 1e-9) / iters
 
 
 def bench_model(name: str, spec: dict, batch: int, attn_impl: str,
@@ -114,11 +148,15 @@ def bench_model(name: str, spec: dict, batch: int, attn_impl: str,
         vcfg = resolve_fastvit(spec["variant"], VisionCfg(image_size=image), 512, None)
         vparams = fastvit.init(jax.random.key(0), vcfg, dtype=jnp.bfloat16)
         vision_fn = jax.jit(lambda p, x: fastvit.apply(p, x, vcfg))
-    if quant == "int8":
-        from clip_embedder_tpu.ops.quant import quantize_tree
+    if quant in ("int8", "int8_all"):
+        from clip_embedder_tpu.ops.quant import (DEFAULT_QUANT_PATHS,
+                                                 QUANT_PATHS_ALL,
+                                                 quantize_tree)
 
-        vparams = jax.tree.map(jnp.asarray,
-                               quantize_tree(jax.tree.map(np.asarray, vparams)))
+        paths = QUANT_PATHS_ALL if quant == "int8_all" else DEFAULT_QUANT_PATHS
+        vparams = jax.tree.map(
+            jnp.asarray,
+            quantize_tree(jax.tree.map(np.asarray, vparams), paths=paths))
 
     # preprocess (on-device) from 512px sources
     src = 512
@@ -131,7 +169,12 @@ def bench_model(name: str, spec: dict, batch: int, attn_impl: str,
 
     pre_fn = jax.jit(lambda i, a, b: resize_normalize(i, a, b, mean, std,
                                                       out_dtype=jnp.bfloat16))
-    dt_pre = _time(pre_fn, imgs, wh, ww)
+    # preprocess steps are sub-millisecond: chain many so the RTT
+    # subtraction noise stays small relative to the signal
+    dt_pre = _time(
+        lambda _, whx: resize_normalize(imgs, whx, ww, mean, std,
+                                        out_dtype=jnp.bfloat16),
+        None, wh, iters=300)
     results.append({"metric": f"{name}/vision_preprocess_ms_per_image",
                     "value": round(dt_pre / batch * 1e3, 4), "unit": "ms"})
 
@@ -170,9 +213,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--models", default=",".join(MODELS))
     parser.add_argument("--batch", type=int, default=32)
-    parser.add_argument("--attn", default="pallas", choices=["xla", "pallas"])
-    parser.add_argument("--quant", default=None, choices=[None, "int8"],
-                        help="W8A8 MLPs (opt-in accuracy tradeoff)")
+    parser.add_argument("--attn", default="pallas",
+                        choices=["xla", "pallas", "pallas_fast"])
+    parser.add_argument("--quant", default=None,
+                        choices=[None, "int8", "int8_all"],
+                        help="W8A8 MLPs / + attention projections (opt-in)")
     args = parser.parse_args()
 
     from clip_embedder_tpu.utils.compilation_cache import enable_compilation_cache

@@ -156,6 +156,12 @@ def _conv_init(key, k, cin, cout, groups=1, dtype=jnp.float32):
 
 
 def _conv(params, x, *, stride=1, groups=1):
+    if "w_q" in params:
+        # int8-quantized 1×1 conv (ops.quant squeezes it to matmul form):
+        # NHWC 1×1 conv ≡ a matmul over the channel axis
+        from ..ops.layers import linear
+
+        return linear(params, x)
     pad = (params["w"].shape[0] - 1) // 2
     y = jax.lax.conv_general_dilated(
         x, params["w"].astype(x.dtype),

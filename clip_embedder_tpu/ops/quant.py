@@ -54,11 +54,19 @@ def quantize_tree(params: Params, *,
 
     def walk(node, under_target: bool):
         if isinstance(node, dict):
-            if under_target and "w" in node and np.ndim(node["w"]) in (2, 3):
-                q = quantize_weight(np.asarray(node["w"]))
-                out = {k: v for k, v in node.items() if k != "w"}
-                out.update(q)
-                return out
+            if under_target and "w" in node:
+                w = np.asarray(node["w"])
+                # 1×1 convs ([kh=1, kw=1, in, out], optionally with a
+                # stacked-layer axis in front — FastViT's ConvFFN fc1/fc2)
+                # are matmuls: squeeze the spatial dims and quantize.
+                if w.ndim in (4, 5) and w.shape[-4] == 1 and w.shape[-3] == 1:
+                    w = w.reshape(w.shape[:-4] + w.shape[-2:])
+                if w.ndim in (2, 3):
+                    q = quantize_weight(w)
+                    out = {k: v for k, v in node.items() if k != "w"}
+                    out.update(q)
+                    return out
+                return node
             return {
                 k: walk(v, under_target or k in paths) for k, v in node.items()
             }

@@ -210,3 +210,34 @@ def test_int8_all_mode_quantizes_attention():
     got = np.asarray(vit.apply(jax.tree.map(jnp.asarray, qparams), x, cfg))
     cos = (ref * got).sum(-1)
     assert (cos > 1 - 2e-3).all(), cos
+
+
+def test_fastvit_int8_quantizes_pointwise_convs():
+    """FastViT ConvFFN fc1/fc2 are 1×1 convs — quantize='int8' must convert
+    them (round-1 skipped conv-form weights) and stay within a cosine
+    budget of the float tower; the 7×7 depthwise convs stay float."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_embedder_tpu.models import fastvit
+    from clip_embedder_tpu.models.fastvit import FastViTCfg
+    from clip_embedder_tpu.ops.quant import quantize_tree_checked
+
+    cfg = FastViTCfg(image_size=64, embed_dim=32, depths=(1, 1, 1, 1),
+                     dims=(16, 32, 64, 128), mlp_ratios=(3, 3, 3, 3),
+                     mixers=("repmixer",) * 3 + ("attention",),
+                     pos_embs=(False,) * 3 + (True,))
+    params = fastvit.init(jax.random.key(0), cfg)
+    qparams = quantize_tree_checked(
+        jax.tree.map(np.asarray, params), "fastvit")
+    ffn = qparams["stages"][2]["blocks"]["ffn"]
+    assert "w_q" in ffn["fc1"] and "w_q" in ffn["fc2"]
+    assert ffn["fc1"]["w_q"].ndim == 3  # stacked [L, in, out] matmul form
+    assert "w" in ffn["dw"] and "w_q" not in ffn["dw"]
+
+    x = jax.random.uniform(jax.random.key(1), (2, 64, 64, 3))
+    ref = np.asarray(fastvit.apply(params, x, cfg))
+    got = np.asarray(fastvit.apply(
+        jax.tree.map(jnp.asarray, qparams), x, cfg))
+    cos = (ref * got).sum(-1)
+    assert (cos > 1 - 2e-3).all(), cos
