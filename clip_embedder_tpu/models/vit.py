@@ -203,7 +203,9 @@ def _block_forward(
     if "ls1" in block:
         h = h * block["ls1"]
     x = x + h
-    h = mlp(block["mlp"], layer_norm(block["ln2"], x, eps=cfg.ln_eps), activation=act)
+    # ln2 passes through mlp() so the quantized path fuses it in-kernel
+    h = mlp(block["mlp"], x, activation=act, pre_ln=block["ln2"],
+            ln_eps=cfg.ln_eps)
     if "ls2" in block:
         h = h * block["ls2"]
     return x + h

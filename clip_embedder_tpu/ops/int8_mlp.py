@@ -53,8 +53,17 @@ def _act(h: jax.Array, name: str) -> jax.Array:
 
 
 def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-                o_ref, *, activation: str):
+                o_ref, *, activation: str, ln_refs=None, ln_eps=1e-6):
     x32 = x_ref[:].astype(jnp.float32)
+    if ln_refs is not None:
+        # fused pre-MLP LayerNorm: x is the raw residual stream, normalized
+        # in f32 here instead of a separate XLA pass (one less HBM round
+        # trip per layer)
+        g_ref, b_ref = ln_refs
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+        x32 = (x32 - mean) * jax.lax.rsqrt(var + ln_eps)
+        x32 = x32 * g_ref[0] + b_ref[0]
     xq, xs = _row_quant(x32)
     h = jax.lax.dot_general(
         xq, w1_ref[:],
@@ -73,13 +82,16 @@ def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
     o_ref[:] = y.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("activation", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("activation", "ln_eps", "interpret"))
 def int8_mlp(params: Params, x: jax.Array, *,
              activation: str = "gelu_tanh",
+             pre_ln: Params | None = None, ln_eps: float = 1e-6,
              interpret: bool = False) -> jax.Array:
     """Fused quantized MLP block. ``params``: {"fc": {"w_q", "w_scale",
     "b"}, "proj": {"w_q", "w_scale", "b"}} (ops.quant.quantize_tree layout).
     ``x``: [..., K]; the activation runs in f32 inside the kernel.
+    ``pre_ln`` ({"scale", "bias"}) fuses the pre-MLP LayerNorm in-kernel.
     """
     fc, pr = params["fc"], params["proj"]
     w1, s1 = fc["w_q"], fc["w_scale"].astype(jnp.float32)
@@ -107,27 +119,49 @@ def int8_mlp(params: Params, x: jax.Array, *,
     if rp != rows:
         x2 = jnp.pad(x2, ((0, rp - rows), (0, 0)))
 
+    in_specs = [
+        pl.BlockSpec((tile, k_in), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        # weights/scales/biases: constant index map → resident in VMEM
+        pl.BlockSpec((k_in, hidden), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hidden), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, hidden), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hidden, k_out), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k_out), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k_out), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x2, w1, s1, b1, w2, s2, b2]
+    if pre_ln is not None:
+        ln_g = pre_ln["scale"].astype(jnp.float32).reshape(1, k_in)
+        ln_b = pre_ln["bias"].astype(jnp.float32).reshape(1, k_in)
+
+        def kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                   g_ref, lb_ref, o_ref):
+            _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                        b2_ref, o_ref, activation=activation,
+                        ln_refs=(g_ref, lb_ref), ln_eps=ln_eps)
+
+        in_specs = in_specs + [
+            pl.BlockSpec((1, k_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_in), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = args + [ln_g, ln_b]
+    else:
+        kernel = functools.partial(_mlp_kernel, activation=activation)
+
     out = pl.pallas_call(
-        functools.partial(_mlp_kernel, activation=activation),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((rp, k_out), x.dtype),
         grid=(rp // tile,),
-        in_specs=[
-            pl.BlockSpec((tile, k_in), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            # weights/scales/biases: constant index map → resident in VMEM
-            pl.BlockSpec((k_in, hidden), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hidden), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hidden, k_out), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_out), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_out), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile, k_out), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
@@ -137,7 +171,7 @@ def int8_mlp(params: Params, x: jax.Array, *,
             transcendentals=rp * hidden,
         ),
         interpret=interpret,
-    )(x2, w1, s1, b1, w2, s2, b2)
+    )(*args)
     return out[:rows].reshape(*orig_shape[:-1], k_out)
 
 

@@ -104,11 +104,15 @@ def mlp(
     x: jax.Array,
     *,
     activation: Callable[[jax.Array], jax.Array],
+    pre_ln: Params | None = None,
+    ln_eps: float = 1e-6,
 ) -> jax.Array:
-    """Transformer MLP block: linear → act → linear.
+    """Transformer MLP block: [LayerNorm →] linear → act → linear.
 
     params: {"fc": linear-params, "proj": linear-params}
 
+    ``pre_ln`` (optional {"scale","bias"}) applies the pre-MLP LayerNorm as
+    part of this call so the quantized path can fuse it in-kernel.
     Quantized blocks (``w_q`` leaves) route to the fused W8A8 Pallas kernel
     on TPU (ops.int8_mlp — the intermediate activations never leave VMEM);
     elsewhere they fall back to the unfused int8 matmuls.
@@ -119,7 +123,10 @@ def mlp(
 
         name = _ACTIVATION_NAMES.get(activation)
         if name and fits_fused_mlp(params, name):
-            return int8_mlp(params, x, activation=name)
+            return int8_mlp(params, x, activation=name, pre_ln=pre_ln,
+                            ln_eps=ln_eps)
+    if pre_ln is not None:
+        x = layer_norm(pre_ln, x, eps=ln_eps)
     h = linear(params["fc"], x)
     h = activation(h)
     return linear(params["proj"], h)

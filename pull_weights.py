@@ -164,8 +164,39 @@ def run_pull(repo_id: str, base_output_dir: Path) -> Path:
     )
     _inject_hf_text_config(out, occ)
     convert_checkpoint(out, sd)
+    write_model_readme(out, repo_id)
     print(f"Done: {out}")
     return out
+
+
+def write_model_readme(model_dir: Path, repo_id: str) -> None:
+    """Write a usage README into the converted model dir (the analog of the
+    reference exporter's README rewrite — reference: pull_onnx.py:184-248,
+    which injects a Rust usage snippet; here the snippet is this
+    framework's Python API)."""
+    name = repo_id.split("/", 1)[-1]
+    (model_dir / "README.md").write_text(f"""# {name} — clip_embedder_tpu model dir
+
+Converted from [`{repo_id}`](https://huggingface.co/{repo_id}) by
+`pull_weights.py`. Serve it with the TPU-native framework:
+
+```python
+from clip_embedder_tpu import Clip
+
+clip = Clip.from_local_dir("{model_dir}")
+results = clip.classify("cat.jpg", [
+    "A photo of a cat",
+    "A photo of a dog",
+    "A photo of a beignet",
+])
+for label, prob in results:
+    print(f"{{label}}: {{prob*100:.1f}}%")
+```
+
+Contents follow the reference model-dir contract
+(`open_clip_config.json`, `model_config.json`, `tokenizer.json`, …) plus
+native `visual.npz`/`text.npz` weight pytrees.
+""")
 
 
 def _inject_hf_text_config(out: Path, occ: dict) -> None:

@@ -108,3 +108,18 @@ def test_derive_model_config_siglip_rules(checkpoint_and_dir):
     occ_bias["model_cfg"] = {**occ["model_cfg"], "init_logit_bias": -10.0}
     mc3 = pull_weights.derive_model_config("someone/NoNameHint", occ_bias, sd)
     assert mc3["activation_function"] == "sigmoid"
+
+
+def test_write_model_readme(tmp_path):
+    """Converted dirs get a usage README (the reference exporter rewrites
+    the repo README with a usage snippet, pull_onnx.py:184-248)."""
+    import ast
+    import re
+
+    from pull_weights import write_model_readme
+
+    write_model_readme(tmp_path, "someorg/Some-Model")
+    text = (tmp_path / "README.md").read_text()
+    assert "Some-Model" in text and "from clip_embedder_tpu import Clip" in text
+    block = re.search(r"```python\n(.*?)```", text, flags=re.S).group(1)
+    ast.parse(block)  # the snippet must at least be valid python

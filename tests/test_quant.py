@@ -241,3 +241,27 @@ def test_fastvit_int8_quantizes_pointwise_convs():
         jax.tree.map(jnp.asarray, qparams), x, cfg))
     cos = (ref * got).sum(-1)
     assert (cos > 1 - 2e-3).all(), cos
+
+
+def test_fused_int8_mlp_with_pre_ln_matches_separate_ln():
+    """pre_ln fused inside the kernel must equal layer_norm → int8_mlp."""
+    import jax.numpy as jnp
+
+    from clip_embedder_tpu.ops.int8_mlp import int8_mlp
+    from clip_embedder_tpu.ops.layers import layer_norm
+    from clip_embedder_tpu.ops.quant import quantize_weight
+
+    rng = np.random.default_rng(9)
+    K, H = 256, 384
+    params = {
+        "fc": {k: jnp.asarray(v) for k, v in quantize_weight(
+            (rng.standard_normal((K, H)) * 0.05).astype(np.float32)).items()},
+        "proj": {k: jnp.asarray(v) for k, v in quantize_weight(
+            (rng.standard_normal((H, K)) * 0.05).astype(np.float32)).items()},
+    }
+    ln = {"scale": jnp.asarray(rng.standard_normal(K).astype(np.float32)),
+          "bias": jnp.asarray(rng.standard_normal(K).astype(np.float32))}
+    x = jnp.asarray(rng.standard_normal((2, 40, K)).astype(np.float32)) * 3
+    ref = int8_mlp(params, layer_norm(ln, x, eps=1e-6), interpret=True)
+    got = int8_mlp(params, x, pre_ln=ln, ln_eps=1e-6, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
