@@ -158,7 +158,10 @@ def _conv_init(key, k, cin, cout, groups=1, dtype=jnp.float32):
 def _conv(params, x, *, stride=1, groups=1):
     if "w_q" in params:
         # int8-quantized 1×1 conv (ops.quant squeezes it to matmul form):
-        # NHWC 1×1 conv ≡ a matmul over the channel axis
+        # NHWC 1×1 conv ≡ a matmul over the channel axis — only valid
+        # unstrided/ungrouped (quantize_tree only converts such convs)
+        assert stride == 1 and groups == 1, (
+            "quantized conv routed to linear() must be stride-1/group-1")
         from ..ops.layers import linear
 
         return linear(params, x)

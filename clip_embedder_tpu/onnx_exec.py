@@ -157,10 +157,20 @@ def _slice_op(env, inputs, attrs):
                  if len(inputs) > 4 and inputs[4] else [1] * len(starts))
     index: list[slice] = [slice(None)] * np.ndim(x)
     for st, en, ax, sp in zip(starts, ends, axes, steps):
+        # ONNX Slice semantics: negative indices count from the end BEFORE
+        # clamping; for negative steps an end below 0 (e.g. INT_MIN) means
+        # "run past the first element" (python stop=None).
         dim = x.shape[ax]
-        lo = max(st + dim, 0) if st < 0 else min(st, dim)
-        hi = max(en + dim, -1) if en < 0 else min(en, dim)
-        index[ax] = slice(lo, hi, sp) if sp != 1 else slice(lo, hi)
+        st2 = st + dim if st < 0 else st
+        en2 = en + dim if en < 0 else en
+        if sp > 0:
+            lo = min(max(st2, 0), dim)
+            hi = min(max(en2, 0), dim)
+            index[ax] = slice(lo, hi, sp) if sp != 1 else slice(lo, hi)
+        else:
+            lo = min(max(st2, 0), dim - 1)
+            stop = None if en2 < 0 else min(en2, dim - 1)
+            index[ax] = slice(lo, stop, sp)
     return x[tuple(index)]
 
 
@@ -198,9 +208,8 @@ def _gather_nd(data, indices, batch_dims=0):
         for _ in range(batch_dims):
             fn = jax.vmap(fn)
         return fn(data, indices)
-    k = indices.shape[-1]
     flat_idx = tuple(jnp.moveaxis(indices, -1, 0))
-    return data[flat_idx] if k == data.ndim else data[flat_idx]
+    return data[flat_idx]
 
 
 def _layer_norm(env, inputs, attrs):
@@ -219,9 +228,9 @@ def _layer_norm(env, inputs, attrs):
     return y.astype(x.dtype)
 
 
-def _batch_norm(env, inputs):
+def _batch_norm(env, inputs, attrs):
     x, scale, bias, mean, var = (jnp.asarray(env[n]) for n in inputs[:5])
-    eps = 1e-5
+    eps = float(attrs.get("epsilon", 1e-5))
     shape = (1, -1) + (1,) * (x.ndim - 2)
     y = (x - mean.reshape(shape)) * jax.lax.rsqrt(
         var.reshape(shape) + eps)

@@ -44,6 +44,12 @@ def attention_core(
         # kernel, bf16-noise-level numerics for trained models
         return flash_attention(q, k, v, mask=mask,
                                fast_softmax=impl == "pallas_fast")
+    if impl != "xla":
+        # a typo like 'palas' must not silently run the XLA path while the
+        # caller reports the Pallas kernel (same contract as check_attn_impl)
+        raise ValueError(
+            f"Unknown attention impl '{impl}' "
+            "(choices: xla, pallas, pallas_fast)")
 
     ct = jnp.promote_types(q.dtype, jnp.float32)
     scale = 1.0 / (q.shape[-1] ** 0.5)

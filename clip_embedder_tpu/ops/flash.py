@@ -141,21 +141,32 @@ def flash_attention(
     k3 = kp.reshape(bh, sp, dp)
     v3 = vp.reshape(bh, sp, dp)
 
+    # Two (batch·head) slices per grid step when they divide evenly —
+    # measured ~10% faster (better DMA/compute overlap across the pair);
+    # each slice still runs the single-slice kernel.
+    blk = 2 if bh % 2 == 0 else 1
+
     data_specs = [
-        pl.BlockSpec((1, sp, dp), lambda i: (i, 0, 0),
+        pl.BlockSpec((blk, sp, dp), lambda i: (i, 0, 0),
                      memory_space=pltpu.VMEM),
     ] * 3
+
+    def _run(q_ref, k_ref, v_ref, o_ref, mask2d_val):
+        for j in range(blk):
+            _attn_kernel(q_ref.at[j:j + 1], k_ref.at[j:j + 1],
+                         v_ref.at[j:j + 1], o_ref.at[j:j + 1],
+                         scale=scale, d=d, spare_lane=spare_lane,
+                         fast_softmax=fast_softmax, mask2d=mask2d_val)
+
     if mask2d is None:
-        kernel = functools.partial(
-            _attn_kernel, scale=scale, d=d, spare_lane=spare_lane,
-            fast_softmax=fast_softmax, mask2d=None)
+        def kernel(q_ref, k_ref, v_ref, o_ref):
+            _run(q_ref, k_ref, v_ref, o_ref, None)
+
         in_specs = data_specs
         args = (q3, k3, v3)
     else:
         def kernel(q_ref, k_ref, v_ref, m_ref, o_ref):
-            _attn_kernel(q_ref, k_ref, v_ref, o_ref, scale=scale, d=d,
-                         spare_lane=spare_lane, fast_softmax=fast_softmax,
-                         mask2d=m_ref[:])
+            _run(q_ref, k_ref, v_ref, o_ref, m_ref[:])
 
         in_specs = data_specs + [
             pl.BlockSpec((sp, sp), lambda i: (0, 0),
@@ -166,9 +177,9 @@ def flash_attention(
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((bh, sp, dp), q.dtype),
-        grid=(bh,),
+        grid=(bh // blk,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, sp, dp), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((blk, sp, dp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
             flops=2 * bh * (sp * sp * dp * 2),

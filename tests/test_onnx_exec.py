@@ -243,3 +243,48 @@ def test_clip_end_to_end_with_onnx_fallback_towers(tmp_path):
     dup = clip.duplicate()
     r2 = dup.classify(img, ["a cat", "a dog", "a beignet"])
     assert all(abs(a[1] - b[1]) < 1e-5 for a, b in zip(results, r2))
+
+
+def test_slice_reverse_and_overclamp_semantics(tmp_path):
+    """ONNX Slice edge cases the review flagged: reverse slices (torch Flip
+    exports start=-1, end=INT_MIN, step=-1) and ends far below zero on a
+    positive step (must be empty, not near-full)."""
+    import numpy as np_
+
+    from clip_embedder_tpu.onnx_exec import _slice_op
+
+    x = np_.arange(5)
+    env = {"x": x, "st": np_.array([-1]), "en": np_.array([-(2 ** 63) + 1]),
+           "ax": np_.array([0]), "sp": np_.array([-1])}
+    out = _slice_op(env, ["x", "st", "en", "ax", "sp"], {})
+    np_.testing.assert_array_equal(out, [4, 3, 2, 1, 0])
+
+    env2 = {"x": x, "st": np_.array([0]), "en": np_.array([-1000]),
+            "ax": np_.array([0]), "sp": np_.array([1])}
+    out2 = _slice_op(env2, ["x", "st", "en", "ax", "sp"], {})
+    assert out2.size == 0
+
+    # end=-1 means "stop before the last element"
+    env3 = {"x": x, "st": np_.array([0]), "en": np_.array([-1]),
+            "ax": np_.array([0]), "sp": np_.array([1])}
+    np_.testing.assert_array_equal(
+        _slice_op(env3, ["x", "st", "en", "ax", "sp"], {}), [0, 1, 2, 3])
+
+
+def test_batchnorm_op_runs_with_epsilon(tmp_path):
+    """BatchNormalization arity + epsilon attr (review finding: the handler
+    crashed on any BN graph)."""
+    torch.manual_seed(5)
+    bn = nn.BatchNorm1d(8, eps=1e-3)
+    bn.weight.data.uniform_(0.5, 1.5)
+    bn.bias.data.uniform_(-1, 1)
+    bn.running_mean.uniform_(-1, 1)
+    bn.running_var.uniform_(0.5, 2.0)
+    model = nn.Sequential(nn.Linear(8, 8), bn).eval()
+    x = torch.randn(4, 8)
+    path = tmp_path / "bn.onnx"
+    export(model, x, path)
+    with torch.no_grad():
+        ref = model(x).numpy()
+    got = run_tower(path, {"input": jnp.asarray(x.numpy())})
+    np.testing.assert_allclose(got, ref, atol=5e-5)

@@ -35,16 +35,13 @@ DEFAULT_PATHS = ("clip_embedder_tpu", "tools", "bench.py", "pull_weights.py",
 
 
 class _ImportVisitor(ast.NodeVisitor):
-    """Collect imported bindings and every referenced name."""
+    """Collect every imported binding (scope-blind — for the unused check;
+    name usage is gathered separately by _dotted_roots)."""
 
     def __init__(self) -> None:
         self.imports: dict[str, tuple[int, str]] = {}  # name -> (line, kind)
-        self.redefs: list[tuple[int, str]] = []
-        self.used: set[str] = set()
 
     def _bind(self, name: str, line: int, kind: str) -> None:
-        if name in self.imports:
-            self.redefs.append((line, name))
         self.imports[name] = (line, kind)
 
     def visit_Import(self, node: ast.Import) -> None:
@@ -58,14 +55,6 @@ class _ImportVisitor(ast.NodeVisitor):
                 continue
             name = alias.asname or alias.name
             self._bind(name, node.lineno, "from")
-
-    def visit_Name(self, node: ast.Name) -> None:
-        if isinstance(node.ctx, ast.Load):
-            self.used.add(node.id)
-
-    def visit_Attribute(self, node: ast.Attribute) -> None:
-        # pkg.sub.attr — record the root name
-        self.generic_visit(node)
 
 
 def _dotted_roots(tree: ast.AST) -> set[str]:
