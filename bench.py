@@ -8,12 +8,14 @@ CPU → 1.012 img/s, README.md:110; BASELINE.md north star ≥5000 img/s/chip).
 
 Methodology: throughput is measured by chaining ``ITERS`` full steps
 on-device inside one jitted fori_loop (each iteration data-depends on the
-previous, so XLA cannot hoist or elide work) and reading back one scalar.
-This isolates device throughput from this environment's tunnel dispatch
-latency (~29 ms per call), which would otherwise dominate — a production
-TPU host pays microseconds, not milliseconds, to dispatch. The p50
-single-image latency is still reported as honest wall-clock including
-dispatch.
+previous, so XLA cannot hoist or elide work), reading back one scalar, and
+subtracting the measured single-dispatch RTT from the wall time. This
+isolates device throughput from this environment's tunnel dispatch latency
+(~29 ms per call), which would otherwise dominate — a production TPU host
+pays microseconds, not milliseconds, to dispatch. (Same scheme as
+benches/bench_suite.py; before round 2's fix the un-subtracted RTT left a
+~RTT/ITERS ≈ 1 ms/step bias in the headline.) The p50 single-image latency
+is still reported as honest wall-clock including dispatch.
 
 Prints ONE JSON line:
     {"metric": "images_per_sec_per_chip_vision_384px", "value": N,
@@ -23,7 +25,7 @@ Env knobs: BENCH_BATCH (default sweep 8/16/32), BENCH_DTYPE
 (bfloat16|float32), BENCH_SRC (source image size, default 512), BENCH_ATTN
 (pallas|pallas_fast|xla), BENCH_QUANT (int8 enables the fused W8A8 MLP
 kernel; embeddings within ~3e-4 cosine), BENCH_ITERS (chained steps,
-default 30).
+default 100).
 """
 
 from __future__ import annotations
@@ -60,8 +62,22 @@ def main() -> None:
     # (tests/test_flash.py), ~2% faster end-to-end
     attn_impl = os.environ.get("BENCH_ATTN", "pallas_fast")
     src = int(os.environ.get("BENCH_SRC", "512"))
-    iters = int(os.environ.get("BENCH_ITERS", "30"))
+    iters = int(os.environ.get("BENCH_ITERS", "100"))
     target = 384
+
+    def dispatch_rtt() -> float:
+        """One-call dispatch floor (the axon tunnel costs ~29 ms per call;
+        a production host pays microseconds). Subtracted from the chained
+        wall time — with the default 100 chained iters the leftover bias
+        would otherwise be ~0.3 ms/step, several percent of a step."""
+        nop = jax.jit(lambda x: x + 1)
+        float(nop(jnp.float32(1)))
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(nop(jnp.float32(2)))
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     cfg = so400m_siglip2_384()
     assert cfg.image_size == target
@@ -83,8 +99,10 @@ def main() -> None:
 
     @jax.jit
     def embed(params, images_u8, wh, ww):
-        pixels = resize_normalize(images_u8, wh, ww, mean, std, out_dtype=dtype)
-        return vit.apply(params, pixels, cfg, attn_impl=attn_impl)
+        pixels = resize_normalize(images_u8, wh, ww, mean, std,
+                                  out_dtype=dtype, layout="nchw")
+        return vit.apply(params, pixels, cfg, attn_impl=attn_impl,
+                         channels_first=True)
 
     @jax.jit
     def embed_chain(params, images_u8, wh, ww):
@@ -93,8 +111,9 @@ def main() -> None:
         def body(_, acc):
             wh_i = wh + (acc * 1e-30).astype(wh.dtype)
             pixels = resize_normalize(images_u8, wh_i, ww, mean, std,
-                                      out_dtype=dtype)
-            emb = vit.apply(params, pixels, cfg, attn_impl=attn_impl)
+                                      out_dtype=dtype, layout="nchw")
+            emb = vit.apply(params, pixels, cfg, attn_impl=attn_impl,
+                            channels_first=True)
             return acc + jnp.sum(emb[0, :1].astype(jnp.float32))
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
@@ -115,7 +134,7 @@ def main() -> None:
             float(embed_chain(params, images, wh, ww))  # compile + warmup
             t0 = time.perf_counter()
             float(embed_chain(params, images, wh, ww))
-            dt = (time.perf_counter() - t0) / iters
+            dt = max(time.perf_counter() - t0 - dispatch_rtt(), 1e-9) / iters
         except Exception as e:  # noqa: BLE001 — OOM at large batch: skip
             print(f"batch {batch} failed: {type(e).__name__}", file=sys.stderr)
             continue
@@ -149,7 +168,8 @@ def main() -> None:
             float(embed_chain(qparams, images, wh, ww))
             t0 = time.perf_counter()
             float(embed_chain(qparams, images, wh, ww))
-            int8_ips = round(best_batch / ((time.perf_counter() - t0) / iters), 2)
+            dtq = max(time.perf_counter() - t0 - dispatch_rtt(), 1e-9) / iters
+            int8_ips = round(best_batch / dtq, 2)
             print(f"int8 alternate (batch {best_batch}): {int8_ips} img/s",
                   file=sys.stderr)
         except Exception as e:  # noqa: BLE001
@@ -190,8 +210,9 @@ def main() -> None:
             "methodology": (
                 f"{iters} full steps chained on-device in one jitted "
                 "fori_loop with cross-iteration data dependency; scalar "
-                "readback; isolates device throughput from this env's "
-                "~29 ms tunnel dispatch RTT"
+                "readback; measured single-dispatch RTT subtracted "
+                "(isolates device throughput from this env's ~29 ms "
+                "tunnel dispatch RTT)"
             ),
             "p50_single_image_ms": p50_ms,
             "p50_note": "wall-clock incl. tunnel dispatch RTT",

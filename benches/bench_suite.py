@@ -143,11 +143,14 @@ def bench_model(name: str, spec: dict, batch: int, attn_impl: str,
         )
         vparams = vit.init(jax.random.key(0), vcfg, dtype=jnp.bfloat16)
         vision_fn = jax.jit(lambda p, x: vit.apply(p, x, vcfg,
-                                                   attn_impl=attn_impl))
+                                                   attn_impl=attn_impl,
+                                                   channels_first=True))
+        pre_layout = "nchw"  # zero-transpose ViT handoff (ops.preprocess)
     else:
         vcfg = resolve_fastvit(spec["variant"], VisionCfg(image_size=image), 512, None)
         vparams = fastvit.init(jax.random.key(0), vcfg, dtype=jnp.bfloat16)
         vision_fn = jax.jit(lambda p, x: fastvit.apply(p, x, vcfg))
+        pre_layout = "nhwc"
     if quant in ("int8", "int8_all"):
         from clip_embedder_tpu.ops.quant import (DEFAULT_QUANT_PATHS,
                                                  QUANT_PATHS_ALL,
@@ -167,13 +170,14 @@ def bench_model(name: str, spec: dict, batch: int, attn_impl: str,
     wh = jnp.broadcast_to(jnp.asarray(wh_np), (batch, image, src))
     ww = jnp.broadcast_to(jnp.asarray(ww_np), (batch, image, src))
 
-    pre_fn = jax.jit(lambda i, a, b: resize_normalize(i, a, b, mean, std,
-                                                      out_dtype=jnp.bfloat16))
+    pre_fn = jax.jit(lambda i, a, b: resize_normalize(
+        i, a, b, mean, std, out_dtype=jnp.bfloat16, layout=pre_layout))
     # preprocess steps are sub-millisecond: chain many so the RTT
     # subtraction noise stays small relative to the signal
     dt_pre = _time(
         lambda _, whx: resize_normalize(imgs, whx, ww, mean, std,
-                                        out_dtype=jnp.bfloat16),
+                                        out_dtype=jnp.bfloat16,
+                                        layout=pre_layout),
         None, wh, iters=300)
     results.append({"metric": f"{name}/vision_preprocess_ms_per_image",
                     "value": round(dt_pre / batch * 1e3, 4), "unit": "ms"})

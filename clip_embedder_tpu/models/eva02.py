@@ -141,11 +141,11 @@ def _apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
 
 
 def apply(params: Params, pixels: jax.Array, cfg: Eva02Cfg, *,
-          normalize: bool = True) -> jax.Array:
-    """[B, H, W, 3] → [B, embed_dim]."""
+          normalize: bool = True, channels_first: bool = False) -> jax.Array:
+    """[B, H, W, 3] (or [B, 3, H, W]) → [B, embed_dim]."""
     from .vit import patchify
 
-    x = patchify(pixels, cfg.patch_size)
+    x = patchify(pixels, cfg.patch_size, channels_first)
     x = linear(params["patch_embed"], x)
     cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype),
                            (x.shape[0], 1, cfg.width))

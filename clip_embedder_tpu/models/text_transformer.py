@@ -107,14 +107,15 @@ def apply(
     mask = causal_mask(x.shape[1]) if cfg.causal else None
 
     def body(carry, block):
+        # ln1/ln2 pass through so the Pallas/int8 paths fuse them in-kernel
         h = multi_head_attention(
-            block["attn"], layer_norm(block["ln1"], carry, eps=cfg.ln_eps),
-            num_heads=cfg.heads, mask=mask, impl=attn_impl,
+            block["attn"], carry, num_heads=cfg.heads, mask=mask,
+            impl=attn_impl, pre_ln=block["ln1"], ln_eps=cfg.ln_eps,
         )
         carry = carry + h
         h = mlp(
-            block["mlp"], layer_norm(block["ln2"], carry, eps=cfg.ln_eps),
-            activation=act,
+            block["mlp"], carry, activation=act,
+            pre_ln=block["ln2"], ln_eps=cfg.ln_eps,
         )
         return carry + h, None
 

@@ -180,25 +180,30 @@ def init(key: jax.Array, cfg: ViTCfg, *, dtype=jnp.float32) -> Params:
     return params
 
 
-def patchify(x: jax.Array, patch_size: int) -> jax.Array:
-    """[B, H, W, 3] → [B, N, P·P·3] patch matrix.
+def patchify(x: jax.Array, patch_size: int,
+             channels_first: bool = False) -> jax.Array:
+    """[B, H, W, 3] (or [B, 3, H, W] with ``channels_first``) → [B, N,
+    P·P·3] patch matrix.
 
-    Channel-last on the way in (TPU-friendly layout); the per-patch flatten
-    order is (py, px, c) transposed to match torch Conv2d semantics at
-    weight-load time (see clip_embedder_tpu.weights).
+    The per-patch flatten order is always (py, px, c), matched to torch
+    Conv2d semantics at weight-load time (see clip_embedder_tpu.weights).
+    Accepting channels-first lets the on-device preprocess skip its output
+    transpose entirely (ops.preprocess layout="nchw") — the pixel reorder
+    into patch rows happens here either way.
     """
-    return rearrange(
-        x, "b (gh p1) (gw p2) c -> b (gh gw) (p1 p2 c)",
-        p1=patch_size, p2=patch_size,
-    )
+    pattern = ("b c (gh p1) (gw p2) -> b (gh gw) (p1 p2 c)" if channels_first
+               else "b (gh p1) (gw p2) c -> b (gh gw) (p1 p2 c)")
+    return rearrange(x, pattern, p1=patch_size, p2=patch_size)
 
 
 def _block_forward(
     cfg: ViTCfg, act: Callable, x: jax.Array, block: Params, *, impl: str
 ) -> jax.Array:
+    # ln1 passes through multi_head_attention so the Pallas path fuses it
+    # with the q/k/v projections in-kernel (ops.qkv)
     h = multi_head_attention(
-        block["attn"], layer_norm(block["ln1"], x, eps=cfg.ln_eps),
-        num_heads=cfg.heads, impl=impl,
+        block["attn"], x, num_heads=cfg.heads, impl=impl,
+        pre_ln=block["ln1"], ln_eps=cfg.ln_eps,
     )
     if "ls1" in block:
         h = h * block["ls1"]
@@ -233,8 +238,11 @@ def apply(
     normalize: bool = True,
     attn_impl: str = "xla",
     remat: bool = False,
+    channels_first: bool = False,
 ) -> jax.Array:
-    """Forward: [B, H, W, 3] preprocessed pixels → [B, embed_dim] embedding.
+    """Forward: [B, H, W, 3] preprocessed pixels → [B, embed_dim] embedding
+    ([B, 3, H, W] with ``channels_first`` — the zero-transpose handoff from
+    ops.preprocess layout="nchw").
 
     Matches open_clip ``encode_image(..., normalize=True)`` semantics — the
     reference bakes that normalize into its export (pull_onnx.py:57-59).
@@ -243,7 +251,7 @@ def apply(
     """
     act = ACTIVATIONS[cfg.activation]
 
-    x = patchify(pixels, cfg.patch_size)
+    x = patchify(pixels, cfg.patch_size, channels_first)
     x = linear(params["patch_embed"], x)
 
     pos = params["pos_embed"].astype(x.dtype)

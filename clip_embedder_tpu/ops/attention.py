@@ -75,17 +75,48 @@ def multi_head_attention(
     mask: jax.Array | None = None,
     kv: jax.Array | None = None,
     impl: str = "xla",
+    pre_ln: Params | None = None,
+    ln_eps: float = 1e-6,
 ) -> jax.Array:
-    """Full MHA block: project → attend → merge → out-project.
+    """Full MHA block: [LayerNorm →] project → attend → merge → out-project.
 
     params: {"q","k","v","out"} each a linear pytree ({"w": [d, d'], "b"}).
     ``kv`` enables cross-attention (used by the SigLIP attention-pooling
     head, where a learned probe attends over patch tokens).
+
+    ``pre_ln`` (optional {"scale","bias"}) applies the pre-attention
+    LayerNorm as part of this call; on the Pallas path it fuses with the
+    q/k/v projections in one kernel (ops.qkv.ln_qkv — the normalized
+    activations never leave VMEM).
     """
-    kv = x if kv is None else kv
-    q = linear(params["q"], x)
-    k = linear(params["k"], kv)
-    v = linear(params["v"], kv)
+    fused_qkv = False
+    if pre_ln is not None and kv is None and impl in ("pallas", "pallas_fast"):
+        from .qkv import fits_fused_qkv, ln_qkv
+
+        fused_qkv = fits_fused_qkv(params, x.shape[-1])
+    if fused_qkv:
+        q, k, v = ln_qkv(params, pre_ln, x, eps=ln_eps)
+    else:
+        if pre_ln is not None:
+            from .layers import layer_norm
+
+            x = layer_norm(pre_ln, x, eps=ln_eps)
+        kv = x if kv is None else kv
+        q = linear(params["q"], x)
+        k = linear(params["k"], kv)
+        v = linear(params["v"], kv)
+
+    if impl in ("pallas", "pallas_fast") and q.shape == k.shape:
+        from .flash import _head_group, flash_attention_packed
+
+        d = q.shape[-1] // num_heads
+        if _head_group(num_heads, d) is not None:
+            # packed-layout kernel: q/k/v stay in the projection layout
+            # [B, S, H·D] — no transpose, no head-dim lane pad (ops.flash v3)
+            out = flash_attention_packed(
+                q, k, v, num_heads=num_heads, mask=mask,
+                fast_softmax=impl == "pallas_fast")
+            return linear(params["out"], out)
 
     q = rearrange(q, "b s (h d) -> b h s d", h=num_heads)
     k = rearrange(k, "b s (h d) -> b h s d", h=num_heads)

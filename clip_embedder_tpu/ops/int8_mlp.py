@@ -40,11 +40,25 @@ def _row_quant(x32: jax.Array) -> tuple[jax.Array, jax.Array]:
     return q, scale
 
 
+def _erf(x: jax.Array) -> jax.Array:
+    """erf for Mosaic kernels (lax.erf/erfc have no Pallas TPU lowering —
+    caught by the TPU verify drive on an exact-gelu model). Abramowitz &
+    Stegun 7.1.26 rational approximation: max abs error 1.5e-7, invisible
+    under the kernel's int8 requantization (1/254 ≈ 4e-3 resolution) and
+    A/B-tested against the unfused exact-erf path in tests/test_quant.py."""
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return jnp.sign(x) * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def _act(h: jax.Array, name: str) -> jax.Array:
     if name == "gelu_tanh":
         return jax.nn.gelu(h, approximate=True)
     if name == "gelu":
-        return jax.nn.gelu(h, approximate=False)
+        # exact-erf gelu via the in-kernel erf approximation
+        return 0.5 * h * (1.0 + _erf(h * (2.0 ** -0.5)))
     if name == "quick_gelu":
         return h * jax.nn.sigmoid(1.702 * h)
     if name == "relu":

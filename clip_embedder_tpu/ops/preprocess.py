@@ -150,7 +150,7 @@ def preprocess_weights_for(
 # device-side fused resize + normalize
 # ---------------------------------------------------------------------------
 
-@partial(jax.jit, static_argnames=("out_dtype",))
+@partial(jax.jit, static_argnames=("out_dtype", "layout"))
 def resize_normalize(
     images_u8: jax.Array,   # [B, Hp, Wp, 3] uint8 (zero-padded)
     wh: jax.Array,          # [B, S, Hp] f32
@@ -158,25 +158,39 @@ def resize_normalize(
     mean: jax.Array,        # [3]
     std: jax.Array,         # [3]
     out_dtype=jnp.float32,
+    layout: str = "nhwc",
 ) -> jax.Array:
     """Fused on-device preprocess: u8 → f32/255 → crop+resize (two matmuls)
-    → (x − mean)/std. Returns [B, S, S, 3] in ``out_dtype``.
+    → (x − mean)/std. Returns [B, S, S, 3] (``layout="nhwc"``) or
+    [B, 3, S, S] (``layout="nchw"``) in ``out_dtype``.
 
     One XLA program for every image size within a (Hp, Wp) bucket — the
     per-image geometry lives entirely in the weight matrices.
 
-    TPU layout note: the resize einsums run channels-first so the
-    contracted/output spatial dims ride the 128-lane axis. Keeping C=3 on
-    the lane axis (the naive NHWC einsum) runs the whole resize at 3/128
-    lane occupancy — measured 10.4 ms vs 0.05 ms per batch-16 step on v5e.
+    TPU layout note: both einsums contract in the operands' *natural*
+    memory order — AᵀB-shaped GEMMs with the contracted dim major on both
+    sides — so no relayout is ever materialized: [B,Hp,Wp,C] --Σh-->
+    [B,Wp,C,S] --Σw--> [B,C,S,T]. (The previous channels-first version
+    paid two [B,·,·,3]-lane transposes; they cost ~1 ms of a 27 ms batch-8
+    SO400M step. The original NHWC einsum with C=3 riding the lane axis was
+    worse still: 10.4 ms per batch-16 step.) The 1/255 rescale is folded
+    into the row-resize weights. ViT-family towers consume the "nchw"
+    output directly (patchify absorbs the patch-reorder); "nhwc" pays the
+    single output transpose the conv families need.
     """
-    x = images_u8.astype(jnp.float32) * (1.0 / 255.0)
-    x = jnp.transpose(x, (0, 3, 1, 2))  # [B, C, Hp, Wp]
-    # rows: [B,S,Hp] @ [B,C,Hp,Wp] -> [B,C,S,Wp]  (lanes = Wp)
-    x = jnp.einsum("bsh,bchw->bcsw", wh, x, preferred_element_type=jnp.float32)
-    # cols: [B,C,S,Wp] @ [B,S',Wp] -> [B,C,S,S']  (lanes = S')
-    x = jnp.einsum("bcsw,btw->bcst", x, ww, preferred_element_type=jnp.float32)
+    x = images_u8.astype(jnp.float32)
+    whs = wh * (1.0 / 255.0)
+    # rows: Σ_h img[h, (w,c)] · Wh[s, h]  -> [B, Wp, C, S]   (lanes = S)
+    x = jnp.einsum("bhwc,bsh->bwcs", x, whs,
+                   preferred_element_type=jnp.float32)
+    # cols: Σ_w x1[w, (c,s)] · Ww[t, w]  -> [B, C, S, T]     (lanes = T)
+    x = jnp.einsum("bwcs,btw->bcst", x, ww,
+                   preferred_element_type=jnp.float32)
     x = (x - mean[None, :, None, None]) / std[None, :, None, None]
+    if layout == "nchw":
+        return x.astype(out_dtype)
+    if layout != "nhwc":
+        raise ImageError(f"Unknown preprocess layout '{layout}'")
     return jnp.transpose(x, (0, 2, 3, 1)).astype(out_dtype)
 
 
@@ -203,13 +217,15 @@ class Preprocessor:
     """
 
     def __init__(self, *, image_size: int, mean, std, interpolation: str,
-                 resize_mode: str, out_dtype=jnp.float32):
+                 resize_mode: str, out_dtype=jnp.float32,
+                 layout: str = "nhwc"):
         self.image_size = image_size
         self.mean = jnp.asarray(mean, dtype=jnp.float32)
         self.std = jnp.asarray(std, dtype=jnp.float32)
         self.interpolation = interpolation
         self.resize_mode = resize_mode
         self.out_dtype = out_dtype
+        self.layout = layout  # "nhwc" | "nchw" (zero-transpose ViT handoff)
         self._weights_cache: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
     _WEIGHTS_CACHE_MAX = 128  # matrices are MBs each but µs to rebuild:
@@ -258,10 +274,12 @@ class Preprocessor:
         return batch, whs, wws
 
     def __call__(self, arrays: list[np.ndarray]) -> jax.Array:
-        """list of [H, W, 3] uint8 arrays → [B, S, S, 3] preprocessed batch
-        (padded to the batch bucket; caller slices to len(arrays))."""
+        """list of [H, W, 3] uint8 arrays → [B, S, S, 3] (or [B, 3, S, S]
+        for layout="nchw") preprocessed batch (padded to the batch bucket;
+        caller slices to len(arrays))."""
         batch, whs, wws = self.stage_host_batch(arrays)
         return resize_normalize(
             jnp.asarray(batch), jnp.asarray(whs), jnp.asarray(wws),
             self.mean, self.std, out_dtype=self.out_dtype,
+            layout=self.layout,
         )

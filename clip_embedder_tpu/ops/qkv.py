@@ -1,0 +1,129 @@
+"""Fused pre-attention LayerNorm + q/k/v projection Pallas kernel.
+
+The pre-attention LayerNorm is a separate XLA pass over the [B, S, W]
+residual stream (HBM round trip) before the three projection matmuls. This
+kernel runs, per row tile resident in VMEM:
+
+    x → f32 LayerNorm → bf16 → (x̂ Wq + bq, x̂ Wk + bk, x̂ Wv + bv)
+
+with all three weight matrices resident in VMEM (constant block index), so
+the normalized activations never touch HBM and the three projections issue
+back-to-back on the MXU. Numerics are identical to
+``layer_norm`` + 3 × ``linear`` (f32 LN statistics, one bf16 rounding of the
+normalized activations, f32 matmul accumulation) — A/B-tested in
+tests/test_flash.py.
+
+Used by ops.attention.multi_head_attention when a ``pre_ln`` is supplied
+with a Pallas attention impl; the output layout [B, S, H·D] feeds
+ops.flash.flash_attention_packed directly.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Params = dict
+
+# Combined q/k/v weight bytes that may sit resident in VMEM (16 MB/core,
+# minus row tiles and double-buffering headroom). Width ≤ 1408 fits; the
+# giant-opt towers (W=1536) fall back to the unfused path.
+_VMEM_WEIGHT_BUDGET = 12 * 1024 * 1024
+
+
+def _kernel(x_ref, g_ref, b_ref, wq_ref, bq_ref, wk_ref, bk_ref,
+            wv_ref, bv_ref, q_ref, k_ref, v_ref, *, eps: float):
+    x32 = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = (y * g_ref[0] + b_ref[0]).astype(q_ref.dtype)
+    for w_ref, bias_ref, o_ref in (
+        (wq_ref, bq_ref, q_ref),
+        (wk_ref, bk_ref, k_ref),
+        (wv_ref, bv_ref, v_ref),
+    ):
+        o = jax.lax.dot_general(
+            y, w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:] = (o + bias_ref[0]).astype(o_ref.dtype)
+
+
+def fits_fused_qkv(params: Params, width: int) -> bool:
+    """Static eligibility: unquantized square projections on a TPU backend,
+    lane-aligned width, weights within the VMEM budget."""
+    if jax.default_backend() != "tpu" or width % 128 != 0:
+        return False
+    total = 0
+    for name in ("q", "k", "v"):
+        p = params.get(name)
+        if not isinstance(p, dict) or "w_q" in p or "w" not in p:
+            return False
+        w = p["w"]
+        if w.ndim != 2 or w.shape != (width, width):
+            return False
+        total += w.size * w.dtype.itemsize
+    return total <= _VMEM_WEIGHT_BUDGET
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def ln_qkv(params: Params, pre_ln: Params, x: jax.Array, *,
+           eps: float = 1e-6,
+           interpret: bool = False) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused LayerNorm + q/k/v projections.
+
+    ``params``: {"q","k","v"} linear pytrees ({"w": [W, W], "b"?});
+    ``pre_ln``: {"scale","bias"}; ``x``: [..., W] (bf16/f32).
+    Returns (q, k, v), each shaped like x.
+    """
+    w = x.shape[-1]
+    g = pre_ln["scale"].astype(jnp.float32).reshape(1, w)
+    b = pre_ln["bias"].astype(jnp.float32).reshape(1, w)
+
+    weights, biases = [], []
+    for name in ("q", "k", "v"):
+        p = params[name]
+        weights.append(p["w"])
+        pb = p.get("b")
+        biases.append(jnp.zeros((1, w), jnp.float32) if pb is None
+                      else pb.astype(jnp.float32).reshape(1, w))
+
+    orig_shape = x.shape
+    rows = x.size // w
+    x2 = x.reshape(rows, w)
+    tile = 256 if rows % 256 == 0 else 128
+    rp = (rows + tile - 1) // tile * tile
+    if rp != rows:
+        x2 = jnp.pad(x2, ((0, rp - rows), (0, 0)))
+
+    row_spec = pl.BlockSpec((tile, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    const_vec = pl.BlockSpec((1, w), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    const_mat = pl.BlockSpec((w, w), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel, eps=eps),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rp, w), x.dtype) for _ in range(3)),
+        grid=(rp // tile,),
+        in_specs=[row_spec, const_vec, const_vec,
+                  const_mat, const_vec, const_mat, const_vec,
+                  const_mat, const_vec],
+        out_specs=(row_spec, row_spec, row_spec),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * rp * w * w,
+            bytes_accessed=rp * w * 2 * 4 + 3 * w * w * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, g, b, weights[0], biases[0], weights[1], biases[1],
+      weights[2], biases[2])
+    return tuple(o[:rows].reshape(orig_shape) for o in outs)

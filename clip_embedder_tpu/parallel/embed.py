@@ -62,10 +62,11 @@ def _sharded_vision_forward(spec, attn_impl: str, mesh: Mesh,
 
     def forward(params, images_u8, wh, ww):
         from ..ops.preprocess import resize_normalize
-        from ..vision import _jitted_vision_forward
+        from ..vision import _jitted_vision_forward, preprocess_layout
 
         pixels = resize_normalize(images_u8, wh, ww, mean, std,
-                                  out_dtype=out_dtype)
+                                  out_dtype=out_dtype,
+                                  layout=preprocess_layout(spec.family))
         return _jitted_vision_forward(spec, attn_impl)(params, pixels)
 
     return jax.jit(

@@ -75,11 +75,22 @@ def _load_or_convert_visual(model_dir: Path, spec: TowerSpec, dtype) -> dict:
     return to_device_tree(params, dtype)
 
 
+# families whose forward consumes the preprocess output channels-first
+# ([B, 3, S, S] — ops.preprocess layout="nchw", zero transposes end to end);
+# the conv families keep NHWC (their lax.conv layout).
+CHW_FAMILIES = frozenset({"vit", "eva02", "onnx"})
+
+
+def preprocess_layout(family: str) -> str:
+    return "nchw" if family in CHW_FAMILIES else "nhwc"
+
+
 @lru_cache(maxsize=64)
 def _jitted_vision_forward(spec: TowerSpec, attn_impl: str):
     """One jitted forward per (tower spec, attn impl) — shared across all
     embedder instances, so ``duplicate()`` (reference: src/vision.rs:87-91)
-    and repeated construction never recompile."""
+    and repeated construction never recompile. Pixel layout per family:
+    see ``preprocess_layout``."""
     from .utils.compilation_cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -88,7 +99,8 @@ def _jitted_vision_forward(spec: TowerSpec, attn_impl: str):
         if spec.family == "vit":
             from .models import vit
 
-            return vit.apply(params, pixels, spec.cfg, attn_impl=attn_impl)
+            return vit.apply(params, pixels, spec.cfg, attn_impl=attn_impl,
+                             channels_first=True)
         if spec.family == "fastvit":
             from .models import fastvit
 
@@ -104,7 +116,7 @@ def _jitted_vision_forward(spec: TowerSpec, attn_impl: str):
         if spec.family == "eva02":
             from .models import eva02
 
-            return eva02.apply(params, pixels, spec.cfg)
+            return eva02.apply(params, pixels, spec.cfg, channels_first=True)
         if spec.family == "onnx":
             from .onnx_exec import get_tower
             from .ops.normalize import l2_normalize
@@ -112,8 +124,7 @@ def _jitted_vision_forward(spec: TowerSpec, attn_impl: str):
             tower = get_tower(spec.cfg)
             name = next((n for n in ("pixel_values", "input")
                          if n in tower.input_names), tower.input_names[0])
-            nchw = jnp.transpose(pixels, (0, 3, 1, 2)).astype(jnp.float32)
-            out = tower(params, {name: nchw})
+            out = tower(params, {name: pixels.astype(jnp.float32)})
             # exported graphs bake normalize=True (pull_onnx.py:53-68);
             # re-normalizing is a no-op there and enforces our unit-norm
             # contract for graphs that don't
@@ -171,6 +182,7 @@ class VisionEmbedder:
             interpolation=pp.interpolation,
             resize_mode=pp.resize_mode,
             out_dtype=dtype,
+            layout=preprocess_layout(spec.family),
         )
         self._forward = _jitted_vision_forward(spec, attn_impl)
 
@@ -255,9 +267,9 @@ class VisionEmbedder:
     def preprocess_batch(self, images: Sequence[Any]) -> np.ndarray:
         """Returns the preprocessed tensor in the reference's NCHW f32 layout
         ([B, 3, S, S] — reference: src/vision.rs:120-135) for parity
-        debugging; the internal device pipeline stays NHWC."""
+        debugging, regardless of the family's internal device layout."""
         arrays = [to_rgb_array(img) for img in images]
-        pixels = self.preprocessor(arrays)[: len(images)]
-        return np.asarray(
-            jnp.transpose(pixels.astype(jnp.float32), (0, 3, 1, 2))
-        )
+        pixels = self.preprocessor(arrays)[: len(images)].astype(jnp.float32)
+        if self.preprocessor.layout != "nchw":
+            pixels = jnp.transpose(pixels, (0, 3, 1, 2))
+        return np.asarray(pixels)

@@ -113,3 +113,128 @@ def test_flash_exact_lane_multiple_head_dim():
     np.testing.assert_allclose(np.asarray(out),
                                np.asarray(attention_core(q, k, v)),
                                atol=2e-5)
+
+
+# ---- packed-layout kernel (v3) ----------------------------------------
+
+
+def _packed_ref(q, k, v, h, mask=None):
+    from einops import rearrange
+
+    out = attention_core(
+        *(rearrange(t, "b s (h d) -> b h s d", h=h) for t in (q, k, v)),
+        mask=mask)
+    return rearrange(out, "b h s d -> b s (h d)")
+
+
+@pytest.mark.parametrize(
+    "b,h,s,d",
+    [
+        (2, 16, 61, 72),   # SO400M-like: group of 16 heads, odd seq
+        (2, 8, 64, 64),    # one 128-lane pair per group (g=2)
+        (1, 16, 33, 8),    # g=16, tiny head dim
+    ],
+)
+@pytest.mark.parametrize("fast", [False, True])
+def test_flash_packed_matches_xla(b, h, s, d, fast):
+    from clip_embedder_tpu.ops.flash import flash_attention_packed
+
+    keys = jax.random.split(jax.random.key(5), 3)
+    q = jax.random.normal(keys[0], (b, s, h * d), jnp.float32)
+    k = jax.random.normal(keys[1], (b, s, h * d), jnp.float32)
+    v = jax.random.normal(keys[2], (b, s, h * d), jnp.float32)
+    got = flash_attention_packed(q, k, v, num_heads=h, fast_softmax=fast,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(_packed_ref(q, k, v, h)),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_flash_packed_causal():
+    from clip_embedder_tpu.ops.flash import flash_attention_packed
+
+    b, h, s, d = 2, 8, 77, 64
+    keys = jax.random.split(jax.random.key(6), 3)
+    q = jax.random.normal(keys[0], (b, s, h * d), jnp.float32)
+    k = jax.random.normal(keys[1], (b, s, h * d), jnp.float32)
+    v = jax.random.normal(keys[2], (b, s, h * d), jnp.float32)
+    mask = causal_mask(s)
+    got = flash_attention_packed(q, k, v, num_heads=h, mask=mask,
+                                 interpret=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(_packed_ref(q, k, v, h, mask)),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_flash_packed_bf16():
+    from clip_embedder_tpu.ops.flash import flash_attention_packed
+
+    b, h, s, d = 2, 16, 32, 72
+    keys = jax.random.split(jax.random.key(7), 3)
+    q = jax.random.normal(keys[0], (b, s, h * d), jnp.bfloat16)
+    k = jax.random.normal(keys[1], (b, s, h * d), jnp.bfloat16)
+    v = jax.random.normal(keys[2], (b, s, h * d), jnp.bfloat16)
+    got = flash_attention_packed(q, k, v, num_heads=h, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32),
+        np.asarray(_packed_ref(q, k, v, h), np.float32),
+        atol=2e-2, rtol=2e-2)
+
+
+def test_head_group_selection():
+    from clip_embedder_tpu.ops.flash import _head_group
+
+    assert _head_group(16, 72) == 16   # SO400M: only the full group works
+    assert _head_group(8, 64) == 2     # 2·64 = 128
+    assert _head_group(16, 80) == 8    # ViT-H: 8·80 = 640
+    assert _head_group(12, 64) == 2    # ViT-B text
+    assert _head_group(3, 72) is None  # no group reaches a lane multiple
+
+
+def test_ln_qkv_matches_unfused():
+    """Fused LayerNorm+qkv kernel vs layer_norm + three linears."""
+    from clip_embedder_tpu.ops.layers import layer_norm, linear
+    from clip_embedder_tpu.ops.qkv import ln_qkv
+
+    w = 256
+    keys = jax.random.split(jax.random.key(8), 8)
+    params = {
+        n: {"w": jax.random.normal(keys[i], (w, w)) * 0.05,
+            "b": jax.random.normal(keys[i + 3], (w,)) * 0.01}
+        for i, n in enumerate("qkv")
+    }
+    pre_ln = {"scale": 1 + jax.random.normal(keys[6], (w,)) * 0.1,
+              "bias": jax.random.normal(keys[7], (w,)) * 0.01}
+    for dt in (jnp.float32, jnp.bfloat16):
+        x = jax.random.normal(keys[0], (2, 61, w), dt)
+        pd = jax.tree.map(lambda a: a.astype(dt), params)
+        y = layer_norm(pre_ln, x, eps=1e-6)
+        ref = [linear(pd[n], y) for n in "qkv"]
+        got = ln_qkv(pd, pre_ln, x, eps=1e-6, interpret=True)
+        for r, o in zip(ref, got):
+            np.testing.assert_allclose(
+                np.asarray(o, np.float32), np.asarray(r, np.float32),
+                atol=(1e-6 if dt == jnp.float32 else 0.0))
+
+
+def test_tower_packed_kernel_matches_xla():
+    """Whole-tower A/B through the packed path (128-multiple width)."""
+    import functools
+
+    from clip_embedder_tpu.models import vit
+    from clip_embedder_tpu.models.vit import ViTCfg
+    from clip_embedder_tpu.ops import flash as flash_mod
+
+    orig = flash_mod.flash_attention_packed
+    flash_mod.flash_attention_packed = functools.partial(orig, interpret=True)
+    try:
+        cfg = ViTCfg(image_size=32, patch_size=8, width=128, layers=2,
+                     heads=2, mlp_hidden=256, embed_dim=64)
+        params = vit.init(jax.random.key(9), cfg)
+        x = jax.random.uniform(jax.random.key(10), (2, 32, 32, 3))
+        a = vit.apply(params, x, cfg, attn_impl="xla")
+        b = vit.apply(params, x, cfg, attn_impl="pallas")
+        cos = np.sum(np.asarray(a) * np.asarray(b), axis=-1)
+        assert (cos > 1 - 1e-6).all()
+    finally:
+        flash_mod.flash_attention_packed = orig

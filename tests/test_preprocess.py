@@ -148,3 +148,40 @@ def test_random_size_fuzz_vs_pil():
             box = (cx, cy, cx + side, cy + side)
         ref = pil_resize(arr, target, interp, box=box).astype(np.float64)
         assert np.abs(ours - ref).max() <= 5e-3, (h, w, target, interp, mode)
+
+
+def test_nchw_layout_matches_nhwc():
+    """layout="nchw" (the zero-transpose ViT handoff) must be exactly the
+    transposed NHWC output, for both output dtypes."""
+    import jax.numpy as jnp
+
+    from clip_embedder_tpu.ops.preprocess import resize_normalize
+
+    rng = np.random.default_rng(3)
+    imgs = jnp.asarray(rng.integers(0, 255, size=(2, 40, 56, 3),
+                                    dtype=np.uint8))
+    wh, ww = preprocess_weights_for(56, 40, 24)
+    whb = jnp.broadcast_to(jnp.asarray(wh), (2, 24, 40))
+    wwb = jnp.broadcast_to(jnp.asarray(ww), (2, 24, 56))
+    mean = jnp.asarray([0.48, 0.45, 0.4], jnp.float32)
+    std = jnp.asarray([0.26, 0.26, 0.27], jnp.float32)
+    for dt in (jnp.float32, jnp.bfloat16):
+        nhwc = resize_normalize(imgs, whb, wwb, mean, std, out_dtype=dt)
+        nchw = resize_normalize(imgs, whb, wwb, mean, std, out_dtype=dt,
+                                layout="nchw")
+        np.testing.assert_array_equal(
+            np.asarray(nchw, np.float32),
+            np.asarray(nhwc, np.float32).transpose(0, 3, 1, 2))
+
+
+def test_patchify_channels_first_matches():
+    """vit.patchify must produce identical patch rows from either layout."""
+    import jax.numpy as jnp
+
+    from clip_embedder_tpu.models.vit import patchify
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 16, 16, 3)), jnp.float32)
+    a = patchify(x, 8)
+    b = patchify(jnp.transpose(x, (0, 3, 1, 2)), 8, channels_first=True)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
