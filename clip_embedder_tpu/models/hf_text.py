@@ -124,7 +124,7 @@ def init(key: jax.Array, cfg: BertCfg, *, dtype=jnp.float32) -> Params:
 
 
 def apply(params: Params, input_ids: jax.Array, cfg: BertCfg, *,
-          normalize: bool = True) -> jax.Array:
+          normalize: bool = True, attn_impl: str = "xla") -> jax.Array:
     """[B, L] ids → [B, embed_dim] embedding. The key-padding mask is derived
     from ``cfg.pad_id`` (the role of the optional attention_mask input in
     the reference's text graphs, src/text.rs:156-161)."""
@@ -144,7 +144,7 @@ def apply(params: Params, input_ids: jax.Array, cfg: BertCfg, *,
 
     def body(carry, block):
         h = multi_head_attention(block["attn"], carry, num_heads=cfg.heads,
-                                 mask=attn_mask)
+                                 mask=attn_mask, impl=attn_impl)
         carry = layer_norm(block["attn_ln"], carry + h, eps=cfg.ln_eps)
         h = mlp(block["mlp"], carry, activation=act)
         carry = layer_norm(block["mlp_ln"], carry + h, eps=cfg.ln_eps)

@@ -91,12 +91,16 @@ def multi_head_attention(
     """
     fused_qkv = False
     if pre_ln is not None and kv is None and impl in ("pallas", "pallas_fast"):
-        from .qkv import fits_fused_qkv, ln_qkv
+        from .qkv import (fits_fused_qkv, fits_fused_qkv_int8, ln_qkv,
+                          ln_qkv_int8)
 
-        fused_qkv = fits_fused_qkv(params, x.shape[-1])
-    if fused_qkv:
-        q, k, v = ln_qkv(params, pre_ln, x, eps=ln_eps)
-    else:
+        if fits_fused_qkv_int8(params, x.shape[-1]):  # int8_all towers
+            q, k, v = ln_qkv_int8(params, pre_ln, x, eps=ln_eps)
+            fused_qkv = True
+        elif fits_fused_qkv(params, x.shape[-1]):
+            q, k, v = ln_qkv(params, pre_ln, x, eps=ln_eps)
+            fused_qkv = True
+    if not fused_qkv:
         if pre_ln is not None:
             from .layers import layer_norm
 

@@ -146,29 +146,50 @@ def flash_attention_packed(
     groups = num_heads // g
     gd = g * d
 
-    mask2d = None
+    # mask forms: None | shared 2-D ([S,S] or [1,1,S,S] — the causal-mask
+    # layout) | per-batch key padding ([B,1,1,S] — the BERT text mask)
+    mask2d = maskkey = None
     if mask is not None:
-        mask2d = jnp.broadcast_to(
-            jnp.asarray(mask), (1, 1, s, s))[0, 0].astype(jnp.float32)
+        m = jnp.asarray(mask)
+        if m.ndim == 4 and m.shape[0] == b and b > 1 and m.shape[1] == 1 \
+                and m.shape[2] == 1:
+            maskkey = m[:, 0, :, :].astype(jnp.float32)  # [B, 1, S]
+        elif m.ndim in (2, 4):
+            mask2d = jnp.broadcast_to(
+                m, (1, 1, s, s))[0, 0].astype(jnp.float32)
+        else:
+            raise ValueError(f"unsupported mask shape {m.shape}")
 
     data_spec = pl.BlockSpec((1, s, gd), lambda i, j: (i, 0, j),
                              memory_space=pltpu.VMEM)
     in_specs = [data_spec] * 3
     args = (q, k, v)
-    if mask2d is None:
+    if mask2d is None and maskkey is None:
         def kernel(q_ref, k_ref, v_ref, o_ref):
             _packed_kernel(q_ref, k_ref, v_ref, o_ref, g=g, d=d, scale=scale,
                            fast_softmax=fast_softmax, mask_ref=None)
     else:
-        def kernel(q_ref, k_ref, v_ref, m_ref, o_ref):
-            _packed_kernel(q_ref, k_ref, v_ref, o_ref, g=g, d=d, scale=scale,
-                           fast_softmax=fast_softmax, mask_ref=m_ref)
+        shared_mask = mask2d is not None
 
-        in_specs = in_specs + [
-            pl.BlockSpec((s, s), lambda i, j: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ]
-        args = (q, k, v, mask2d)
+        def kernel(q_ref, k_ref, v_ref, m_ref, o_ref):
+            # shared: [S, S]; per-batch: [1, S] (broadcasts over query rows)
+            mval = m_ref[:] if shared_mask else m_ref[0]
+            _packed_kernel(q_ref, k_ref, v_ref, o_ref, g=g, d=d, scale=scale,
+                           fast_softmax=fast_softmax, mask_ref=mval)
+
+        if mask2d is not None:
+            in_specs = in_specs + [
+                pl.BlockSpec((s, s), lambda i, j: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            args = (q, k, v, mask2d)
+        else:
+            # [1, S] row per batch block; broadcasts over query rows
+            in_specs = in_specs + [
+                pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            args = (q, k, v, maskkey)
 
     return pl.pallas_call(
         kernel,
@@ -251,6 +272,17 @@ def flash_attention(
     """
     b, h, s, d = q.shape
     scale = 1.0 / (d ** 0.5)
+
+    if mask is not None:
+        m = jnp.asarray(mask)
+        if m.ndim == 4 and (m.shape[0] > 1 or m.shape[1] > 1):
+            # per-batch masks ([B,1,1,S] key padding, the BERT text layout):
+            # this kernel keeps ONE shared [S,S] mask in VMEM. Real BERT
+            # widths route to flash_attention_packed (which handles them
+            # in-kernel); the few ineligible shapes take the XLA core.
+            from .attention import attention_core
+
+            return attention_core(q, k, v, mask=mask, impl="xla")
 
     sp = _round_up(s, 8)
     # Head dim padded to the 128-lane width. Measured on v5e: the padded

@@ -72,6 +72,111 @@ def fits_fused_qkv(params: Params, width: int) -> bool:
     return total <= _VMEM_WEIGHT_BUDGET
 
 
+def _kernel_int8(x_ref, g_ref, b_ref, wq_ref, sq_ref, bq_ref,
+                 wk_ref, sk_ref, bk_ref, wv_ref, sv_ref, bv_ref,
+                 q_ref, k_ref, v_ref, *, eps: float):
+    x32 = x_ref[:].astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    y = y * g_ref[0] + b_ref[0]
+    # one shared per-row activation quant for all three projections (the
+    # separate int8_linear_fused calls each repeat this VPU pass)
+    amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    xs = jnp.where(amax == 0, 1.0, amax / 127.0)
+    yq = jnp.clip(jnp.round(y / xs), -127, 127).astype(jnp.int8)
+    for w_ref, s_ref, bias_ref, o_ref in (
+        (wq_ref, sq_ref, bq_ref, q_ref),
+        (wk_ref, sk_ref, bk_ref, k_ref),
+        (wv_ref, sv_ref, bv_ref, v_ref),
+    ):
+        o = jax.lax.dot_general(
+            yq, w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        o_ref[:] = (o * (xs * s_ref[0]) + bias_ref[0]).astype(o_ref.dtype)
+
+
+def fits_fused_qkv_int8(params: Params, width: int) -> bool:
+    """int8 variant eligibility: quantized square projections, TPU backend,
+    lane-aligned width (weights are int8 — 3·W² bytes, always well under
+    the VMEM budget for supported widths)."""
+    if jax.default_backend() != "tpu" or width % 128 != 0:
+        return False
+    total = 0
+    for name in ("q", "k", "v"):
+        p = params.get(name)
+        if not isinstance(p, dict) or "w_q" not in p:
+            return False
+        w = p["w_q"]
+        if w.ndim != 2 or w.shape != (width, width):
+            return False
+        total += w.size
+    return total <= _VMEM_WEIGHT_BUDGET
+
+
+@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+def ln_qkv_int8(params: Params, pre_ln: Params, x: jax.Array, *,
+                eps: float = 1e-6, interpret: bool = False,
+                ) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Fused LayerNorm + W8A8 q/k/v projections (``quantize="int8_all"``).
+
+    Same structure as ``ln_qkv`` with ops.quant weight layout ({"w_q"
+    [W, W] int8, "w_scale" [W], "b"?}): f32 LN → one shared per-row
+    activation quant → three int8 MXU matmuls with resident weights →
+    fused dequant + bias.
+    """
+    w = x.shape[-1]
+    g = pre_ln["scale"].astype(jnp.float32).reshape(1, w)
+    b = pre_ln["bias"].astype(jnp.float32).reshape(1, w)
+
+    flat = []
+    for name in ("q", "k", "v"):
+        p = params[name]
+        pb = p.get("b")
+        flat += [p["w_q"], p["w_scale"].astype(jnp.float32).reshape(1, w),
+                 (jnp.zeros((1, w), jnp.float32) if pb is None
+                  else pb.astype(jnp.float32).reshape(1, w))]
+
+    orig_shape = x.shape
+    rows = x.size // w
+    x2 = x.reshape(rows, w)
+    tile = 256 if rows % 256 == 0 else 128
+    rp = (rows + tile - 1) // tile * tile
+    if rp != rows:
+        x2 = jnp.pad(x2, ((0, rp - rows), (0, 0)))
+
+    row_spec = pl.BlockSpec((tile, w), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    const_vec = pl.BlockSpec((1, w), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+    const_mat = pl.BlockSpec((w, w), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+
+    outs = pl.pallas_call(
+        functools.partial(_kernel_int8, eps=eps),
+        out_shape=tuple(
+            jax.ShapeDtypeStruct((rp, w), x.dtype) for _ in range(3)),
+        grid=(rp // tile,),
+        in_specs=[row_spec, const_vec, const_vec]
+                 + [const_mat, const_vec, const_vec] * 3,
+        out_specs=(row_spec, row_spec, row_spec),
+        compiler_params=pltpu.CompilerParams(
+            # resident weights + double-buffered row tiles pass the 16 MB
+            # scoped default at W=1280 (ViT-H)
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * 2 * rp * w * w,
+            bytes_accessed=rp * w * 2 * 4 + 3 * w * w,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x2, g, b, *flat)
+    return tuple(o[:rows].reshape(orig_shape) for o in outs)
+
+
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
 def ln_qkv(params: Params, pre_ln: Params, x: jax.Array, *,
            eps: float = 1e-6,
@@ -118,6 +223,9 @@ def ln_qkv(params: Params, pre_ln: Params, x: jax.Array, *,
                   const_mat, const_vec, const_mat, const_vec,
                   const_mat, const_vec],
         out_specs=(row_spec, row_spec, row_spec),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=3 * 2 * rp * w * w,
             bytes_accessed=rp * w * 2 * 4 + 3 * w * w * 2,

@@ -72,7 +72,8 @@ def _jitted_text_forward(spec: TowerSpec, attn_impl: str):
         if spec.family == "hf_bert":
             from .models import hf_text
 
-            return hf_text.apply(params, ids, spec.cfg)
+            return hf_text.apply(params, ids, spec.cfg,
+                                 attn_impl=attn_impl)
         if spec.family == "onnx":
             # run-any-graph fallback (MCT and friends); mask passed only if
             # the graph declares it (reference: src/text.rs:90,156-161)

@@ -137,7 +137,7 @@ def _jitted_vision_forward(spec: TowerSpec, attn_impl: str):
 # families whose forward actually threads attn_impl; anything else must not
 # silently ignore a non-default request (it would report e.g. "pallas" while
 # running the XLA path).
-ATTN_IMPL_FAMILIES = frozenset({"vit", "text_transformer"})
+ATTN_IMPL_FAMILIES = frozenset({"vit", "text_transformer", "hf_bert"})
 
 
 def check_attn_impl(family: str, attn_impl: str) -> None:

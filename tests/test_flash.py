@@ -238,3 +238,69 @@ def test_tower_packed_kernel_matches_xla():
         assert (cos > 1 - 1e-6).all()
     finally:
         flash_mod.flash_attention_packed = orig
+
+
+def test_flash_packed_per_batch_key_mask():
+    """[B,1,1,S] key-padding masks (the BERT text layout) in the packed
+    kernel must match the XLA core."""
+    from clip_embedder_tpu.ops.flash import flash_attention_packed
+
+    b, h, s, d = 3, 8, 40, 64
+    keys = jax.random.split(jax.random.key(11), 3)
+    q = jax.random.normal(keys[0], (b, s, h * d), jnp.float32)
+    k = jax.random.normal(keys[1], (b, s, h * d), jnp.float32)
+    v = jax.random.normal(keys[2], (b, s, h * d), jnp.float32)
+    lengths = jnp.asarray([40, 17, 5])
+    valid = (jnp.arange(s)[None, :] < lengths[:, None])
+    mask = jnp.where(valid, 0.0, -1e30)[:, None, None, :]
+    got = flash_attention_packed(q, k, v, num_heads=h, mask=mask,
+                                 interpret=True)
+    ref = _packed_ref(q, k, v, h, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_flash_per_head_per_batch_mask_falls_back():
+    """The legacy per-head kernel keeps one shared [S,S] mask; a per-batch
+    [B,1,1,S] mask must take the XLA fallback, not crash (caught by the
+    TPU verify drive on the packed-ineligible golden BERT fixture)."""
+    from clip_embedder_tpu.ops.flash import flash_attention
+
+    b, h, s, d = 3, 4, 12, 16  # h*d=64: packed-ineligible shape
+    keys = jax.random.split(jax.random.key(13), 3)
+    q = jax.random.normal(keys[0], (b, h, s, d), jnp.float32)
+    k = jax.random.normal(keys[1], (b, h, s, d), jnp.float32)
+    v = jax.random.normal(keys[2], (b, h, s, d), jnp.float32)
+    lengths = jnp.asarray([12, 7, 2])
+    valid = (jnp.arange(s)[None, :] < lengths[:, None])
+    mask = jnp.where(valid, 0.0, -1e30)[:, None, None, :]
+    got = flash_attention(q, k, v, mask=mask, interpret=True)
+    ref = attention_core(q, k, v, mask=mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_hf_bert_pallas_matches_xla():
+    """BERT text tower end-to-end with attn_impl='pallas' (per-batch
+    key-padding mask through the packed kernel)."""
+    import functools
+
+    from clip_embedder_tpu.models import hf_text
+    from clip_embedder_tpu.models.hf_text import BertCfg
+    from clip_embedder_tpu.ops import flash as flash_mod
+
+    orig = flash_mod.flash_attention_packed
+    flash_mod.flash_attention_packed = functools.partial(orig, interpret=True)
+    try:
+        cfg = BertCfg(context_length=8, vocab_size=64, width=128,
+                      heads=2, layers=2, mlp_hidden=256, embed_dim=64,
+                      pad_id=0)
+        params = hf_text.init(jax.random.key(12), cfg)
+        ids = jnp.asarray([[2, 5, 9, 11, 3, 0, 0, 0],
+                           [2, 7, 3, 0, 0, 0, 0, 0]], jnp.int32)
+        a = hf_text.apply(params, ids, cfg, attn_impl="xla")
+        b = hf_text.apply(params, ids, cfg, attn_impl="pallas")
+        cos = np.sum(np.asarray(a) * np.asarray(b), axis=-1)
+        assert (cos > 1 - 1e-6).all()
+    finally:
+        flash_mod.flash_attention_packed = orig

@@ -135,10 +135,9 @@ def test_attn_impl_rejected_for_unsupported_family():
 
     check_attn_impl("vit", "pallas")
     check_attn_impl("fastvit", "xla")
+    check_attn_impl("hf_bert", "pallas")  # supported since the packed kernel
     with pytest.raises(ConfigError, match="attn_impl"):
         check_attn_impl("fastvit", "pallas")
-    with pytest.raises(ConfigError, match="attn_impl"):
-        check_attn_impl("hf_bert", "pallas")
 
 
 def test_fused_int8_mlp_matches_unfused():
@@ -265,3 +264,31 @@ def test_fused_int8_mlp_with_pre_ln_matches_separate_ln():
     ref = int8_mlp(params, layer_norm(ln, x, eps=1e-6), interpret=True)
     got = int8_mlp(params, x, pre_ln=ln, ln_eps=1e-6, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+def test_ln_qkv_int8_matches_separate():
+    """Fused LN + W8A8 qkv kernel ≡ layer_norm → 3 × int8_linear."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_embedder_tpu.ops.layers import layer_norm
+    from clip_embedder_tpu.ops.qkv import ln_qkv_int8
+    from clip_embedder_tpu.ops.quant import int8_linear, quantize_weight
+
+    rng = np.random.default_rng(11)
+    w = 256
+    params = {}
+    for n in "qkv":
+        wt = (rng.standard_normal((w, w)) * 0.05).astype(np.float32)
+        params[n] = {**{k: jnp.asarray(v) for k, v in
+                        quantize_weight(wt).items()},
+                     "b": jnp.asarray(rng.standard_normal(w).astype(np.float32) * 0.01)}
+    pre_ln = {"scale": jnp.asarray(1 + rng.standard_normal(w).astype(np.float32) * 0.1),
+              "bias": jnp.asarray(rng.standard_normal(w).astype(np.float32) * 0.01)}
+    x = jnp.asarray(rng.standard_normal((2, 61, w)).astype(np.float32))
+    y = layer_norm(pre_ln, x, eps=1e-6)
+    ref = [int8_linear(params[n], y) for n in "qkv"]
+    got = ln_qkv_int8(params, pre_ln, x, eps=1e-6, interpret=True)
+    for n, r, o in zip("qkv", ref, got):
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   atol=2e-5, err_msg=n)
