@@ -23,9 +23,9 @@ Prints ONE JSON line:
 
 Env knobs: BENCH_BATCH (default sweep 8/16/32), BENCH_DTYPE
 (bfloat16|float32), BENCH_SRC (source image size, default 512), BENCH_ATTN
-(pallas|pallas_fast|xla), BENCH_QUANT (int8 enables the fused W8A8 MLP
-kernel; embeddings within ~3e-4 cosine), BENCH_ITERS (chained steps,
-default 100).
+(pallas|pallas_fast|xla), BENCH_QUANT (int8 = fused W8A8 MLP kernels,
+~3e-4 cosine; int8_all = + fused int8 attention projections, ~1e-3
+cosine), BENCH_ITERS (chained steps, default 100).
 """
 
 from __future__ import annotations
@@ -149,31 +149,40 @@ def main() -> None:
         print("benchmark failed: no batch size completed", file=sys.stderr)
         sys.exit(1)
 
-    # opt-in int8 alternate, measured at the winning batch when the main
-    # run is bf16 (reported in detail, not as the headline metric)
-    int8_ips = None
+    # opt-in int8 alternates, measured at the winning batch when the main
+    # run is bf16 (reported in detail, not as the headline metric):
+    # "int8" = fused W8A8 MLPs only (~3e-4 cosine vs bf16); "int8_all" also
+    # runs the attention projections through the fused int8 LN+qkv and
+    # linear kernels (~1e-3 cosine)
+    int8_ips: dict[str, float] = {}
     if quant is None and best_batch:
-        try:
-            import numpy as _np
+        import numpy as _np
 
-            from clip_embedder_tpu.ops.quant import quantize_tree
+        from clip_embedder_tpu.ops.quant import (DEFAULT_QUANT_PATHS,
+                                                 QUANT_PATHS_ALL,
+                                                 quantize_tree)
 
-            qparams = jax.tree.map(
-                jnp.asarray,
-                quantize_tree(jax.tree.map(_np.asarray, params)))
-            images = jnp.asarray(rng.integers(
-                0, 255, size=(best_batch, src, src, 3), dtype=np.uint8))
-            wh = jnp.broadcast_to(jnp.asarray(wh_np), (best_batch, target, src))
-            ww = jnp.broadcast_to(jnp.asarray(ww_np), (best_batch, target, src))
-            float(embed_chain(qparams, images, wh, ww))
-            t0 = time.perf_counter()
-            float(embed_chain(qparams, images, wh, ww))
-            dtq = max(time.perf_counter() - t0 - dispatch_rtt(), 1e-9) / iters
-            int8_ips = round(best_batch / dtq, 2)
-            print(f"int8 alternate (batch {best_batch}): {int8_ips} img/s",
-                  file=sys.stderr)
-        except Exception as e:  # noqa: BLE001
-            print(f"int8 alternate failed: {type(e).__name__}", file=sys.stderr)
+        np_params = jax.tree.map(_np.asarray, params)
+        images = jnp.asarray(rng.integers(
+            0, 255, size=(best_batch, src, src, 3), dtype=np.uint8))
+        wh = jnp.broadcast_to(jnp.asarray(wh_np), (best_batch, target, src))
+        ww = jnp.broadcast_to(jnp.asarray(ww_np), (best_batch, target, src))
+        for qmode, qpaths in (("int8", DEFAULT_QUANT_PATHS),
+                              ("int8_all", QUANT_PATHS_ALL)):
+            try:
+                qparams = jax.tree.map(
+                    jnp.asarray, quantize_tree(np_params, paths=qpaths))
+                float(embed_chain(qparams, images, wh, ww))
+                t0 = time.perf_counter()
+                float(embed_chain(qparams, images, wh, ww))
+                dtq = max(time.perf_counter() - t0 - dispatch_rtt(),
+                          1e-9) / iters
+                int8_ips[qmode] = round(best_batch / dtq, 2)
+                print(f"{qmode} alternate (batch {best_batch}): "
+                      f"{int8_ips[qmode]} img/s", file=sys.stderr)
+            except Exception as e:  # noqa: BLE001
+                print(f"{qmode} alternate failed: {type(e).__name__}",
+                      file=sys.stderr)
 
     # p50 single-image latency, honest wall-clock including dispatch (the
     # second tracked metric in BASELINE.json)
@@ -206,7 +215,8 @@ def main() -> None:
             "attn_impl": attn_impl,
             "quantize": quant or "none",
             "includes_preprocess": True,
-            "int8_images_per_sec": int8_ips,
+            "int8_images_per_sec": int8_ips.get("int8"),
+            "int8_all_images_per_sec": int8_ips.get("int8_all"),
             "methodology": (
                 f"{iters} full steps chained on-device in one jitted "
                 "fori_loop with cross-iteration data dependency; scalar "

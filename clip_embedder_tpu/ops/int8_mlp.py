@@ -66,8 +66,22 @@ def _act(h: jax.Array, name: str) -> jax.Array:
     raise ValueError(f"unsupported in-kernel activation '{name}'")
 
 
+def _chunk_bounds(hidden: int, chunks: int) -> list[tuple[int, int]]:
+    """Split ``hidden`` into ``chunks`` slabs with 128-aligned offsets
+    (the last slab may be ragged — Mosaic pads it internally, exactly as
+    it does for an unchunked ragged hidden)."""
+    size = ((hidden + chunks - 1) // chunks + 127) // 128 * 128
+    bounds = []
+    off = 0
+    while off < hidden:
+        bounds.append((off, min(size, hidden - off)))
+        off += size
+    return bounds
+
+
 def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-                o_ref, *, activation: str, ln_refs=None, ln_eps=1e-6):
+                o_ref, *, activation: str, ln_refs=None, ln_eps=1e-6,
+                h_scratch=None, chunks: int = 1):
     x32 = x_ref[:].astype(jnp.float32)
     if ln_refs is not None:
         # fused pre-MLP LayerNorm: x is the raw residual stream, normalized
@@ -79,33 +93,72 @@ def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
         x32 = (x32 - mean) * jax.lax.rsqrt(var + ln_eps)
         x32 = x32 * g_ref[0] + b_ref[0]
     xq, xs = _row_quant(x32)
-    h = jax.lax.dot_general(
-        xq, w1_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)
-    h = h * (xs * s1_ref[0]) + b1_ref[0]
-    h = _act(h, activation)
-    aq, as_ = _row_quant(h)
-    y = jax.lax.dot_general(
-        aq, w2_ref[:],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    ).astype(jnp.float32)
-    y = y * (as_ * s2_ref[0]) + b2_ref[0]
+    if chunks <= 1:
+        h = jax.lax.dot_general(
+            xq, w1_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        h = h * (xs * s1_ref[0]) + b1_ref[0]
+        h = _act(h, activation)
+        aq, as_ = _row_quant(h)
+        y = jax.lax.dot_general(
+            aq, w2_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        y = y * (as_ * s2_ref[0]) + b2_ref[0]
+        o_ref[:] = y.astype(o_ref.dtype)
+        return
+
+    # Chunked hidden dim: independent per-slab work lets Mosaic co-issue
+    # the MXU matmul of slab i+1 with the VPU dequant/act of slab i
+    # (the unchunked kernel serializes one big matmul against one big VPU
+    # pass). Numerics are BIT-IDENTICAL to chunks=1: the activation quant
+    # scale uses the global row amax (two passes over the f32 scratch) and
+    # the fc2 partial sums accumulate in int32, exactly like the MXU's own
+    # K-dim accumulation.
+    hidden = w1_ref.shape[1]
+    bounds = _chunk_bounds(hidden, chunks)
+    for off, size in bounds:
+        hc = jax.lax.dot_general(
+            xq, w1_ref[:, off:off + size],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)
+        hc = hc * (xs * s1_ref[0, off:off + size]) + b1_ref[0, off:off + size]
+        h_scratch[:, off:off + size] = _act(hc, activation)
+    amax = jnp.max(jnp.abs(h_scratch[:]), axis=-1, keepdims=True)
+    as_ = jnp.where(amax == 0, 1.0, amax / 127.0)
+    acc = None
+    for off, size in bounds:
+        aq = jnp.clip(jnp.round(h_scratch[:, off:off + size] / as_),
+                      -127, 127).astype(jnp.int8)
+        part = jax.lax.dot_general(
+            aq, w2_ref[off:off + size, :],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        acc = part if acc is None else acc + part
+    y = acc.astype(jnp.float32) * (as_ * s2_ref[0]) + b2_ref[0]
     o_ref[:] = y.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("activation", "ln_eps", "interpret"))
+                   static_argnames=("activation", "ln_eps", "interpret",
+                                    "chunks"))
 def int8_mlp(params: Params, x: jax.Array, *,
              activation: str = "gelu_tanh",
              pre_ln: Params | None = None, ln_eps: float = 1e-6,
-             interpret: bool = False) -> jax.Array:
+             interpret: bool = False,
+             chunks: int | None = None) -> jax.Array:
     """Fused quantized MLP block. ``params``: {"fc": {"w_q", "w_scale",
     "b"}, "proj": {"w_q", "w_scale", "b"}} (ops.quant.quantize_tree layout).
     ``x``: [..., K]; the activation runs in f32 inside the kernel.
     ``pre_ln`` ({"scale", "bias"}) fuses the pre-MLP LayerNorm in-kernel.
+    ``chunks`` splits the hidden dim into slabs for MXU/VPU co-issue
+    (None = auto: 8 for hidden ≥ 2048); numerics are bit-identical to
+    chunks=1 (see _mlp_kernel).
     """
     fc, pr = params["fc"], params["proj"]
     w1, s1 = fc["w_q"], fc["w_scale"].astype(jnp.float32)
@@ -151,15 +204,24 @@ def int8_mlp(params: Params, x: jax.Array, *,
                      memory_space=pltpu.VMEM),
     ]
     args = [x2, w1, s1, b1, w2, s2, b2]
+    # auto policy, measured on v5e with interleaved-median A/B (SO400M and
+    # H14 shapes): chunks=8 is a small consistent win (~2%) over unchunked
+    # — Mosaic already pipelines most of the VPU work — and never loses.
+    # Small hiddens don't amortize the scratch pass.
+    n_chunks = chunks if chunks is not None else (8 if hidden >= 2048 else 1)
+    scratch_shapes = ([pltpu.VMEM((tile, hidden), jnp.float32)]
+                      if n_chunks > 1 else [])
     if pre_ln is not None:
         ln_g = pre_ln["scale"].astype(jnp.float32).reshape(1, k_in)
         ln_b = pre_ln["bias"].astype(jnp.float32).reshape(1, k_in)
 
         def kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
-                   g_ref, lb_ref, o_ref):
+                   g_ref, lb_ref, o_ref, *scratch):
             _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
                         b2_ref, o_ref, activation=activation,
-                        ln_refs=(g_ref, lb_ref), ln_eps=ln_eps)
+                        ln_refs=(g_ref, lb_ref), ln_eps=ln_eps,
+                        h_scratch=scratch[0] if scratch else None,
+                        chunks=n_chunks)
 
         in_specs = in_specs + [
             pl.BlockSpec((1, k_in), lambda i: (0, 0),
@@ -169,7 +231,12 @@ def int8_mlp(params: Params, x: jax.Array, *,
         ]
         args = args + [ln_g, ln_b]
     else:
-        kernel = functools.partial(_mlp_kernel, activation=activation)
+        def kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                   o_ref, *scratch):
+            _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                        b2_ref, o_ref, activation=activation,
+                        h_scratch=scratch[0] if scratch else None,
+                        chunks=n_chunks)
 
     out = pl.pallas_call(
         kernel,
@@ -178,6 +245,12 @@ def int8_mlp(params: Params, x: jax.Array, *,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tile, k_out), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            # resident int8 weights (~10 MB at SO400M) + f32 hidden scratch
+            # (4.4 MB) + double-buffered row tiles
+            vmem_limit_bytes=32 * 1024 * 1024,
+        ),
         cost_estimate=pl.CostEstimate(
             flops=2 * rp * k_in * hidden + 2 * rp * hidden * k_out,
             bytes_accessed=(rp * (k_in + k_out) * 2
@@ -276,4 +349,7 @@ def fits_fused_mlp(params: Params, activation_name: str) -> bool:
     if jax.default_backend() != "tpu":
         return False
     vmem_bytes = fc["w_q"].size + pr["w_q"].size  # int8 = 1 byte each
-    return vmem_bytes <= 11 * 1024 * 1024
+    # 14 MB admits ViT-H/14 (1280×5120×2 ≈ 13.1 MB — measured ~12% faster
+    # fused than unfused on v5e); ViT-gopt (1536×6144×2 ≈ 18.9 MB) measured
+    # a wash fused-vs-unfused and stays on the unfused path.
+    return vmem_bytes <= 14 * 1024 * 1024

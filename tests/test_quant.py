@@ -266,6 +266,36 @@ def test_fused_int8_mlp_with_pre_ln_matches_separate_ln():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
 
 
+def test_chunked_int8_mlp_matches_unchunked():
+    """The hidden-chunked kernel variant (MXU/VPU co-issue) must be
+    bit-identical to chunks=1: global row amax + int32 partial-sum
+    accumulation reproduce the single-matmul numerics exactly."""
+    import jax.numpy as jnp
+
+    from clip_embedder_tpu.ops.int8_mlp import int8_mlp
+    from clip_embedder_tpu.ops.quant import quantize_weight
+
+    rng = np.random.default_rng(12)
+    k, hidden = 128, 640  # ragged last chunk: 640 → 256+256+128 at chunks=3
+    params = {}
+    for name, shape in (("fc", (k, hidden)), ("proj", (hidden, k))):
+        w = (rng.standard_normal(shape) * 0.05).astype(np.float32)
+        params[name] = {kk: jnp.asarray(v)
+                        for kk, v in quantize_weight(w).items()}
+        params[name]["b"] = jnp.asarray(
+            rng.standard_normal(shape[1]).astype(np.float32) * 0.01)
+    x = jnp.asarray(rng.standard_normal((2, 33, k)).astype(np.float32))
+    ln = {"scale": jnp.asarray(1 + rng.standard_normal(k).astype(np.float32) * 0.1),
+          "bias": jnp.asarray(rng.standard_normal(k).astype(np.float32) * 0.01)}
+    for pre_ln in (None, ln):
+        ref = int8_mlp(params, x, pre_ln=pre_ln, chunks=1, interpret=True)
+        for n in (2, 3):
+            got = int8_mlp(params, x, pre_ln=pre_ln, chunks=n,
+                           interpret=True)
+            np.testing.assert_array_equal(np.asarray(got), np.asarray(ref),
+                                          err_msg=f"chunks={n} pre_ln={pre_ln is not None}")
+
+
 def test_ln_qkv_int8_matches_separate():
     """Fused LN + W8A8 qkv kernel ≡ layer_norm → 3 × int8_linear."""
     import jax
