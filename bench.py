@@ -65,19 +65,10 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "100"))
     target = 384
 
-    def dispatch_rtt() -> float:
-        """One-call dispatch floor (the axon tunnel costs ~29 ms per call;
-        a production host pays microseconds). Subtracted from the chained
-        wall time — with the default 100 chained iters the leftover bias
-        would otherwise be ~0.3 ms/step, several percent of a step."""
-        nop = jax.jit(lambda x: x + 1)
-        float(nop(jnp.float32(1)))
-        best = float("inf")
-        for _ in range(5):
-            t0 = time.perf_counter()
-            float(nop(jnp.float32(2)))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    # one-call dispatch floor, subtracted from the chained wall time — with
+    # the default 100 chained iters the leftover bias would otherwise be
+    # ~0.3 ms/step, several percent of a step (shared impl: benches/timing.py)
+    from benches.timing import dispatch_rtt
 
     cfg = so400m_siglip2_384()
     assert cfg.image_size == target

@@ -67,22 +67,7 @@ MODELS: dict[str, dict] = {
 }
 
 
-_RTT_CACHE: list[float] = []
-
-
-def _dispatch_rtt() -> float:
-    """One-call dispatch floor of this environment (the axon tunnel costs
-    ~29 ms per call; a production host pays microseconds)."""
-    import jax
-    import jax.numpy as jnp
-
-    if not _RTT_CACHE:
-        nop = jax.jit(lambda x: x + 1)
-        float(nop(jnp.float32(1)))
-        t0 = time.perf_counter()
-        float(nop(jnp.float32(2)))
-        _RTT_CACHE.append(time.perf_counter() - t0)
-    return _RTT_CACHE[0]
+from benches.timing import dispatch_rtt as _dispatch_rtt  # noqa: E402 — shared methodology
 
 
 def _time(fn, params, x, *, iters=20):

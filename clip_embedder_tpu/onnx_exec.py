@@ -106,8 +106,22 @@ def _pool(x, attrs, kind):
     spatial = x.ndim - 2
     ks = tuple(attrs["kernel_shape"])
     strides = tuple(attrs.get("strides", [1] * spatial))
+    if any(d != 1 for d in attrs.get("dilations", [1] * spatial)):
+        raise WeightError("Pool dilations != 1 not supported")
     pads = attrs.get("pads", [0] * (2 * spatial))
-    pad_pairs = tuple((pads[i], pads[i + spatial]) for i in range(spatial))
+    pad_pairs = [(pads[i], pads[i + spatial]) for i in range(spatial)]
+    if int(attrs.get("ceil_mode", 0)):
+        # ceil output dims: extend the high-side padding so reduce_window's
+        # floor arithmetic lands on ceil((in + pads - k)/s) + 1 windows
+        # (the extra region pads with the reduction identity; for avg the
+        # count denominator already excludes it)
+        for i in range(spatial):
+            span = x.shape[2 + i] + pad_pairs[i][0] + pad_pairs[i][1]
+            out = -(-(span - ks[i]) // strides[i]) + 1
+            need = (out - 1) * strides[i] + ks[i] - span
+            if need > 0:
+                pad_pairs[i] = (pad_pairs[i][0], pad_pairs[i][1] + need)
+    pad_pairs = tuple(pad_pairs)
     window = (1, 1) + ks
     strides_full = (1, 1) + strides
     pad_full = ((0, 0), (0, 0)) + pad_pairs
@@ -231,10 +245,23 @@ def _layer_norm(env, inputs, attrs):
 def _batch_norm(env, inputs, attrs):
     x, scale, bias, mean, var = (jnp.asarray(env[n]) for n in inputs[:5])
     eps = float(attrs.get("epsilon", 1e-5))
+    ct = jnp.promote_types(x.dtype, jnp.float32)
     shape = (1, -1) + (1,) * (x.ndim - 2)
-    y = (x - mean.reshape(shape)) * jax.lax.rsqrt(
-        var.reshape(shape) + eps)
-    return y * scale.reshape(shape) + bias.reshape(shape)
+    y = (x.astype(ct) - mean.astype(ct).reshape(shape)) * jax.lax.rsqrt(
+        var.astype(ct).reshape(shape) + eps)
+    y = y * scale.astype(ct).reshape(shape) + bias.astype(ct).reshape(shape)
+    return y.astype(x.dtype)
+
+
+def _div(x, y):
+    """ONNX Div: C-style truncation toward zero for integer operands
+    (matching the host-fold path's _np_div), true division otherwise."""
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    if (jnp.issubdtype(x.dtype, jnp.integer)
+            and jnp.issubdtype(y.dtype, jnp.integer)):
+        ct = jnp.promote_types(x.dtype, y.dtype)
+        return jax.lax.div(x.astype(ct), y.astype(ct))
+    return jnp.divide(x, y)
 
 
 def _arg_minmax(fn, x, attrs):
@@ -259,7 +286,7 @@ def _resolve_ops() -> dict[str, Callable]:
     e["Add"] = binary(jnp.add)
     e["Sub"] = binary(jnp.subtract)
     e["Mul"] = binary(jnp.multiply)
-    e["Div"] = binary(jnp.divide)
+    e["Div"] = binary(_div)
     e["Pow"] = binary(lambda x, y: jnp.power(jnp.asarray(x),
                                              jnp.asarray(y).astype(
                                                  jnp.asarray(x).dtype)))
@@ -413,17 +440,40 @@ def _resolve_ops() -> dict[str, Callable]:
         axis=tuple(range(2, env[i[0]].ndim)), keepdims=True)
     e["LayerNormalization"] = _layer_norm
     e["BatchNormalization"] = _batch_norm
-    e["Pad"] = lambda env, i, a: jnp.pad(
-        jnp.asarray(env[i[0]]),
-        _pad_pairs(_static_ints(env[i[1]], "Pad pads"), env[i[0]].ndim),
-        constant_values=0 if len(i) < 3 or not i[2]
-        else _static_scalar(env[i[2]], "Pad value"))
+    e["Pad"] = _pad_op
     e["Split"] = _split
     return e
 
 
 def _pad_pairs(pads: list[int], nd: int):
     return tuple((pads[k], pads[k + nd]) for k in range(nd))
+
+
+def _pad_op(env, inputs, attrs):
+    x = jnp.asarray(env[inputs[0]])
+    mode = attrs.get("mode", b"constant")
+    mode = mode.decode() if isinstance(mode, bytes) else mode
+    jnp_mode = {"constant": "constant", "reflect": "reflect",
+                "edge": "edge", "wrap": "wrap"}.get(mode)
+    if jnp_mode is None:
+        raise WeightError(f"Pad mode '{mode}' not supported")
+    pads = _static_ints(env[inputs[1]], "Pad pads")
+    if len(inputs) > 3 and inputs[3]:
+        # opset-18 optional axes input: pads applies to these axes only
+        axes = [ax % x.ndim
+                for ax in _static_ints(env[inputs[3]], "Pad axes")]
+        n = len(axes)
+        pairs = [(0, 0)] * x.ndim
+        for j, ax in enumerate(axes):
+            pairs[ax] = (pads[j], pads[j + n])
+        pairs = tuple(pairs)
+    else:
+        pairs = _pad_pairs(pads, x.ndim)
+    if jnp_mode != "constant":
+        return jnp.pad(x, pairs, mode=jnp_mode)
+    value = (0 if len(inputs) < 3 or not inputs[2]
+             else _static_scalar(env[inputs[2]], "Pad value"))
+    return jnp.pad(x, pairs, constant_values=value)
 
 
 def _split(env, inputs, attrs):
@@ -624,14 +674,20 @@ class OnnxCfg:
 
 
 _TOWER_CACHE: dict[tuple, "OnnxTower"] = {}
+_TOWER_CACHE_MAX = 8  # parsed graphs hold all initializer arrays — evict
+# LRU so stale entries (e.g. a regenerated .onnx with a new mtime) don't
+# pin hundreds of MB of host memory for the process lifetime
 
 
 def get_tower(cfg: OnnxCfg) -> "OnnxTower":
-    """Parse-once cache of OnnxTower instances keyed by OnnxCfg identity."""
-    tower = _TOWER_CACHE.get(cfg._key)
+    """Parse-once LRU cache of OnnxTower instances keyed by OnnxCfg
+    identity (path, mtime, size)."""
+    tower = _TOWER_CACHE.pop(cfg._key, None)
     if tower is None:
         tower = OnnxTower(cfg.path)
-        _TOWER_CACHE[cfg._key] = tower
+    _TOWER_CACHE[cfg._key] = tower  # (re-)insert as most recent
+    while len(_TOWER_CACHE) > _TOWER_CACHE_MAX:
+        _TOWER_CACHE.pop(next(iter(_TOWER_CACHE)))
     return tower
 
 

@@ -153,9 +153,11 @@ class TextEmbedder:
         except (ConfigError, WeightError):
             # run-any-graph fallback (e.g. MobileCLIP-S0's MCT text tower):
             # families without a native tower, or graphs whose structure
-            # doesn't match the resolved one, run via the ONNX executor
+            # doesn't match the resolved one, run via the ONNX executor.
+            # A present native .npz that failed to load is corruption, not
+            # a structural mismatch — surface it instead of rerouting.
             onnx_path = model_dir / "text.onnx"
-            if not onnx_path.is_file():
+            if (model_dir / NATIVE_TEXT).is_file() or not onnx_path.is_file():
                 raise
             from .onnx_exec import OnnxCfg
 

@@ -201,8 +201,11 @@ class VisionEmbedder:
             spec = resolve_vision(config.model_cfg)
             params = _load_or_convert_visual(model_dir, spec, dtype)
         except (ConfigError, WeightError):
+            # see text.py: a present native .npz that failed to load is
+            # corruption — surface it instead of rerouting to the executor
             onnx_path = model_dir / "visual.onnx"
-            if not onnx_path.is_file():
+            if ((model_dir / NATIVE_VISUAL).is_file()
+                    or not onnx_path.is_file()):
                 raise
             from .onnx_exec import OnnxCfg
 

@@ -66,7 +66,12 @@ def _relistify(node):
 
 
 def load_pytree(path: Path | str, *, dtype=None) -> Params:
-    with np.load(path) as data:
+    try:
+        data_ctx = np.load(path)
+    except Exception as e:  # zipfile.BadZipFile / OSError / ValueError
+        raise WeightError(
+            f"Failed to read weight file '{path}': {e}") from e
+    with data_ctx as data:
         tree: Params = {}
         for key in data.files:
             arr = data[key]

@@ -288,3 +288,68 @@ def test_batchnorm_op_runs_with_epsilon(tmp_path):
         ref = model(x).numpy()
     got = run_tower(path, {"input": jnp.asarray(x.numpy())})
     np.testing.assert_allclose(got, ref, atol=5e-5)
+
+
+def test_pad_reflect_and_ceil_mode_pool(tmp_path):
+    """Pad honors the mode attribute (reflect previously executed as a
+    silent zero-pad) and MaxPool honors ceil_mode (previously floor)."""
+
+    class PadPool(nn.Module):
+        def forward(self, x):
+            y = F.pad(x, (1, 1, 1, 1), mode="reflect")
+            y = F.max_pool2d(y, 3, stride=2, ceil_mode=True)
+            return y.flatten(1)
+
+    model = PadPool().eval()
+    x = torch.randn(2, 3, 11, 11)
+    path = tmp_path / "padpool.onnx"
+    export(model, x, path)
+    with torch.no_grad():
+        ref = model(x).numpy()
+    got = run_tower(path, {"input": jnp.asarray(x.numpy())})
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_pad_unsupported_mode_raises(tmp_path):
+    """An exotic Pad mode must raise WeightError, not silently zero-pad
+    (the module's unsupported-op contract)."""
+    from clip_embedder_tpu.onnx_exec import _pad_op
+
+    env = {"x": jnp.ones((1, 4)), "pads": np.asarray([0, 1, 0, 1])}
+    with pytest.raises(WeightError, match="Pad mode"):
+        _pad_op(env, ["x", "pads"], {"mode": b"hypercube"})
+    # sanity: the supported modes run
+    for mode in (b"constant", b"reflect", b"edge", b"wrap"):
+        out = _pad_op(env, ["x", "pads"], {"mode": mode})
+        assert out.shape == (1, 6)
+
+
+def test_div_integer_truncation():
+    """ONNX Div on integer tensors truncates toward zero (matching the
+    host-fold path); floats use true division."""
+    from clip_embedder_tpu.onnx_exec import _div
+
+    x = jnp.asarray([-7, 7, -1], jnp.int64)
+    y = jnp.asarray([2, -2, 3], jnp.int64)
+    np.testing.assert_array_equal(np.asarray(_div(x, y)), [-3, -3, 0])
+    f = _div(jnp.asarray([-7.0]), jnp.asarray([2.0]))
+    np.testing.assert_allclose(np.asarray(f), [-3.5])
+
+
+def test_corrupt_native_weights_surface_not_reroute(tmp_path):
+    """A present-but-corrupt native .npz must raise WeightError — not
+    silently reroute the tower to the ONNX-graph interpreter."""
+    import shutil
+
+    from clip_embedder_tpu import Clip
+    from clip_embedder_tpu.errors import WeightError as WErr
+
+    src = Path(__file__).parent / "fixtures" / "golden_model"
+    d = tmp_path / "model"
+    shutil.copytree(src, d)
+    (d / "text.npz").write_bytes(b"not an npz archive")
+    # a text.onnx exists, so the old behavior would have quietly fallen
+    # back to the graph executor (and then failed confusingly on parse)
+    (d / "text.onnx").write_bytes(b"\x08\x07")
+    with pytest.raises(WErr, match="text.npz"):
+        Clip.from_local_dir(d)
