@@ -134,16 +134,36 @@ def _rotate_pairs(x: jax.Array) -> jax.Array:
 
 
 def _apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
-    """x: [B, H, N, D] patch tokens (no cls); sin/cos: [N, D]."""
+    """x: [B, H, N, D] patch tokens (no cls) with [N, D] tables — or the
+    packed [B, N, H·D] layout with head-tiled [N, H·D] tables (pair
+    rotation stays within heads because head offsets are even)."""
     orig = x.dtype
     x32 = x.astype(jnp.float32)
     return (x32 * cos + _rotate_pairs(x32) * sin).astype(orig)
 
 
 def apply(params: Params, pixels: jax.Array, cfg: Eva02Cfg, *,
-          normalize: bool = True, channels_first: bool = False) -> jax.Array:
-    """[B, H, W, 3] (or [B, 3, H, W]) → [B, embed_dim]."""
+          normalize: bool = True, channels_first: bool = False,
+          attn_impl: str = "xla") -> jax.Array:
+    """[B, H, W, 3] (or [B, 3, H, W]) → [B, embed_dim].
+
+    ``attn_impl="pallas"/"pallas_fast"`` routes eligible head layouts
+    through ops.flash.flash_attention_packed; rope is applied directly in
+    the packed [B, N, H·D] projection layout (pair rotation commutes with
+    head packing — head offsets h·D are even, so lane pairs stay within a
+    head — and the sin/cos tables tile across heads).
+    """
     from .vit import patchify
+
+    use_packed = False
+    if attn_impl in ("pallas", "pallas_fast"):
+        from ..ops.flash import _head_group
+
+        use_packed = _head_group(cfg.heads, cfg.head_dim) is not None
+    elif attn_impl != "xla":
+        raise ValueError(
+            f"Unknown attention impl '{attn_impl}' "
+            "(choices: xla, pallas, pallas_fast)")
 
     x = patchify(pixels, cfg.patch_size, channels_first)
     x = linear(params["patch_embed"], x)
@@ -156,22 +176,40 @@ def apply(params: Params, pixels: jax.Array, cfg: Eva02Cfg, *,
                                  cfg.rope_temperature, cfg.rope_ref_grid),
                       jnp.float32)
     sin, cos = jnp.sin(ang), jnp.cos(ang)
+    if use_packed:
+        # head-tiled tables for rope in the packed layout
+        sin_p = jnp.tile(sin, (1, cfg.heads))
+        cos_p = jnp.tile(cos, (1, cfg.heads))
 
     def body(carry, block):
         h = layer_norm(block["ln1"], carry, eps=cfg.ln_eps)
-        q = rearrange(linear(block["attn"]["q"], h), "b n (h d) -> b h n d",
-                      h=cfg.heads)
-        k = rearrange(linear(block["attn"]["k"], h), "b n (h d) -> b h n d",
-                      h=cfg.heads)
-        v = rearrange(linear(block["attn"]["v"], h), "b n (h d) -> b h n d",
-                      h=cfg.heads)
-        # rope on patch tokens only; cls (position 0) passes through
-        q = jnp.concatenate([q[:, :, :1], _apply_rope(q[:, :, 1:], sin, cos)],
-                            axis=2)
-        k = jnp.concatenate([k[:, :, :1], _apply_rope(k[:, :, 1:], sin, cos)],
-                            axis=2)
-        o = attention_core(q, k, v)
-        o = rearrange(o, "b h n d -> b n (h d)")
+        if use_packed:
+            from ..ops.flash import flash_attention_packed
+
+            q = linear(block["attn"]["q"], h)  # [B, N, H·D]
+            k = linear(block["attn"]["k"], h)
+            v = linear(block["attn"]["v"], h)
+            # rope on patch tokens only; cls (position 0) passes through
+            q = jnp.concatenate(
+                [q[:, :1], _apply_rope(q[:, 1:], sin_p, cos_p)], axis=1)
+            k = jnp.concatenate(
+                [k[:, :1], _apply_rope(k[:, 1:], sin_p, cos_p)], axis=1)
+            o = flash_attention_packed(
+                q, k, v, num_heads=cfg.heads,
+                fast_softmax=attn_impl == "pallas_fast")
+        else:
+            q = rearrange(linear(block["attn"]["q"], h),
+                          "b n (h d) -> b h n d", h=cfg.heads)
+            k = rearrange(linear(block["attn"]["k"], h),
+                          "b n (h d) -> b h n d", h=cfg.heads)
+            v = rearrange(linear(block["attn"]["v"], h),
+                          "b n (h d) -> b h n d", h=cfg.heads)
+            # rope on patch tokens only; cls (position 0) passes through
+            q = jnp.concatenate(
+                [q[:, :, :1], _apply_rope(q[:, :, 1:], sin, cos)], axis=2)
+            k = jnp.concatenate(
+                [k[:, :, :1], _apply_rope(k[:, :, 1:], sin, cos)], axis=2)
+            o = rearrange(attention_core(q, k, v), "b h n d -> b n (h d)")
         o = layer_norm(block["attn"]["inner_ln"], o, eps=cfg.ln_eps)  # sub-LN
         carry = carry + linear(block["attn"]["out"], o)
 

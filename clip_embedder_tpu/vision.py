@@ -116,7 +116,8 @@ def _jitted_vision_forward(spec: TowerSpec, attn_impl: str):
         if spec.family == "eva02":
             from .models import eva02
 
-            return eva02.apply(params, pixels, spec.cfg, channels_first=True)
+            return eva02.apply(params, pixels, spec.cfg, channels_first=True,
+                               attn_impl=attn_impl)
         if spec.family == "onnx":
             from .onnx_exec import get_tower
             from .ops.normalize import l2_normalize
@@ -137,7 +138,8 @@ def _jitted_vision_forward(spec: TowerSpec, attn_impl: str):
 # families whose forward actually threads attn_impl; anything else must not
 # silently ignore a non-default request (it would report e.g. "pallas" while
 # running the XLA path).
-ATTN_IMPL_FAMILIES = frozenset({"vit", "text_transformer", "hf_bert"})
+ATTN_IMPL_FAMILIES = frozenset({"vit", "text_transformer", "hf_bert",
+                                "eva02"})
 
 
 def check_attn_impl(family: str, attn_impl: str) -> None:

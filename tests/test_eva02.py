@@ -210,3 +210,28 @@ def test_eva02_init_apply():
     assert out.shape == (2, 32)
     np.testing.assert_allclose(np.linalg.norm(np.asarray(out), axis=-1), 1.0,
                                atol=1e-5)
+
+
+def test_eva02_packed_attn_matches_xla():
+    """attn_impl='pallas' (packed kernel + rope in the packed layout)
+    must match the xla path end-to-end."""
+    import functools
+
+    from clip_embedder_tpu.ops import flash as flash_mod
+
+    # heads=2, d=64 → head group g=2 (g·d = 128): packed-eligible
+    cfg = Eva02Cfg(image_size=32, patch_size=8, width=128, layers=2,
+                   heads=2, mlp_hidden=192, embed_dim=48)
+    params = eva02.init(jax.random.key(4), cfg)
+    x = jax.random.normal(jax.random.key(5), (2, 32, 32, 3), jnp.float32)
+
+    orig = flash_mod.flash_attention_packed
+    flash_mod.flash_attention_packed = functools.partial(orig, interpret=True)
+    try:
+        a = np.asarray(eva02.apply(params, x, cfg, attn_impl="xla"))
+        b = np.asarray(eva02.apply(params, x, cfg, attn_impl="pallas"))
+    finally:
+        flash_mod.flash_attention_packed = orig
+    cos = (a * b).sum(-1)
+    assert (cos > 1 - 1e-6).all(), cos
+    np.testing.assert_allclose(a, b, atol=2e-5)
