@@ -182,10 +182,14 @@ def apply(params: Params, pixels: jax.Array, cfg: Eva02Cfg, *,
         cos_p = jnp.tile(cos, (1, cfg.heads))
 
     def body(carry, block):
-        h = layer_norm(block["ln1"], carry, eps=cfg.ln_eps)
         if use_packed:
             from ..ops.flash import flash_attention_packed
 
+            # NOT the ln_qkv fused kernel here (unlike the ViT path):
+            # measured on EVA02-L/v5e it REGRESSES ~7% — the kernel
+            # boundary stops XLA from fusing the rope elementwise pass
+            # into the projection epilogue, which the plain path gets
+            h = layer_norm(block["ln1"], carry, eps=cfg.ln_eps)
             q = linear(block["attn"]["q"], h)  # [B, N, H·D]
             k = linear(block["attn"]["k"], h)
             v = linear(block["attn"]["v"], h)
@@ -198,6 +202,7 @@ def apply(params: Params, pixels: jax.Array, cfg: Eva02Cfg, *,
                 q, k, v, num_heads=cfg.heads,
                 fast_softmax=attn_impl == "pallas_fast")
         else:
+            h = layer_norm(block["ln1"], carry, eps=cfg.ln_eps)
             q = rearrange(linear(block["attn"]["q"], h),
                           "b n (h d) -> b h n d", h=cfg.heads)
             k = rearrange(linear(block["attn"]["k"], h),
