@@ -60,18 +60,19 @@ def _sharded_vision_forward(spec, attn_impl: str, mesh: Mesh,
     std = jnp.asarray(std, jnp.float32)
     batch_spec = NamedSharding(mesh, P(DATA_AXIS))
 
-    def forward(params, images_u8, wh, ww):
-        from ..ops.preprocess import resize_normalize
+    def forward(params, images_u8, whs_u, wws_u, idx):
+        from ..ops.preprocess import resize_normalize_indexed
         from ..vision import _jitted_vision_forward, preprocess_layout
 
-        pixels = resize_normalize(images_u8, wh, ww, mean, std,
-                                  out_dtype=out_dtype,
-                                  layout=preprocess_layout(spec.family))
+        pixels = resize_normalize_indexed(
+            images_u8, whs_u, wws_u, idx, mean, std,
+            out_dtype=out_dtype, layout=preprocess_layout(spec.family))
         return _jitted_vision_forward(spec, attn_impl)(params, pixels)
 
     return jax.jit(
         forward,
-        in_shardings=(None, batch_spec, batch_spec, batch_spec),
+        # unique weight tables replicate; the batch and its index shard
+        in_shardings=(None, batch_spec, None, None, batch_spec),
         out_shardings=batch_spec,
     )
 
@@ -125,9 +126,10 @@ class ShardedVisionEmbedder:
             raise InferenceError("Empty batch")
         arrays = [to_rgb_array(img) for img in images]
         bb = _batch_bucket(len(arrays), self.mesh.shape[DATA_AXIS])
-        batch, whs, wws = self.inner.preprocessor.stage_host_batch(
-            arrays, batch_bucket=bb)
-        embs = self._forward(self.params, batch, whs, wws)
+        batch, whs_u, wws_u, idx = (
+            self.inner.preprocessor.stage_host_batch_unique(
+                arrays, batch_bucket=bb))
+        embs = self._forward(self.params, batch, whs_u, wws_u, idx)
         return np.asarray(embs[: len(images)].astype(jnp.float32))
 
 
