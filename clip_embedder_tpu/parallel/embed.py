@@ -124,13 +124,19 @@ class ShardedVisionEmbedder:
     def embed_images(self, images: Sequence[Any]) -> np.ndarray:
         if len(images) == 0:
             raise InferenceError("Empty batch")
+        embs, n = self.embed_images_device(images)
+        return np.asarray(embs[:n].astype(jnp.float32))
+
+    def embed_images_device(self, images: Sequence[Any]):
+        """Async variant (see VisionEmbedder.embed_images_device)."""
+        if len(images) == 0:
+            raise InferenceError("Empty batch")
         arrays = [to_rgb_array(img) for img in images]
         bb = _batch_bucket(len(arrays), self.mesh.shape[DATA_AXIS])
         batch, whs_u, wws_u, idx = (
             self.inner.preprocessor.stage_host_batch_unique(
                 arrays, batch_bucket=bb))
-        embs = self._forward(self.params, batch, whs_u, wws_u, idx)
-        return np.asarray(embs[: len(images)].astype(jnp.float32))
+        return self._forward(self.params, batch, whs_u, wws_u, idx), len(arrays)
 
 
 class ShardedTextEmbedder:

@@ -56,6 +56,10 @@ class EmbedPipeline:
                     break
             return chunk or None
 
+        import jax.numpy as jnp
+
+        embed_dev = getattr(self.embedder, "embed_images_device", None)
+
         with cf.ThreadPoolExecutor(self.decode_workers) as pool:
             pending: list[list[cf.Future]] = []
             # prime the decode pipeline
@@ -65,14 +69,24 @@ class EmbedPipeline:
                     break
                 pending.append(self._submit_batch(pool, chunk))
 
+            # device pipeline: batch N's readback happens only after batch
+            # N+1's staging + forward have been dispatched, so H2D transfer
+            # and compute of N+1 overlap the readback wait of N
+            dev_pending: list[tuple[Any, int]] = []
             while pending:
                 arrays = [fut.result() for fut in pending.pop(0)]
                 chunk = take()
                 if chunk is not None:
                     pending.append(self._submit_batch(pool, chunk))
-                # embed_images dispatches asynchronously; numpy conversion
-                # synchronizes on this batch while the next decodes.
-                yield self.embedder.embed_images(arrays)
+                if embed_dev is None:  # duck-typed embedder without async
+                    yield self.embedder.embed_images(arrays)
+                    continue
+                dev_pending.append(embed_dev(arrays))
+                while len(dev_pending) > 1:
+                    embs, n = dev_pending.pop(0)
+                    yield np.asarray(embs[:n].astype(jnp.float32))
+            for embs, n in dev_pending:
+                yield np.asarray(embs[:n].astype(jnp.float32))
 
     def embed_all(self, images: Sequence[Any]) -> np.ndarray:
         """Embed a full collection, returning [N, D]."""

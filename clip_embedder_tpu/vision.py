@@ -257,12 +257,20 @@ class VisionEmbedder:
         return self.embed_images([image])[0]
 
     def embed_images(self, images: Sequence[Any]) -> np.ndarray:
+        embs, n = self.embed_images_device(images)
+        return np.asarray(embs[:n].astype(jnp.float32))
+
+    def embed_images_device(self, images: Sequence[Any]):
+        """Asynchronous variant: dispatches the forward and returns
+        ``(embeddings_device, n)`` WITHOUT host synchronization — the
+        [bucket, D] result stays on device until read. Lets a caller
+        (parallel.pipeline.EmbedPipeline) keep a batch in flight while the
+        previous one reads back."""
         if len(images) == 0:
             raise InferenceError("Empty batch")
         arrays = [to_rgb_array(img) for img in images]
         pixels = self.preprocessor(arrays)  # [bucket, S, S, 3]
-        embs = self._forward(self.params, pixels)
-        return np.asarray(embs[: len(images)].astype(jnp.float32))
+        return self._forward(self.params, pixels), len(arrays)
 
     # -- preprocessing only (reference: src/vision.rs:120-138) -------------
 
