@@ -150,13 +150,19 @@ def main() -> None:
         n_dispatch = -(-args.n // args.batch)
         tunnel_s = (tunnel_batch_s + dispatch_rtt()) * n_dispatch
         staged_mb = sum(s.nbytes for s in staged) / 1e6
-        prod_est = args.n / max(wall - tunnel_s, 1e-9)
+        # Upper bound only: the depth-1 device pipeline already hides an
+        # unmeasurable part of each batch's tunnel transfer behind the
+        # previous batch's readback, so subtracting the full serial tunnel
+        # time over-credits production. True production sits between the
+        # raw wall rate and this bound.
+        prod_hi = args.n / max(wall - tunnel_s, 1e-9)
         print(
             f"e2e: {args.n} images in {wall:.2f}s → {args.n/wall:.1f} img/s "
             f"wall ({wall/args.n*1e3:.2f} ms/img incl. decode); tunnel "
-            f"share ≈ {tunnel_s:.2f}s ({staged_mb:.0f} MB staged/batch at "
-            f"~{staged_mb/max(tunnel_batch_s,1e-9):.0f} MB/s) → "
-            f"~{prod_est:.0f} img/s production estimate", file=sys.stderr)
+            f"share ≤ {tunnel_s:.2f}s ({staged_mb:.0f} MB staged/batch at "
+            f"~{staged_mb/max(tunnel_batch_s,1e-9):.0f} MB/s serial) → "
+            f"production between {args.n/wall:.0f} and ~{prod_hi:.0f} img/s",
+            file=sys.stderr)
         import json
         print(json.dumps({
             "metric": "pipeline_images_per_sec_e2e",
@@ -167,8 +173,8 @@ def main() -> None:
                 "quant": args.quant or "none", "attn": args.attn,
                 "includes": "jpeg decode + host->device + preprocess + tower",
                 "staged_mb_per_batch": round(staged_mb, 1),
-                "tunnel_share_s": round(tunnel_s, 2),
-                "production_estimate_img_s": round(prod_est, 1),
+                "serial_tunnel_share_s": round(tunnel_s, 2),
+                "production_estimate_upper_img_s": round(prod_hi, 1),
             },
         }))
 

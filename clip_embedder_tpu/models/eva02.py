@@ -214,7 +214,11 @@ def apply(params: Params, pixels: jax.Array, cfg: Eva02Cfg, *,
                 [q[:, :, :1], _apply_rope(q[:, :, 1:], sin, cos)], axis=2)
             k = jnp.concatenate(
                 [k[:, :, :1], _apply_rope(k[:, :, 1:], sin, cos)], axis=2)
-            o = rearrange(attention_core(q, k, v), "b h n d -> b n (h d)")
+            # impl threads through: packed-ineligible pallas layouts take
+            # the padded per-head kernel (same fallback chain as the ViT
+            # path) — never a silent switch to the XLA softmax
+            o = rearrange(attention_core(q, k, v, impl=attn_impl),
+                          "b h n d -> b n (h d)")
         o = layer_norm(block["attn"]["inner_ln"], o, eps=cfg.ln_eps)  # sub-LN
         carry = carry + linear(block["attn"]["out"], o)
 

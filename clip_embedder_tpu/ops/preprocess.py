@@ -282,25 +282,13 @@ class Preprocessor:
     def stage_host_batch(
         self, arrays: list[np.ndarray], *, batch_bucket: int | None = None
     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Host staging shared by the single-device and mesh-sharded paths:
-        zero-pad images into a bucketed u8 batch and build the per-image
-        resize weight matrices. Returns (batch_u8, whs, wws)."""
-        if not arrays:
-            raise ImageError("Empty batch")
-        bb = batch_bucket or bucket_batch(len(arrays))
-        ph = bucket_size(max(a.shape[0] for a in arrays))
-        pw = bucket_size(max(a.shape[1] for a in arrays))
-
-        batch = np.zeros((bb, ph, pw, 3), dtype=np.uint8)
-        whs = np.zeros((bb, self.image_size, ph), dtype=np.float32)
-        wws = np.zeros((bb, self.image_size, pw), dtype=np.float32)
-        for i, a in enumerate(arrays):
-            h, w = a.shape[:2]
-            batch[i, :h, :w] = a
-            wh, ww = self._weights(w, h, ph, pw)
-            whs[i] = wh
-            wws[i] = ww
-        return batch, whs, wws
+        """Dense staging: per-image weight matrices ([B, S, Hp/Wp]).
+        Thin expansion over ``stage_host_batch_unique`` (the library paths
+        all use the deduplicated form; this keeps the dense layout
+        available for debugging/tools without duplicating staging logic)."""
+        batch, whs_u, wws_u, idx = self.stage_host_batch_unique(
+            arrays, batch_bucket=batch_bucket)
+        return batch, whs_u[idx], wws_u[idx]
 
     def stage_host_batch_unique(
         self, arrays: list[np.ndarray], *, batch_bucket: int | None = None

@@ -122,8 +122,6 @@ class ShardedVisionEmbedder:
         )
 
     def embed_images(self, images: Sequence[Any]) -> np.ndarray:
-        if len(images) == 0:
-            raise InferenceError("Empty batch")
         embs, n = self.embed_images_device(images)
         return np.asarray(embs[:n].astype(jnp.float32))
 

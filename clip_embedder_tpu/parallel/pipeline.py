@@ -74,14 +74,23 @@ class EmbedPipeline:
             # and compute of N+1 overlap the readback wait of N
             dev_pending: list[tuple[Any, int]] = []
             while pending:
-                arrays = [fut.result() for fut in pending.pop(0)]
-                chunk = take()
-                if chunk is not None:
-                    pending.append(self._submit_batch(pool, chunk))
-                if embed_dev is None:  # duck-typed embedder without async
-                    yield self.embedder.embed_images(arrays)
-                    continue
-                dev_pending.append(embed_dev(arrays))
+                try:
+                    arrays = [fut.result() for fut in pending.pop(0)]
+                    chunk = take()
+                    if chunk is not None:
+                        pending.append(self._submit_batch(pool, chunk))
+                    if embed_dev is None:  # duck-typed, no async variant
+                        yield self.embedder.embed_images(arrays)
+                        continue
+                    dev_pending.append(embed_dev(arrays))
+                except Exception:
+                    # a failed batch must not swallow the previous batch's
+                    # already-computed embeddings still in flight — drain
+                    # before propagating so consumers keep every completed
+                    # batch (matches the old synchronous loop's semantics)
+                    for embs, n in dev_pending:
+                        yield np.asarray(embs[:n].astype(jnp.float32))
+                    raise
                 while len(dev_pending) > 1:
                     embs, n = dev_pending.pop(0)
                     yield np.asarray(embs[:n].astype(jnp.float32))

@@ -287,3 +287,59 @@ def test_pipeline_propagates_decode_errors(mesh):
     pipe = EmbedPipeline(clip.vision, batch_size=2)
     with pytest.raises(ClipError):
         pipe.embed_all(images)
+
+
+def test_pipeline_yields_completed_batches_before_error(mesh):
+    """A failed batch must not swallow earlier batches already in flight
+    on the device — the iterator yields every completed batch, then
+    raises (parity with the old synchronous loop)."""
+    from clip_embedder_tpu.errors import ClipError
+    from clip_embedder_tpu.parallel.pipeline import EmbedPipeline
+    from test_concurrency import make_model_dir
+    from clip_embedder_tpu import Clip
+
+    clip = Clip.from_local_dir(make_model_dir())
+    rng = np.random.default_rng(1)
+    good = [rng.integers(0, 255, (32, 32, 3), dtype=np.uint8)
+            for _ in range(4)]
+    images = good + [object()]  # batches: [g,g], [g,g], [bad]
+    pipe = EmbedPipeline(clip.vision, batch_size=2)
+    got = []
+    with pytest.raises(ClipError):
+        for block in pipe.embed_iter(images):
+            got.append(block)
+    assert sum(b.shape[0] for b in got) == 4
+
+
+def test_eva02_packed_ineligible_pallas_uses_padded_kernel():
+    """attn_impl='pallas' on a packed-ineligible eva02 head layout must
+    route through the padded per-head kernel (attention_core impl
+    passthrough), matching xla numerics — never a silent xla switch."""
+    import functools
+
+    from clip_embedder_tpu.models import eva02
+    from clip_embedder_tpu.models.eva02 import Eva02Cfg
+    from clip_embedder_tpu.ops import flash as flash_mod
+
+    # heads=4, d=16 → _head_group None (no 128-lane grouping)
+    cfg = Eva02Cfg(image_size=32, patch_size=8, width=64, layers=1,
+                   heads=4, mlp_hidden=96, embed_dim=32)
+    params = eva02.init(jax.random.key(6), cfg)
+    x = jax.random.normal(jax.random.key(7), (2, 32, 32, 3), jnp.float32)
+
+    calls = []
+    orig = flash_mod.flash_attention
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw, interpret=True)
+
+    flash_mod.flash_attention = spy
+    try:
+        a = np.asarray(eva02.apply(params, x, cfg, attn_impl="xla"))
+        assert not calls
+        b = np.asarray(eva02.apply(params, x, cfg, attn_impl="pallas"))
+        assert calls  # the padded kernel actually ran
+    finally:
+        flash_mod.flash_attention = orig
+    np.testing.assert_allclose(a, b, atol=2e-5)
