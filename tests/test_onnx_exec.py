@@ -353,3 +353,53 @@ def test_corrupt_native_weights_surface_not_reroute(tmp_path):
     (d / "text.onnx").write_bytes(b"\x08\x07")
     with pytest.raises(WErr, match="text.npz"):
         Clip.from_local_dir(d)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_random_towers_match_torch(tmp_path, seed):
+    """Structural fuzz of the run-any-graph claim: randomized small towers
+    assembled from the op families real exports use (linear/conv/norm/
+    activation/pool/residual/attention), exported with torch.onnx and
+    executed by the from-scratch interpreter; outputs must match torch."""
+    rng = np.random.default_rng(seed)
+    torch.manual_seed(seed)
+
+    class RandTower(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv = nn.Conv2d(3, 8, 3, stride=2,
+                                  padding=int(rng.integers(0, 2)))
+            self.bn = nn.BatchNorm2d(8)
+            self.act1 = [nn.GELU(), nn.SiLU(), nn.ReLU(),
+                         nn.Hardswish()][int(rng.integers(0, 4))]
+            self.pool = [nn.MaxPool2d(2, ceil_mode=bool(rng.integers(0, 2))),
+                         nn.AvgPool2d(2)][int(rng.integers(0, 2))]
+            width = int(rng.integers(2, 5)) * 16
+            self.proj_in = nn.Linear(8, width)
+            self.ln = nn.LayerNorm(width)
+            self.attn = nn.MultiheadAttention(width, 4, batch_first=True)
+            self.mlp = nn.Sequential(
+                nn.Linear(width, width * 2),
+                [nn.GELU(), nn.Tanh()][int(rng.integers(0, 2))],
+                nn.Linear(width * 2, width))
+            self.head = nn.Linear(width, 12)
+            self.res = bool(rng.integers(0, 2))
+
+        def forward(self, x):
+            y = self.pool(self.act1(self.bn(self.conv(x))))
+            y = y.flatten(2).transpose(1, 2)       # [B, T, 8]
+            y = self.ln(self.proj_in(y))
+            a, _ = self.attn(y, y, y, need_weights=False)
+            y = y + a if self.res else a
+            y = y + self.mlp(self.ln(y)) if self.res else self.mlp(y)
+            y = y.mean(dim=1)
+            return F.normalize(self.head(y), dim=-1)
+
+    model = RandTower().eval()
+    x = torch.randn(2, 3, 26, 26)
+    path = tmp_path / f"fuzz_{seed}.onnx"
+    export(model, x, path)
+    with torch.no_grad():
+        ref = model(x).numpy()
+    got = run_tower(path, {"input": jnp.asarray(x.numpy())})
+    np.testing.assert_allclose(got, ref, atol=5e-4)
