@@ -126,21 +126,26 @@ def _parse_tensor(buf: memoryview) -> TensorInfo:
             t.data_type = val
         elif field == 4:  # float_data (packed)
             t.float_data.extend(struct.unpack(f"<{len(val)//4}f", bytes(val)))
-        elif field == 7:  # int64_data (packed varints)
-            pos = 0
-            while pos < len(val):
-                v, pos = _read_varint(val, pos)
-                # zigzag not used: int64_data is plain varint two's complement
-                if v >= 1 << 63:
-                    v -= 1 << 64
-                t.int_data.append(v)
-        elif field == 5:  # int32_data (packed varints)
-            pos = 0
-            while pos < len(val):
-                v, pos = _read_varint(val, pos)
-                if v >= 1 << 31:
-                    v -= 1 << 32
-                t.int_data.append(v)
+        elif field == 7:  # int64_data (packed or unpacked varints)
+            # zigzag not used: plain varint two's complement (64-bit)
+            if wtype == 0:
+                t.int_data.append(_signed(val))
+            else:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    t.int_data.append(_signed(v))
+        elif field == 5:  # int32_data (packed or unpacked varints)
+            # negative int32 is encoded as a 64-bit sign-extended varint
+            # (NOT 32-bit two's complement); also carries fp16/bf16/u8/u16
+            # payloads per the ONNX spec (one element per entry)
+            if wtype == 0:
+                t.int_data.append(_signed(val))
+            else:
+                pos = 0
+                while pos < len(val):
+                    v, pos = _read_varint(val, pos)
+                    t.int_data.append(_signed(v))
         elif field == 8 and wtype == 2:
             t.name = bytes(val).decode("utf-8")
         elif field == 9 and wtype == 2:
@@ -192,7 +197,21 @@ def _tensor_to_array(t: TensorInfo, base_dir: Path) -> np.ndarray:
 
     if t.data_type == 1 and t.float_data:
         return np.asarray(t.float_data, dtype=np.float32).reshape(shape)
-    if t.data_type in (6, 7) and (t.int_data or int(np.prod(shape)) == 0):
+    if t.int_data:
+        # ONNX stores many narrow dtypes element-wise in int32_data:
+        # u8/i8/u16/i16/i32/bool plus fp16/bf16 bit patterns (one varint
+        # per element); int64 uses int64_data — both land in t.int_data.
+        if t.data_type == 10:  # float16 bit patterns
+            u16 = np.asarray(t.int_data, dtype=np.int64).astype(np.uint16)
+            return u16.view(np.float16).reshape(shape)
+        if t.data_type == _BFLOAT16:
+            u16 = np.asarray(t.int_data, dtype=np.int64).astype(np.uint16)
+            return (u16.astype(np.uint32) << 16).view(np.float32).reshape(shape)
+        if t.data_type in _DTYPES:
+            return np.asarray(
+                t.int_data, dtype=_DTYPES[t.data_type]
+            ).reshape(shape)
+    if t.data_type in (6, 7) and int(np.prod(shape)) == 0:
         return np.asarray(
             t.int_data, dtype=_DTYPES[t.data_type]
         ).reshape(shape)
@@ -241,8 +260,15 @@ def _parse_attr(buf: memoryview):
         elif field == 5 and wtype == 2:  # t (TensorProto)
             t = _parse_tensor(val)
             try:
+                # attribute tensors are inline in every torch export; an
+                # external-data attr can't resolve from here (no base dir
+                # plumbed) — treat unresolvable the same as absent rather
+                # than crash (OSError) or read a same-named CWD file
+                if t.data_location == 1:
+                    raise WeightError(
+                        f"external attribute tensor '{t.name}'")
                 value = _tensor_to_array(t, Path("."))
-            except WeightError:
+            except (WeightError, OSError):
                 value = None
         elif field == 7:  # floats: packed (wtype 2) or repeated fixed32
             if wtype == 2:
@@ -357,13 +383,19 @@ def extract_tower_params(onnx_path: Path | str, spec, *, tower: str) -> dict:
     if has_named_weights(g):
         try:
             return map_state_dict(g.initializers, tower=tower, family=spec.family)
-        except WeightError:
+        except WeightError as name_err:
             # Mixed-name graphs are the common constant-folded case: LN and
             # conv initializers keep torch names while Linear/attention
             # weights fold to anonymous onnx::MatMul_* constants. Name-based
             # mapping fails on the missing attention weights; structural
-            # recovery works regardless of names.
-            pass
+            # recovery works regardless of names — but when the family has
+            # no structural path, the name-based diagnostic (which key was
+            # missing) is the real error: chain it instead of masking it
+            # with a misleading "anonymous weight names" message.
+            try:
+                return _structural_extract(g, spec, tower=tower)
+            except WeightError as e:
+                raise e from name_err
     return _structural_extract(g, spec, tower=tower)
 
 
@@ -407,11 +439,16 @@ class _Puller:
                     self.consumers[name] = (op_type, attrs)
         self.last_name: str | None = None
 
-    def pull(self, *shapes: tuple, what: str = "") -> np.ndarray:
+    def pull(self, *shapes: tuple, what: str = "",
+             consumer_ops: tuple[str, ...] | None = None) -> np.ndarray:
         shape_set = {tuple(s) for s in shapes}
         end = min(len(self.arrays), self.pos + self.lookahead)
         for i in range(self.pos, end):
             if tuple(self.arrays[i].shape) in shape_set:
+                if consumer_ops is not None:
+                    op = self.consumers.get(self.names[i], ("", {}))[0]
+                    if op not in consumer_ops:
+                        continue
                 arr = self.arrays[i]
                 self.last_name = self.names[i]
                 # consume: drop it so it can't match twice
@@ -424,9 +461,12 @@ class _Puller:
             f"{sorted(shape_set)} near position {self.pos} (wanted {what})"
         )
 
-    def maybe(self, *shapes: tuple) -> np.ndarray | None:
+    def maybe(self, *shapes: tuple,
+              consumer_ops: tuple[str, ...] | None = None
+              ) -> np.ndarray | None:
         try:
-            return self.pull(*shapes, what="optional")
+            return self.pull(*shapes, what="optional",
+                             consumer_ops=consumer_ops)
         except WeightError:
             return None
 
@@ -483,7 +523,11 @@ def _structural_vit(g: OnnxGraph, cfg) -> dict:
         cls = p.pull((d,), (1, 1, d), what="class token")
         params["cls_token"] = np.asarray(cls).reshape(1, 1, d)
     else:
-        cb = p.maybe((d,))
+        # guard against a bias-free conv: only an initializer actually
+        # consumed by the Conv node may serve as its bias — otherwise a
+        # greedy shape-only maybe((d,)) would steal the first LayerNorm
+        # scale and shift every subsequent pull by one
+        cb = p.maybe((d,), consumer_ops=("Conv",))
         if cb is not None:
             params["patch_embed"]["b"] = cb
     n_pos = cfg.num_patches + (1 if cfg.pos_embed_cls else 0)
@@ -585,15 +629,11 @@ def _structural_text(g: OnnxGraph, cfg) -> dict:
     params["blocks"] = _stack_blocks(blocks)
     params["ln_final"] = _pull_ln(p, d)
     if cfg.use_proj:
-        w = p.pull((d, cfg.embed_dim), (cfg.embed_dim, d), what="text proj")
-        if w.shape == (cfg.embed_dim, d) and cfg.embed_dim != d:
-            w = w.T
-        proj = {"w": np.ascontiguousarray(w)}
-        if cfg.proj_bias:
-            b = p.maybe((cfg.embed_dim,))
-            if b is not None:
-                proj["b"] = b
-        params["proj"] = proj
+        # _pull_linear disambiguates the square embed_dim==width case via
+        # the consuming node's Gemm/transB attrs (a hand-rolled keep-as-is
+        # would silently transpose torch-layout square projections)
+        params["proj"] = _pull_linear(p, d, cfg.embed_dim, what="text proj",
+                                      bias=cfg.proj_bias)
     return params
 
 

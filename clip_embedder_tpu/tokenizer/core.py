@@ -161,15 +161,18 @@ class Tokenizer:
             return self._split_on(self._added_norm_rx, text, model_span)
         return model_span(text)
 
-    def encode(self, text: str, add_special_tokens: bool = True) -> list[int]:
-        """Text → token ids (with specials, truncated to max_length)."""
+    def encode(self, text: str, add_special_tokens: bool = True,
+               max_length: int | None = None) -> list[int]:
+        """Text → token ids (with specials, truncated to ``max_length``,
+        defaulting to the configured ``with_truncation`` length)."""
         if self._added_rx is None:
             ids = self._encode_text_segment(text)
         else:
             ids = self._split_on(self._added_rx, text, self._encode_text_segment)
 
-        if self.max_length is not None:
-            budget = self.max_length - (self.num_special if add_special_tokens else 0)
+        limit = self.max_length if max_length is None else max_length
+        if limit is not None:
+            budget = limit - (self.num_special if add_special_tokens else 0)
             ids = ids[: max(budget, 0)]
         if add_special_tokens:
             ids = self.postprocessor(ids)
@@ -184,10 +187,17 @@ class Tokenizer:
         if self.pad_to is None:
             raise TokenizerError("encode_batch requires with_padding(...)")
         batch = len(texts)
+        # padding implies a hard [batch, pad_to] layout: truncate content
+        # tokens BEFORE post-processing (so suffix specials like CLIP's EOT
+        # survive) even when with_truncation was never configured — a blind
+        # tail slice would drop the EOT that argmax pooling depends on
+        eff = (self.pad_to if self.max_length is None
+               else min(self.max_length, self.pad_to))
         ids_arr = np.full((batch, self.pad_to), self.pad_id, dtype=np.int32)
         mask_arr = np.zeros((batch, self.pad_to), dtype=np.int32)
         for i, text in enumerate(texts):
-            ids = self.encode(text, add_special_tokens)[: self.pad_to]
+            ids = self.encode(text, add_special_tokens,
+                              max_length=eff)[: self.pad_to]
             ids_arr[i, : len(ids)] = ids
             mask_arr[i, : len(ids)] = 1
         return ids_arr, mask_arr

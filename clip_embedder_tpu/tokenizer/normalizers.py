@@ -51,7 +51,10 @@ def build_normalizer(spec: dict | None) -> Normalizer:
     if ntype == "Replace":
         rx = _compile_pattern(spec["pattern"])
         content = spec["content"]
-        return lambda s: rx.sub(content, s)
+        # HF tokenizers inserts content LITERALLY; Python's re.sub would
+        # interpret backslashes/group refs in it as a template (raising
+        # "bad escape" or substituting groups) — use a callable instead
+        return lambda s: rx.sub(lambda m: content, s)
     if ntype == "Strip":
         left = spec.get("strip_left", spec.get("left", True))
         right = spec.get("strip_right", spec.get("right", True))

@@ -150,6 +150,20 @@ def strip_prefix(sd: Mapping[str, np.ndarray], *prefixes: str) -> dict[str, np.n
     return out
 
 
+def _select_prefix(sd: Mapping[str, np.ndarray],
+                   prefix: str) -> dict[str, np.ndarray]:
+    """Tower-selecting strip: when ``prefix`` exists, keep ONLY the
+    prefixed keys (stripped). Unlike ``strip_prefix`` this discards the
+    rest — a whole-model classic-CLIP state dict has the text tower at
+    top level (``transformer.resblocks.*``), and stripping ``visual.``
+    without filtering would collide the two towers' keys (dict last-wins:
+    silently building the visual tower from text weights)."""
+    if any(k.startswith(prefix) for k in sd):
+        return {k[len(prefix):]: v for k, v in sd.items()
+                if k.startswith(prefix)}
+    return dict(sd)
+
+
 def _max_index(sd: Mapping[str, np.ndarray], pattern: str) -> int:
     rx = re.compile(pattern)
     idx = [int(m.group(1)) for k in sd if (m := rx.match(k))]
@@ -182,7 +196,7 @@ def _openclip_resblock(sd, prefix: str) -> Params:
 def map_clip_visual(sd: Mapping[str, np.ndarray]) -> Params:
     """Classic open_clip VisionTransformer state dict (``visual.*``) →
     ViT pytree. Expects keys already stripped to start at ``conv1`` etc."""
-    sd = strip_prefix(sd, "model.", "visual.")
+    sd = _select_prefix(strip_prefix(sd, "model."), "visual.")
     n_blocks = _max_index(sd, r"transformer\.resblocks\.(\d+)\.ln_1\.weight")
     blocks = [
         _openclip_resblock(sd, f"transformer.resblocks.{i}") for i in range(n_blocks)

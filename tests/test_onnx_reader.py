@@ -376,3 +376,56 @@ def test_reference_style_onnx_dir_end_to_end(tmp_path):
         clip.vision.spec.cfg))
     cos = (got * ref).sum(-1)
     assert (cos > 1 - 1e-5).all()
+
+
+def _typed_tensor(name: str, dtype_code: int, dims: list[int],
+                  values: list[int], *, packed: bool) -> bytes:
+    """TensorProto with data in the typed int32/int64 fields (field 5/7)
+    instead of raw_data — the non-torch-exporter encoding."""
+    body = b""
+    for d in dims:
+        body += _varint_field(1, d)
+    body += _varint_field(2, dtype_code)
+    body += _len_field(8, name.encode())
+    field = 7 if dtype_code == 7 else 5
+    def enc(v):  # plain two's-complement 64-bit varint
+        return _varint(v & ((1 << 64) - 1))
+    if packed:
+        body += _len_field(field, b"".join(enc(v) for v in values))
+    else:
+        for v in values:
+            body += _varint_field(field, v & ((1 << 64) - 1))
+    return body
+
+
+def test_typed_field_int32_negative_and_unpacked(tmp_path):
+    """Negative int32 in int32_data is a 64-bit sign-extended varint (not
+    32-bit two's complement); unpacked repeated encoding must parse too."""
+    from clip_embedder_tpu.onnx_reader import read_onnx
+
+    tensors = [
+        _typed_tensor("neg_packed", 6, [3], [-1, 2, -300], packed=True),
+        _typed_tensor("neg_unpacked", 6, [2], [-7, 5], packed=False),
+        _typed_tensor("i64_unpacked", 7, [2], [-9, 4], packed=False),
+    ]
+    path = tmp_path / "t.onnx"
+    path.write_bytes(make_model(tensors))
+    g = read_onnx(path)
+    np.testing.assert_array_equal(g.initializers["neg_packed"], [-1, 2, -300])
+    np.testing.assert_array_equal(g.initializers["neg_unpacked"], [-7, 5])
+    np.testing.assert_array_equal(g.initializers["i64_unpacked"], [-9, 4])
+
+
+def test_typed_field_fp16_bit_patterns(tmp_path):
+    """fp16 initializers may live element-wise in int32_data as bit
+    patterns (ONNX spec); values, not bit-ints, must come out."""
+    from clip_embedder_tpu.onnx_reader import read_onnx
+
+    vals = np.asarray([1.5, -0.25, 0.0], np.float16)
+    bits = [int(b) for b in vals.view(np.uint16)]
+    path = tmp_path / "h.onnx"
+    path.write_bytes(make_model(
+        [_typed_tensor("half", 10, [3], bits, packed=True)]))
+    g = read_onnx(path)
+    np.testing.assert_array_equal(
+        g.initializers["half"].astype(np.float32), vals.astype(np.float32))

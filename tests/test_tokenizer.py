@@ -274,3 +274,35 @@ def test_unigram_low_score_piece_beats_unk(tmp_path):
     ours = Tokenizer.from_file(path)
     theirs = hf_tokenizers.Tokenizer.from_file(str(path))
     assert ours.encode("xy") == theirs.encode("xy").ids == [1]
+
+
+def test_padding_without_truncation_keeps_eot(tmp_path):
+    """with_padding(length) and NO with_truncation: overlong text must
+    still end in EOT inside the [B, pad_to] window (content truncates
+    before post-processing; a blind tail slice would cut the EOT that
+    CLIP's argmax pooling depends on)."""
+    spec = make_clip_style_spec()
+    path = tmp_path / "tok.json"
+    path.write_text(json.dumps(spec))
+    tok = Tokenizer.from_file(path)
+    eot = spec["added_tokens"][1]["id"]
+    tok.with_padding(length=8, pad_id=0)
+    ids, mask = tok.encode_batch(["a photo of the cat dog beignet " * 10])
+    assert ids.shape == (1, 8)
+    assert mask[0].all()
+    assert ids[0, -1] == eot
+
+
+def test_replace_normalizer_literal_content(tmp_path):
+    """Replace content is a LITERAL string (HF semantics) — backslashes
+    must not be interpreted as regex template escapes."""
+    spec = make_clip_style_spec()
+    spec["normalizer"] = {"type": "Replace",
+                          "pattern": {"String": "o"},
+                          "content": "\\1\\"}
+    path = tmp_path / "tok2.json"
+    path.write_text(json.dumps(spec))
+    tok = Tokenizer.from_file(path)
+    # must not raise "bad escape"; and the content is inserted literally
+    out = tok.normalizer("of")
+    assert out == "\\1\\f"
