@@ -113,6 +113,16 @@ class VisionCfg:
     def from_dict(cls, raw: dict[str, Any]) -> "VisionCfg":
         image_size = raw.get("image_size", 224)
         if isinstance(image_size, (list, tuple)):
+            # open_clip publishes list-valued sizes for some timm towers;
+            # square [S, S] collapses to S, non-square is unsupported and
+            # must be rejected (silently cropping to size[0] would run the
+            # tower at the wrong resolution)
+            if len(set(image_size)) != 1:
+                from .errors import ConfigError
+
+                raise ConfigError(
+                    f"Non-square image_size {list(image_size)} is not "
+                    "supported")
             image_size = image_size[0]
         known = {k: raw[k] for k in cls._KNOWN if k in raw}
         known["image_size"] = int(image_size)

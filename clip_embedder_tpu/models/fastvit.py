@@ -400,20 +400,17 @@ def map_fastvit_visual(sd: Mapping[str, np.ndarray]) -> Params:
                 qkv = sd.get(f"{bp}.token_mixer.qkv.weight")
                 if qkv is None:
                     raise WeightError(f"Block '{bp}' has neither repmixer nor attention")
-                d = qkv.shape[0] // 3
-                from ..weights import _split_qkv
+                from ..weights import _split_qkv, fold_bn_affine
 
                 attn = _split_qkv(qkv, sd.get(f"{bp}.token_mixer.qkv.bias"))
                 attn["out"] = _linear(sd, f"{bp}.token_mixer.proj")
-                # fold the (unfused) BatchNorm into a per-channel affine:
-                # scale = γ/√(var+ε), bias = β − mean·scale
+                # fold the (unfused) BatchNorm into a per-channel affine
                 gamma = np.asarray(sd[f"{bp}.norm.weight"], np.float64)
                 beta = np.asarray(sd[f"{bp}.norm.bias"], np.float64)
                 mean_ = sd.get(f"{bp}.norm.running_mean")
                 var_ = sd.get(f"{bp}.norm.running_var")
                 if mean_ is not None and var_ is not None:
-                    scale = gamma / np.sqrt(np.asarray(var_, np.float64) + 1e-5)
-                    bias = beta - np.asarray(mean_, np.float64) * scale
+                    scale, bias = fold_bn_affine(gamma, beta, mean_, var_)
                 else:
                     scale, bias = gamma, beta
                 block["mixer"] = {
@@ -432,14 +429,15 @@ def map_fastvit_visual(sd: Mapping[str, np.ndarray]) -> Params:
             # fuse — fold it here (w·s per out-channel, b = β − mean·s).
             bn_prefix = f"{ffn_prefix}.conv.bn"
             if f"{bn_prefix}.weight" in sd:
-                gamma = np.asarray(sd[f"{bn_prefix}.weight"], np.float64)
-                beta = np.asarray(sd[f"{bn_prefix}.bias"], np.float64)
-                mean_ = np.asarray(sd[f"{bn_prefix}.running_mean"], np.float64)
-                var_ = np.asarray(sd[f"{bn_prefix}.running_var"], np.float64)
-                scale = gamma / np.sqrt(var_ + 1e-5)
+                from ..weights import fold_bn_affine
+
+                scale, bn_bias = fold_bn_affine(
+                    sd[f"{bn_prefix}.weight"], sd[f"{bn_prefix}.bias"],
+                    sd[f"{bn_prefix}.running_mean"],
+                    sd[f"{bn_prefix}.running_var"])
                 dw["w"] = (dw["w"] * scale[None, None, None, :]).astype(np.float32)
                 dw["b"] = (np.asarray(dw["b"], np.float64) * scale
-                           + beta - mean_ * scale).astype(np.float32)
+                           + bn_bias).astype(np.float32)
             block["ffn"] = {
                 "dw": dw,
                 "fc1": _conv_from(sd, f"{ffn_prefix}.fc1"),

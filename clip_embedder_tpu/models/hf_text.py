@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..errors import ConfigError
+from ..errors import ConfigError, WeightError
 from ..ops.attention import multi_head_attention
 from ..ops.layers import ACTIVATIONS, layer_norm, linear, mlp
 
@@ -57,7 +57,12 @@ def resolve_hf_text(model_cfg) -> BertCfg:
     # open_clip pooler types: cls_pooler (BERT pooler_output =
     # tanh(dense(CLS))), cls_last_hidden_state_pooler (raw CLS),
     # mean_pooler (masked mean), max_pooler (masked max).
-    pooler_type = t.extra.get("pooler_type", "cls_last_hidden_state_pooler")
+    # Key spelling varies by open_clip era: BiomedCLIP-class configs use
+    # "pooler_type"/"proj"; current open_clip uses "hf_pooler_type"/
+    # "hf_proj_type" ("proj_type" kept for fixtures/back-compat).
+    pooler_type = next(
+        (t.extra[k] for k in ("hf_pooler_type", "pooler_type")
+         if t.extra.get(k)), "cls_last_hidden_state_pooler")
     if pooler_type == "cls_pooler":
         pooler = "cls_pooler"
     elif "mean" in pooler_type:
@@ -66,7 +71,13 @@ def resolve_hf_text(model_cfg) -> BertCfg:
         pooler = "max"
     else:
         pooler = "cls"
-    proj_type = t.extra.get("proj_type", "linear")
+    # open_clip's HFTextEncoder defaults the projection to "mlp" when the
+    # tower width differs from embed_dim (identity/"none" when equal)
+    default_proj = ("none" if int(hf_cfg["hidden_size"]) == model_cfg.embed_dim
+                    else "mlp")
+    proj_type = next(
+        (t.extra[k] for k in ("hf_proj_type", "proj", "proj_type")
+         if t.extra.get(k)), default_proj)
     return BertCfg(
         context_length=t.context_length,
         vocab_size=int(hf_cfg["vocab_size"]),
@@ -110,6 +121,11 @@ def init(key: jax.Array, cfg: BertCfg, *, dtype=jnp.float32) -> Params:
         })
     params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
 
+    if cfg.pooler == "cls_pooler":
+        # the declared architecture includes the BERT pooler head — init
+        # must produce it (apply refuses to silently degrade to raw CLS)
+        params["pooler"] = _init_linear(keys[5], cfg.width, cfg.width,
+                                        dtype=dtype)
     if cfg.proj == "linear":
         params["proj"] = _init_linear(keys[4], cfg.width, cfg.embed_dim,
                                       bias=False, dtype=dtype)
@@ -158,7 +174,13 @@ def apply(params: Params, input_ids: jax.Array, cfg: BertCfg, *,
     elif cfg.pooler == "max":
         neg = jnp.asarray(-1e30, x.dtype)
         pooled = jnp.max(jnp.where(valid[..., None] > 0, x, neg), axis=1)
-    elif cfg.pooler == "cls_pooler" and "pooler" in params:
+    elif cfg.pooler == "cls_pooler":
+        if "pooler" not in params:
+            # fail loudly: silently degrading to raw-CLS would produce
+            # wrong (non-parity) embeddings with no error
+            raise WeightError(
+                "pooler_type 'cls_pooler' requires the BERT pooler weights "
+                "(pooler.dense.*) — checkpoint was exported without them")
         # BERT pooler_output: tanh(dense(CLS))
         pooled = jnp.tanh(linear(params["pooler"], x[:, 0]))
     else:
@@ -167,8 +189,9 @@ def apply(params: Params, input_ids: jax.Array, cfg: BertCfg, *,
     proj = params.get("proj")
     if proj is not None:
         if cfg.proj == "mlp":
-            pooled = linear(proj["out"], jax.nn.gelu(
-                linear(proj["fc"], pooled), approximate=False))
+            from ..ops.layers import gelu  # promoted ≥f32 per CLAUDE.md
+
+            pooled = linear(proj["out"], gelu(linear(proj["fc"], pooled)))
         else:
             pooled = linear(proj, pooled)
     if normalize:

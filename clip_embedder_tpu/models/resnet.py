@@ -184,13 +184,13 @@ def init(key: jax.Array, cfg: ResNetCfg, *, dtype=jnp.float32) -> Params:
 # ---------------------------------------------------------------------------
 
 def _fold_bn(sd: Mapping[str, np.ndarray], prefix: str) -> Params:
-    gamma = np.asarray(sd[f"{prefix}.weight"], np.float64)
-    beta = np.asarray(sd[f"{prefix}.bias"], np.float64)
-    mean = np.asarray(sd[f"{prefix}.running_mean"], np.float64)
-    var = np.asarray(sd[f"{prefix}.running_var"], np.float64)
-    scale = gamma / np.sqrt(var + 1e-5)
+    from ..weights import fold_bn_affine
+
+    scale, bias = fold_bn_affine(
+        sd[f"{prefix}.weight"], sd[f"{prefix}.bias"],
+        sd[f"{prefix}.running_mean"], sd[f"{prefix}.running_var"])
     return {"scale": scale.astype(np.float32),
-            "bias": (beta - mean * scale).astype(np.float32)}
+            "bias": bias.astype(np.float32)}
 
 
 def _conv_hwio(sd, key) -> np.ndarray:

@@ -52,7 +52,7 @@ def quantize_tree(params: Params, *,
     (2-D, or 3-D stacked-layer); convs and other leaves are untouched.
     Works on numpy or jax trees; returns a new tree."""
 
-    def walk(node, under_target: bool):
+    def walk(node, under_target: bool, depth: int = 0):
         if isinstance(node, dict):
             if under_target and "w" in node:
                 w = np.asarray(node["w"])
@@ -68,10 +68,17 @@ def quantize_tree(params: Params, *,
                     return out
                 return node
             return {
-                k: walk(v, under_target or k in paths) for k, v in node.items()
+                # the ROOT-level "proj" is the tower's output projection
+                # (e.g. convnext timm_proj='mlp' head with fc1/fc2 children
+                # that would otherwise name-collide with block linears) —
+                # the layer most sensitive to quantization noise stays out
+                # of scope; blocks live under blocks/stages/etc.
+                k: (v if depth == 0 and k == "proj"
+                    else walk(v, under_target or k in paths, depth + 1))
+                for k, v in node.items()
             }
         if isinstance(node, list):
-            return [walk(v, under_target) for v in node]
+            return [walk(v, under_target, depth + 1) for v in node]
         return node
 
     return walk(params, False)

@@ -58,6 +58,8 @@ def to_rgb_array(image: Any) -> np.ndarray:
 
             with Image.open(io.BytesIO(image)) as img:
                 return np.asarray(img.convert("RGB"))
+        except ImportError as e:
+            raise ImageError("Pillow required to decode image bytes") from e
         except OSError as e:
             raise ImageError(f"Image error: {e}") from e
 

@@ -150,6 +150,17 @@ def strip_prefix(sd: Mapping[str, np.ndarray], *prefixes: str) -> dict[str, np.n
     return out
 
 
+def fold_bn_affine(gamma, beta, mean, var, *, eps: float = 1e-5):
+    """Inference BatchNorm fold → per-channel affine (f64 intermediate):
+    ``scale = γ/√(var+ε)``, ``bias = β − mean·scale``. Shared by the
+    FastViT attention-norm/ConvMlp folds and the ResNet mapper."""
+    gamma = np.asarray(gamma, np.float64)
+    beta = np.asarray(beta, np.float64)
+    scale = gamma / np.sqrt(np.asarray(var, np.float64) + eps)
+    bias = beta - np.asarray(mean, np.float64) * scale
+    return scale, bias
+
+
 def _select_prefix(sd: Mapping[str, np.ndarray],
                    prefix: str) -> dict[str, np.ndarray]:
     """Tower-selecting strip: when ``prefix`` exists, keep ONLY the

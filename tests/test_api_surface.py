@@ -62,3 +62,16 @@ def test_model_files_contract():
         "tokenizer_config.json", "visual.onnx", "text.onnx.data",
         "visual.onnx.data",
     }
+
+
+def test_non_square_image_size_rejected():
+    """A list-valued non-square image_size must raise ConfigError, not
+    silently run the tower at size[0]."""
+    import pytest
+
+    from clip_embedder_tpu.config import VisionCfg
+    from clip_embedder_tpu.errors import ConfigError
+
+    assert VisionCfg.from_dict({"image_size": [336, 336]}).image_size == 336
+    with pytest.raises(ConfigError, match="Non-square"):
+        VisionCfg.from_dict({"image_size": [336, 448]})

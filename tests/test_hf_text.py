@@ -133,3 +133,55 @@ def test_cls_pooler_output_matches_transformers():
     got = np.asarray(hf_text.apply(params, jnp.asarray(ids.numpy()), cfg,
                                    normalize=False))
     np.testing.assert_allclose(got, ref, atol=3e-4)
+
+
+def test_resolve_accepts_all_proj_pooler_key_spellings():
+    """open_clip key spelling varies by era: BiomedCLIP-class configs use
+    'proj'/'pooler_type', current open_clip 'hf_proj_type'/
+    'hf_pooler_type' — all must resolve (review finding: 'proj' was
+    ignored, silently mis-building the projection)."""
+    from clip_embedder_tpu.config import ModelCfg
+    from clip_embedder_tpu.models.build import resolve_text
+
+    def mc(**text_extra):
+        return ModelCfg.from_dict({
+            "embed_dim": 48,
+            "vision_cfg": {"image_size": 32, "layers": 2, "width": 64,
+                           "patch_size": 8},
+            "text_cfg": {
+                "context_length": 16,
+                "hf_model_name": "some/bert",
+                "hf_config": {"vocab_size": 120, "hidden_size": 64,
+                              "num_attention_heads": 4,
+                              "num_hidden_layers": 2,
+                              "intermediate_size": 128,
+                              "pad_token_id": 0},
+                **text_extra,
+            },
+        })
+
+    biomed = resolve_text(mc(proj="mlp",
+                             pooler_type="cls_last_hidden_state_pooler"))
+    assert biomed.cfg.proj == "mlp" and biomed.cfg.pooler == "cls"
+    modern = resolve_text(mc(hf_proj_type="linear",
+                             hf_pooler_type="mean_pooler"))
+    assert modern.cfg.proj == "linear" and modern.cfg.pooler == "mean"
+    # unspecified: width != embed_dim → open_clip's mlp default
+    assert resolve_text(mc()).cfg.proj == "mlp"
+
+
+def test_cls_pooler_without_weights_raises():
+    """cls_pooler with a checkpoint exported without the BERT pooler must
+    raise, not silently degrade to raw-CLS pooling."""
+    from clip_embedder_tpu.errors import WeightError
+
+    cfg = BertCfg(context_length=8, vocab_size=64, width=32, heads=2,
+                  layers=1, mlp_hidden=64, embed_dim=32, pad_id=0,
+                  pooler="cls_pooler", proj="none")
+    import jax
+
+    params = hf_text.init(jax.random.key(0), cfg)
+    params.pop("pooler", None)
+    ids = jnp.asarray([[2, 5, 3, 0, 0, 0, 0, 0]], jnp.int32)
+    with pytest.raises(WeightError, match="pooler"):
+        hf_text.apply(params, ids, cfg)

@@ -322,3 +322,23 @@ def test_ln_qkv_int8_matches_separate():
     for n, r, o in zip("qkv", ref, got):
         np.testing.assert_allclose(np.asarray(o), np.asarray(r),
                                    atol=2e-5, err_msg=n)
+
+
+def test_quantize_tree_skips_root_output_projection():
+    """The root-level 'proj' (tower output head — e.g. convnext
+    timm_proj='mlp' with fc1/fc2 children) must NOT quantize even though
+    its child names collide with block-linear names."""
+    import jax.numpy as jnp
+
+    from clip_embedder_tpu.ops.quant import quantize_tree
+
+    rng = np.random.default_rng(5)
+    lin = lambda i, o: {"w": rng.standard_normal((i, o)).astype(np.float32)}
+    tree = {
+        "stages": [{"blocks": {"fc1": lin(8, 16), "fc2": lin(16, 8)}}],
+        "proj": {"fc1": lin(8, 8), "fc2": lin(8, 4)},
+    }
+    q = quantize_tree(tree)
+    assert "w_q" in q["stages"][0]["blocks"]["fc1"]
+    assert "w" in q["proj"]["fc1"] and "w_q" not in q["proj"]["fc1"]
+    assert "w" in q["proj"]["fc2"]

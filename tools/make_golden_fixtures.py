@@ -89,7 +89,7 @@ FAMILIES: dict[str, tuple[dict, dict]] = {
                                     "num_attention_heads": 4,
                                     "num_hidden_layers": 2,
                                     "intermediate_size": 128},
-                      "pooler_type": "cls_pooler", "proj_type": "linear"}},
+                      "pooler_type": "cls_last_hidden_state_pooler", "proj_type": "linear"}},
         MODEL_CFG_SOFTMAX,
     ),
     "golden_siglip": (
