@@ -140,14 +140,22 @@ def init(key: jax.Array, cfg: BertCfg, *, dtype=jnp.float32) -> Params:
 
 
 def apply(params: Params, input_ids: jax.Array, cfg: BertCfg, *,
-          normalize: bool = True, attn_impl: str = "xla") -> jax.Array:
-    """[B, L] ids → [B, embed_dim] embedding. The key-padding mask is derived
-    from ``cfg.pad_id`` (the role of the optional attention_mask input in
-    the reference's text graphs, src/text.rs:156-161)."""
+          normalize: bool = True, attn_impl: str = "xla",
+          attention_mask: jax.Array | None = None) -> jax.Array:
+    """[B, L] ids → [B, embed_dim] embedding. The key-padding mask is the
+    tokenizer-produced ``attention_mask`` when given (the optional
+    attention_mask input of the reference's text graphs,
+    src/text.rs:156-161) — the tokenizer's resolved pad id can differ from
+    the HF config's ``pad_token_id``, so deriving from ``cfg.pad_id``
+    alone would mis-mask such model dirs. Falls back to the
+    ``cfg.pad_id`` derivation when no mask is supplied."""
     from ..ops.normalize import l2_normalize
 
     act = ACTIVATIONS[cfg.activation]
-    valid = (input_ids != cfg.pad_id).astype(jnp.float32)  # [B, L]
+    if attention_mask is not None:
+        valid = attention_mask.astype(jnp.float32)  # [B, L]
+    else:
+        valid = (input_ids != cfg.pad_id).astype(jnp.float32)
     # BERT convention: position 0.. and token type 0; CLS/SEP are real ids.
     x = params["word_embed"][input_ids]
     x = x + params["pos_embed"].astype(x.dtype)[None, : x.shape[1]]

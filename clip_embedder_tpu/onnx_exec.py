@@ -31,6 +31,8 @@ failure the reference surfaces for unrunnable graphs.
 
 from __future__ import annotations
 
+import functools
+
 from pathlib import Path
 from typing import Any, Callable
 
@@ -253,6 +255,15 @@ def _batch_norm(env, inputs, attrs):
     return y.astype(x.dtype)
 
 
+def _pow(x, y):
+    """ONNX Pow: inputs may differ in type; compute in the promoted type
+    and cast back to the base's dtype (casting the exponent to an integer
+    base's dtype would truncate e.g. 0.5 → 0)."""
+    x, y = jnp.asarray(x), jnp.asarray(y)
+    ct = jnp.promote_types(x.dtype, y.dtype)
+    return jnp.power(x.astype(ct), y.astype(ct)).astype(x.dtype)
+
+
 def _div(x, y):
     """ONNX Div: C-style truncation toward zero for integer operands
     (matching the host-fold path's _np_div), true division otherwise."""
@@ -287,9 +298,7 @@ def _resolve_ops() -> dict[str, Callable]:
     e["Sub"] = binary(jnp.subtract)
     e["Mul"] = binary(jnp.multiply)
     e["Div"] = binary(_div)
-    e["Pow"] = binary(lambda x, y: jnp.power(jnp.asarray(x),
-                                             jnp.asarray(y).astype(
-                                                 jnp.asarray(x).dtype)))
+    e["Pow"] = binary(_pow)
     e["MatMul"] = binary(lambda x, y: jnp.matmul(
         jnp.asarray(x), jnp.asarray(y),
         preferred_element_type=jnp.promote_types(jnp.asarray(x).dtype,
@@ -323,8 +332,11 @@ def _resolve_ops() -> dict[str, Callable]:
         a.get("alpha", 0.2) * jnp.asarray(env[i[0]]) + a.get("beta", 0.5),
         0.0, 1.0)
     e["HardSwish"] = unary(lambda x: x * jnp.clip(x / 6.0 + 0.5, 0.0, 1.0))
-    e["Min"] = lambda env, i, a: jnp.minimum(env[i[0]], env[i[1]])
-    e["Max"] = lambda env, i, a: jnp.maximum(env[i[0]], env[i[1]])
+    # Min/Max are variadic (1..N inputs) since opset 8
+    e["Min"] = lambda env, i, a: functools.reduce(
+        jnp.minimum, (jnp.asarray(env[n]) for n in i))
+    e["Max"] = lambda env, i, a: functools.reduce(
+        jnp.maximum, (jnp.asarray(env[n]) for n in i))
     e["Equal"] = binary(jnp.equal)
     e["Greater"] = binary(jnp.greater)
     e["GreaterOrEqual"] = binary(jnp.greater_equal)
@@ -551,8 +563,10 @@ _NP_FOLD: dict[str, Callable] = {
     "Floor": lambda env, i, a: np.floor(env[i[0]]),
     "Ceil": lambda env, i, a: np.ceil(env[i[0]]),
     "Sqrt": lambda env, i, a: np.sqrt(env[i[0]]),
-    "Min": lambda env, i, a: np.minimum(env[i[0]], env[i[1]]),
-    "Max": lambda env, i, a: np.maximum(env[i[0]], env[i[1]]),
+    "Min": lambda env, i, a: functools.reduce(
+        np.minimum, (env[n] for n in i)),
+    "Max": lambda env, i, a: functools.reduce(
+        np.maximum, (env[n] for n in i)),
     "Equal": lambda env, i, a: np.equal(env[i[0]], env[i[1]]),
     "Greater": lambda env, i, a: np.greater(env[i[0]], env[i[1]]),
     "Less": lambda env, i, a: np.less(env[i[0]], env[i[1]]),

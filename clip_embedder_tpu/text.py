@@ -72,8 +72,12 @@ def _jitted_text_forward(spec: TowerSpec, attn_impl: str):
         if spec.family == "hf_bert":
             from .models import hf_text
 
+            # the tokenizer-produced mask is authoritative: its resolved
+            # pad id (model_config.pad_id / '<pad>' vocab) can differ from
+            # the HF config's pad_token_id that cfg.pad_id carries
             return hf_text.apply(params, ids, spec.cfg,
-                                 attn_impl=attn_impl)
+                                 attn_impl=attn_impl,
+                                 attention_mask=mask)
         if spec.family == "onnx":
             # run-any-graph fallback (MCT and friends); mask passed only if
             # the graph declares it (reference: src/text.rs:90,156-161)

@@ -165,6 +165,9 @@ class Tokenizer:
                max_length: int | None = None) -> list[int]:
         """Text → token ids (with specials, truncated to ``max_length``,
         defaulting to the configured ``with_truncation`` length)."""
+        reset = getattr(self.pretokenizer, "reset", None)
+        if reset is not None:  # per-call state (Metaspace prepend "first")
+            reset()
         if self._added_rx is None:
             ids = self._encode_text_segment(text)
         else:

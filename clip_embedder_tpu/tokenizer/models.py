@@ -111,12 +111,22 @@ class WordPiece:
         self.prefix: str = spec.get("continuing_subword_prefix", "##")
         self.max_chars: int = spec.get("max_input_chars_per_word", 100)
 
+    def _unk(self) -> int:
+        unk = self.vocab.get(self.unk_token)
+        if unk is None:
+            # HF errors loudly here; silently dropping the word would
+            # compute embeddings from mutilated text
+            from ..errors import TokenizerError
+
+            raise TokenizerError(
+                f"Missing '{self.unk_token}' token from the vocabulary")
+        return unk
+
     def tokenize(self, word: str) -> list[int]:
         if not word:
             return []
-        unk = self.vocab.get(self.unk_token)
         if len(word) > self.max_chars:
-            return [unk] if unk is not None else []
+            return [self._unk()]
         ids: list[int] = []
         start = 0
         while start < len(word):
@@ -131,7 +141,7 @@ class WordPiece:
                     break
                 end -= 1
             if cur is None:
-                return [unk] if unk is not None else []
+                return [self._unk()]
             ids.append(cur)
             start = end
         return ids

@@ -57,37 +57,55 @@ def _byte_level(add_prefix_space: bool, use_regex: bool) -> PreTokenizer:
 
 
 def _apply_split(s: str, rx: "regex.Pattern", behavior: str, invert: bool) -> list[str]:
-    if invert:
-        # Keep only the matches (tokenizers' Split with invert=true).
-        return [m.group(0) for m in rx.finditer(s)]
-    out: list[str] = []
+    """HF tokenizers' Split semantics: the pattern defines the *delimiter*
+    (``invert`` swaps the roles — matches become content and the text
+    between them the delimiter), and ``behavior`` says what happens to
+    delimiter runs: Removed | Isolated | Contiguous (adjacent delimiter
+    pieces merge) | MergedWithPrevious | MergedWithNext."""
+    if behavior not in ("Removed", "Isolated", "Contiguous",
+                       "MergedWithPrevious", "MergedWithNext"):
+        raise TokenizerError(f"Unsupported split behavior '{behavior}'")
+    # alternating (text, is_match) segments in order
+    segs: list[tuple[str, bool]] = []
     last = 0
     for m in rx.finditer(s):
         if m.start() == m.end():
             continue
-        before = s[last : m.start()]
-        match = m.group(0)
-        if behavior == "Removed":
-            if before:
-                out.append(before)
-        elif behavior == "Isolated":
-            if before:
-                out.append(before)
-            out.append(match)
-        elif behavior == "MergedWithPrevious":
-            out.append(before + match)
-        elif behavior == "MergedWithNext":
-            if before:
-                out.append(before)
-            # match merges into the next piece via `last` bookkeeping
-            last = m.start()
-            continue
-        else:
-            raise TokenizerError(f"Unsupported split behavior '{behavior}'")
+        if m.start() > last:
+            segs.append((s[last:m.start()], False))
+        segs.append((m.group(0), True))
         last = m.end()
-    tail = s[last:]
-    if tail:
-        out.append(tail)
+    if last < len(s):
+        segs.append((s[last:], False))
+
+    out: list[str] = []
+    pending = ""       # MergedWithNext carry
+    prev_delim = False
+    for text, is_match in segs:
+        if is_match == invert:  # content
+            out.append(pending + text)
+            pending = ""
+            prev_delim = False
+            continue
+        if behavior == "Removed":
+            prev_delim = False
+        elif behavior in ("Isolated", "Contiguous"):
+            if behavior == "Contiguous" and prev_delim and out:
+                out[-1] += text
+            else:
+                out.append(text)
+            prev_delim = True
+        elif behavior == "MergedWithPrevious":
+            if out:
+                out[-1] += text
+            else:
+                out.append(text)
+            prev_delim = False
+        else:  # MergedWithNext
+            pending += text
+            prev_delim = False
+    if pending:
+        out.append(pending)
     return out
 
 
@@ -105,6 +123,9 @@ def build_pretokenizer(spec: dict | None) -> PreTokenizer:
                 pieces = [p for piece in pieces for p in fn(piece)]
             return pieces
 
+        resets = [r for fn in fns if (r := getattr(fn, "reset", None))]
+        if resets:
+            seq.reset = lambda: [r() for r in resets]
         return seq
     if ptype == "ByteLevel":
         return _byte_level(
@@ -127,10 +148,20 @@ def build_pretokenizer(spec: dict | None) -> PreTokenizer:
             scheme = "always" if spec.get("add_prefix_space", True) else "never"
         split = spec.get("split", True)
 
+        # "first" applies the prefix only to the FIRST piece of each
+        # encode() call, not every piece this closure sees — per-call state
+        # reset via the .reset hook (wired through Sequence; called by
+        # Tokenizer.encode at the start of each text)
+        state = {"first": True}
+
         def metaspace(s: str) -> list[str]:
             if not s:
                 return []
-            if scheme in ("always", "first") and not s.startswith((" ", replacement)):
+            is_first = state["first"]
+            state["first"] = False
+            prepend = (scheme == "always"
+                       or (scheme == "first" and is_first))
+            if prepend and not s.startswith((" ", replacement)):
                 s = " " + s
             s = s.replace(" ", replacement)
             if not split:
@@ -148,6 +179,7 @@ def build_pretokenizer(spec: dict | None) -> PreTokenizer:
                 pieces.append(s[a:b])
             return pieces
 
+        metaspace.reset = lambda: state.update(first=True)
         return metaspace
     if ptype == "BertPreTokenizer":
         # whitespace split, then *punctuation* isolated — HF's
@@ -167,7 +199,10 @@ def build_pretokenizer(spec: dict | None) -> PreTokenizer:
         return bert_pretok
     if ptype == "Punctuation":
         behavior = spec.get("behavior", "Isolated")
-        rx = regex.compile(r"\p{P}+" if behavior != "Isolated" else r"\p{P}")
+        # HF is_punc = unicode category P OR ASCII punctuation (!-/ :-@
+        # [-` {-~); \p{P} alone misses the ASCII symbol chars $+<=>^`|~
+        punc = r"[\p{P}!-/:-@\[-`{-~]"
+        rx = regex.compile(punc + "+" if behavior != "Isolated" else punc)
         return lambda s: _apply_split(s, rx, behavior, False)
     if ptype == "Digits":
         individual = spec.get("individual_digits", False)

@@ -185,3 +185,29 @@ def test_cls_pooler_without_weights_raises():
     ids = jnp.asarray([[2, 5, 3, 0, 0, 0, 0, 0]], jnp.int32)
     with pytest.raises(WeightError, match="pooler"):
         hf_text.apply(params, ids, cfg)
+
+
+def test_attention_mask_overrides_pad_id_derivation():
+    """The tokenizer-produced mask is authoritative: when the tokenizer's
+    pad id differs from hf_config's pad_token_id, masking must follow the
+    mask, not cfg.pad_id (review: the mask argument was discarded)."""
+    import jax
+
+    cfg = BertCfg(context_length=8, vocab_size=64, width=32, heads=2,
+                  layers=2, mlp_hidden=64, embed_dim=32, pad_id=0)
+    params = hf_text.init(jax.random.key(3), cfg)
+    # ids padded with id 1 (≠ cfg.pad_id): derivation from pad_id would
+    # attend the padding; the explicit mask must control
+    ids = jnp.asarray([[2, 5, 9, 1, 1, 1, 1, 1]], jnp.int32)
+    mask = jnp.asarray([[1, 1, 1, 0, 0, 0, 0, 0]], jnp.int32)
+    with_mask = np.asarray(hf_text.apply(params, ids, cfg,
+                                         attention_mask=mask))
+    # ground truth: same content padded with cfg.pad_id and derived mask
+    ids0 = jnp.asarray([[2, 5, 9, 0, 0, 0, 0, 0]], jnp.int32)
+    ref = np.asarray(hf_text.apply(params, ids0, cfg))
+    cos = (with_mask * ref).sum(-1)
+    # embeddings differ only through the pad-row word embeddings, which are
+    # fully masked out of attention and pooling (cls pool at position 0)
+    assert (cos > 1 - 1e-6).all()
+    without_mask = np.asarray(hf_text.apply(params, ids, cfg))
+    assert (np.abs(without_mask - with_mask) > 1e-6).any()

@@ -403,3 +403,19 @@ def test_fuzz_random_towers_match_torch(tmp_path, seed):
         ref = model(x).numpy()
     got = run_tower(path, {"input": jnp.asarray(x.numpy())})
     np.testing.assert_allclose(got, ref, atol=5e-4)
+
+
+def test_variadic_min_max_and_pow_promotion():
+    """ONNX Min/Max take 1..N inputs; Pow promotes mixed int/float types
+    (casting 0.5 to an int exponent would compute x**0)."""
+    from clip_embedder_tpu.onnx_exec import _OPS, _pow
+
+    a = jnp.asarray([3.0, -1.0]); b = jnp.asarray([2.0, 5.0])
+    c = jnp.asarray([1.0, 0.0])
+    env = {"a": a, "b": b, "c": c}
+    np.testing.assert_array_equal(
+        np.asarray(_OPS["Min"](env, ["a", "b", "c"], {})), [1.0, -1.0])
+    np.testing.assert_array_equal(
+        np.asarray(_OPS["Max"](env, ["a", "b", "c"], {})), [3.0, 5.0])
+    got = _pow(jnp.asarray([4, 9], jnp.int32), jnp.asarray(0.5))
+    np.testing.assert_array_equal(np.asarray(got), [2, 3])

@@ -306,3 +306,72 @@ def test_replace_normalizer_literal_content(tmp_path):
     # must not raise "bad escape"; and the content is inserted literally
     out = tok.normalizer("of")
     assert out == "\\1\\f"
+
+
+def test_split_invert_behaviors_match_hf():
+    """Split semantics with invert and each behavior — parity with the HF
+    tokenizers library (review: invert dropped non-matching spans)."""
+    import regex as _regex
+
+    from clip_embedder_tpu.tokenizer.pretokenizers import _apply_split
+
+    rx = _regex.compile(r"\d+")
+    s = "ab12cd34"
+    assert _apply_split(s, rx, "Isolated", True) == ["ab", "12", "cd", "34"]
+    assert _apply_split(s, rx, "Removed", True) == ["12", "34"]
+    assert _apply_split(s, rx, "Isolated", False) == ["ab", "12", "cd", "34"]
+    assert _apply_split(s, rx, "Removed", False) == ["ab", "cd"]
+    dash = _regex.compile(r"-")
+    t = "the-final--countdown"
+    assert _apply_split(t, dash, "Isolated", False) == [
+        "the", "-", "final", "-", "-", "countdown"]
+    assert _apply_split(t, dash, "Contiguous", False) == [
+        "the", "-", "final", "--", "countdown"]
+    assert _apply_split(t, dash, "MergedWithPrevious", False) == [
+        "the-", "final--", "countdown"]
+    assert _apply_split(t, dash, "MergedWithNext", False) == [
+        "the", "-final", "--countdown"]
+
+
+def test_punctuation_pretokenizer_ascii_symbols():
+    """HF is_punc includes the ASCII symbol chars ($ + < = > ^ \\u0060 | ~)
+    that unicode \\p{P} misses."""
+    from clip_embedder_tpu.tokenizer.pretokenizers import build_pretokenizer
+
+    fn = build_pretokenizer({"type": "Punctuation"})
+    assert fn("a$b+c") == ["a", "$", "b", "+", "c"]
+    assert fn("x=y^z") == ["x", "=", "y", "^", "z"]
+    assert fn("p|q~r") == ["p", "|", "q", "~", "r"]
+
+
+def test_metaspace_prepend_first_only_first_piece():
+    """prepend_scheme='first' prefixes only the FIRST piece of each encode
+    call (per-call state via the reset hook), matching HF."""
+    from clip_embedder_tpu.tokenizer.pretokenizers import build_pretokenizer
+
+    seq = build_pretokenizer({"type": "Sequence", "pretokenizers": [
+        {"type": "Split", "pattern": {"String": "X"},
+         "behavior": "Removed", "invert": False},
+        {"type": "Metaspace", "replacement": "▁",
+         "prepend_scheme": "first"},
+    ]})
+    seq.reset()
+    first = [p for piece in seq("helloXworld") for p in [piece]]
+    assert first[0].startswith("▁")
+    assert not any(p.startswith("▁") for p in first[1:]), first
+    # a new call after reset is "first" again
+    seq.reset()
+    again = seq("helloXworld")
+    assert again == first
+
+
+def test_wordpiece_missing_unk_raises(tmp_path):
+    """A WordPiece vocab without the declared unk token must raise (HF
+    parity), not silently drop whole words."""
+    from clip_embedder_tpu.errors import TokenizerError
+    from clip_embedder_tpu.tokenizer.models import WordPiece
+
+    wp = WordPiece({"vocab": {"hello": 0, "##o": 1}, "unk_token": "[UNK]"})
+    assert wp.tokenize("hello") == [0]
+    with pytest.raises(TokenizerError, match="UNK"):
+        wp.tokenize("zzz")
