@@ -375,3 +375,51 @@ def test_wordpiece_missing_unk_raises(tmp_path):
     assert wp.tokenize("hello") == [0]
     with pytest.raises(TokenizerError, match="UNK"):
         wp.tokenize("zzz")
+
+
+def make_unigram_first_spec():
+    """Metaspace prepend_scheme='first' variant (Llama-style prefixing)."""
+    spec = make_unigram_spec()
+    spec["pre_tokenizer"] = {"type": "Metaspace", "replacement": "▁",
+                             "prepend_scheme": "first", "split": True}
+    return spec
+
+
+def make_wordpiece_punct_spec():
+    """Whitespace + standalone Punctuation pre-tokenizer variant (covers
+    the HF is_punc ASCII-symbol class and _apply_split behaviors)."""
+    spec = make_wordpiece_spec()
+    spec["pre_tokenizer"] = {"type": "Sequence", "pretokenizers": [
+        {"type": "WhitespaceSplit"},
+        {"type": "Punctuation", "behavior": "Isolated"},
+    ]}
+    return spec
+
+
+def test_fuzz_pretokenizer_variants_match_hf(tmp_path):
+    """Same 300-string parity sweep over the pre-tokenizer variants the
+    round-2 review fixed (Metaspace 'first', Punctuation symbols)."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = (
+        "abcdefghij  .,!?$+<=>^`|~%&*()-_"
+        "αβγ абв 日本 🙂"
+    )
+
+    def random_text():
+        n = rng.randint(0, 40)
+        return "".join(rng.choice(alphabet) for _ in range(n))
+
+    texts = [random_text() for _ in range(300)]
+    for factory in (make_unigram_first_spec, make_wordpiece_punct_spec):
+        spec = factory()
+        path = tmp_path / "tokv.json"
+        path.write_text(json.dumps(spec), encoding="utf-8")
+        ours = Tokenizer.from_file(path)
+        theirs = hf_tokenizers.Tokenizer.from_file(str(path))
+        for text in texts:
+            got = ours.encode(text)
+            ref = theirs.encode(text).ids
+            assert got == ref, (
+                f"{factory.__name__} mismatch on {text!r}: {got} vs {ref}")
