@@ -143,22 +143,29 @@ def main() -> None:
     timeit("mha block xla (per call)", mha_chain_fn("xla"), x)
 
     # int8 variants
-    from clip_embedder_tpu.ops.quant import quantize_tree
+    from clip_embedder_tpu.ops.quant import (DEFAULT_QUANT_PATHS,
+                                             QUANT_PATHS_ALL, quantize_tree)
 
-    def quant(params):
+    def quant(params, paths):
         return jax.tree.map(
-            jnp.asarray, quantize_tree(jax.tree.map(np.asarray, params)))
+            jnp.asarray,
+            quantize_tree(jax.tree.map(np.asarray, params), paths=paths))
 
-    q27, q13 = quant(p27), quant(p13)
-    t27q = timeit("full L=27 pallas_fast int8",
-                  full_step_fn(cfg27, q27, "pallas_fast"), q27, images, wh, ww)
-    t13q = timeit("full L=13 pallas_fast int8",
-                  full_step_fn(cfg13, q13, "pallas_fast"), q13, images, wh, ww)
-    if t27q and t13q:
-        per_layer = (t27q - t13q) / 14
-        tail = t27q - 27 * per_layer
-        print(f"  -> int8 per-layer {per_layer*1e3:.3f} ms, tail "
-              f"{tail*1e3:.3f} ms", flush=True)
+    for label, paths in (("int8", DEFAULT_QUANT_PATHS),
+                         ("int8_all", QUANT_PATHS_ALL)):
+        q27 = quant(p27, paths)
+        q13 = quant(p13, paths)
+        t27q = timeit(f"full L=27 pallas_fast {label}",
+                      full_step_fn(cfg27, q27, "pallas_fast"),
+                      q27, images, wh, ww)
+        t13q = timeit(f"full L=13 pallas_fast {label}",
+                      full_step_fn(cfg13, q13, "pallas_fast"),
+                      q13, images, wh, ww)
+        if t27q and t13q:
+            per_layer = (t27q - t13q) / 14
+            tail = t27q - 27 * per_layer
+            print(f"  -> {label} per-layer {per_layer*1e3:.3f} ms, tail "
+                  f"{tail*1e3:.3f} ms", flush=True)
 
 
 if __name__ == "__main__":
