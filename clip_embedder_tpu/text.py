@@ -196,10 +196,13 @@ class TextEmbedder:
 
     def duplicate(self) -> "TextEmbedder":
         """(reference: src/text.rs:104-108) — params are shared device
-        buffers; instances are independently usable."""
+        buffers; the tokenizer is cloned so replicas are independently
+        usable across threads (stateful pre-tokenizers carry per-call
+        state)."""
         return TextEmbedder(
             params=self.params, spec=self.spec, config=self.config,
-            model_config=self.model_config, tokenizer=self.tokenizer,
+            model_config=self.model_config,
+            tokenizer=self.tokenizer.clone(),
             model_dir=self.model_dir, dtype=self.dtype,
             attn_impl=self.attn_impl, quantize=self.quantize,
         )

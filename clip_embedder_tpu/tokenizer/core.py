@@ -84,6 +84,17 @@ class Tokenizer:
             raise JsonError(f"JSON error in {path}: {e}") from e
         return cls(spec)
 
+    def clone(self) -> "Tokenizer":
+        """Independent copy (same spec, same padding/truncation config).
+        Stateful pre-tokenizers (Metaspace prepend "first") carry per-call
+        mutable state, so replicas meant for concurrent use — the
+        reference's ``duplicate()`` pattern — need their own instance."""
+        out = Tokenizer(self.spec)
+        out.pad_id = self.pad_id
+        out.pad_to = self.pad_to
+        out.max_length = self.max_length
+        return out
+
     def with_padding(self, *, length: int, pad_id: int) -> "Tokenizer":
         self.pad_to = length
         self.pad_id = pad_id
@@ -139,6 +150,11 @@ class Tokenizer:
             token_id = self._match_added(m.group(0))
             if token_id is not None:
                 ids.append(token_id)
+                # the added token occupies a split slot: stateful
+                # pre-tokenizers (Metaspace "first") must see it
+                note = getattr(self.pretokenizer, "note_piece", None)
+                if note is not None:
+                    note()
             else:  # defensive: treat as plain text
                 ids.extend(encode_segment(m.group(0)))
             last = m.end()

@@ -37,6 +37,11 @@ def bytes_to_unicode() -> dict[int, str]:
     return dict(zip(bs, (chr(c) for c in cs)))
 
 
+# HF is_punc: unicode category P OR the ASCII punctuation/symbol ranges
+# (!-/ :-@ [-` {-~) — \p{P} alone misses $ + < = > ^ ` | ~. One constant,
+# shared by BertPreTokenizer and Punctuation (they must agree).
+_PUNC_CLASS = r"[\p{P}!-/:-@\[-`{-~]"
+
 _GPT2_SPLIT = regex.compile(
     r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
 )
@@ -79,7 +84,7 @@ def _apply_split(s: str, rx: "regex.Pattern", behavior: str, invert: bool) -> li
         segs.append((s[last:], False))
 
     out: list[str] = []
-    pending = ""       # MergedWithNext carry
+    pending = ""       # MergedWithNext carry (at most one delimiter)
     prev_delim = False
     for text, is_match in segs:
         if is_match == invert:  # content
@@ -96,14 +101,20 @@ def _apply_split(s: str, rx: "regex.Pattern", behavior: str, invert: bool) -> li
                 out.append(text)
             prev_delim = True
         elif behavior == "MergedWithPrevious":
-            if out:
+            # HF merges a delimiter only into a CONTENT predecessor; a
+            # delimiter following another delimiter stands alone
+            if out and not prev_delim:
                 out[-1] += text
             else:
                 out.append(text)
-            prev_delim = False
+            prev_delim = True
         else:  # MergedWithNext
-            pending += text
-            prev_delim = False
+            # symmetric: only the delimiter directly adjacent to the next
+            # content merges; earlier delimiters in a run stand alone
+            if pending:
+                out.append(pending)
+            pending = text
+            prev_delim = True
     if pending:
         out.append(pending)
     return out
@@ -126,6 +137,9 @@ def build_pretokenizer(spec: dict | None) -> PreTokenizer:
         resets = [r for fn in fns if (r := getattr(fn, "reset", None))]
         if resets:
             seq.reset = lambda: [r() for r in resets]
+        notes = [n for fn in fns if (n := getattr(fn, "note_piece", None))]
+        if notes:
+            seq.note_piece = lambda: [n() for n in notes]
         return seq
     if ptype == "ByteLevel":
         return _byte_level(
@@ -180,13 +194,14 @@ def build_pretokenizer(spec: dict | None) -> PreTokenizer:
             return pieces
 
         metaspace.reset = lambda: state.update(first=True)
+        # an added token emitted before any model span consumes "first"
+        # (HF counts added-token splits in the global split index)
+        metaspace.note_piece = lambda: state.update(first=False)
         return metaspace
     if ptype == "BertPreTokenizer":
-        # whitespace split, then *punctuation* isolated — HF's
-        # is_punctuation: unicode category P plus the ASCII symbol ranges
-        # (!-/, :-@, [-`, {-~). Emoji/symbols are NOT split off.
-        punct = r"[\p{P}!-/:-@\[-`{-~]"
-        prx = regex.compile(rf"({punct})")
+        # whitespace split, then punctuation isolated (shared _PUNC_CLASS;
+        # emoji/other symbols are NOT split off)
+        prx = regex.compile(rf"({_PUNC_CLASS})")
 
         def bert_pretok(s: str) -> list[str]:
             out: list[str] = []
@@ -199,10 +214,10 @@ def build_pretokenizer(spec: dict | None) -> PreTokenizer:
         return bert_pretok
     if ptype == "Punctuation":
         behavior = spec.get("behavior", "Isolated")
-        # HF is_punc = unicode category P OR ASCII punctuation (!-/ :-@
-        # [-` {-~); \p{P} alone misses the ASCII symbol chars $+<=>^`|~
-        punc = r"[\p{P}!-/:-@\[-`{-~]"
-        rx = regex.compile(punc + "+" if behavior != "Isolated" else punc)
+        # per-char matching for every behavior: HF treats each punctuation
+        # char as its own delimiter match (a '+' run-match diverges for the
+        # Merged* behaviors)
+        rx = regex.compile(_PUNC_CLASS)
         return lambda s: _apply_split(s, rx, behavior, False)
     if ptype == "Digits":
         individual = spec.get("individual_digits", False)

@@ -327,10 +327,16 @@ def test_split_invert_behaviors_match_hf():
         "the", "-", "final", "-", "-", "countdown"]
     assert _apply_split(t, dash, "Contiguous", False) == [
         "the", "-", "final", "--", "countdown"]
+    # HF merges only the delimiter adjacent to content; the rest of a
+    # delimiter run stands alone (verified against the tokenizers lib)
     assert _apply_split(t, dash, "MergedWithPrevious", False) == [
-        "the-", "final--", "countdown"]
+        "the-", "final-", "-", "countdown"]
     assert _apply_split(t, dash, "MergedWithNext", False) == [
-        "the", "-final", "--countdown"]
+        "the", "-final", "-", "-countdown"]
+    assert _apply_split("a--b", dash, "MergedWithPrevious", False) == [
+        "a-", "-", "b"]
+    assert _apply_split("a--b", dash, "MergedWithNext", False) == [
+        "a", "-", "-b"]
 
 
 def test_punctuation_pretokenizer_ascii_symbols():
@@ -385,13 +391,13 @@ def make_unigram_first_spec():
     return spec
 
 
-def make_wordpiece_punct_spec():
+def make_wordpiece_punct_spec(behavior="Isolated"):
     """Whitespace + standalone Punctuation pre-tokenizer variant (covers
     the HF is_punc ASCII-symbol class and _apply_split behaviors)."""
     spec = make_wordpiece_spec()
     spec["pre_tokenizer"] = {"type": "Sequence", "pretokenizers": [
         {"type": "WhitespaceSplit"},
-        {"type": "Punctuation", "behavior": "Isolated"},
+        {"type": "Punctuation", "behavior": behavior},
     ]}
     return spec
 
@@ -412,7 +418,12 @@ def test_fuzz_pretokenizer_variants_match_hf(tmp_path):
         return "".join(rng.choice(alphabet) for _ in range(n))
 
     texts = [random_text() for _ in range(300)]
-    for factory in (make_unigram_first_spec, make_wordpiece_punct_spec):
+    factories = [make_unigram_first_spec, make_wordpiece_punct_spec] + [
+        (lambda b=b: make_wordpiece_punct_spec(b))
+        for b in ("Removed", "MergedWithPrevious", "MergedWithNext",
+                  "Contiguous")
+    ]
+    for factory in factories:
         spec = factory()
         path = tmp_path / "tokv.json"
         path.write_text(json.dumps(spec), encoding="utf-8")
@@ -423,3 +434,28 @@ def test_fuzz_pretokenizer_variants_match_hf(tmp_path):
             ref = theirs.encode(text).ids
             assert got == ref, (
                 f"{factory.__name__} mismatch on {text!r}: {got} vs {ref}")
+
+
+def test_metaspace_first_after_leading_added_token(tmp_path):
+    """HF counts added-token splits in the global split index: text that
+    STARTS with an added token must not get a '▁' prefix on the piece
+    after it (parity verified against the tokenizers library)."""
+    spec = make_unigram_first_spec()
+    path = tmp_path / "tokf.json"
+    path.write_text(json.dumps(spec), encoding="utf-8")
+    ours = Tokenizer.from_file(path)
+    theirs = hf_tokenizers.Tokenizer.from_file(str(path))
+    for text in ("</s>cat", "cat</s>dog", "</s>", "a photo</s> of"):
+        assert ours.encode(text) == theirs.encode(text).ids, text
+
+
+def test_duplicate_embedder_tokenizers_independent(tmp_path):
+    """duplicate() clones the tokenizer so replicas stay independently
+    usable (Metaspace 'first' state is per-instance)."""
+    spec = make_unigram_first_spec()
+    path = tmp_path / "tokd.json"
+    path.write_text(json.dumps(spec), encoding="utf-8")
+    tok = Tokenizer.from_file(path)
+    clone = tok.clone()
+    assert clone is not tok
+    assert clone.encode("a cat") == tok.encode("a cat")
