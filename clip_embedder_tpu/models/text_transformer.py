@@ -113,11 +113,12 @@ def apply(
             impl=attn_impl, pre_ln=block["ln1"], ln_eps=cfg.ln_eps,
         )
         carry = carry + h
-        h = mlp(
+        # residual fuses into the quantized kernel epilogue
+        carry = mlp(
             block["mlp"], carry, activation=act,
-            pre_ln=block["ln2"], ln_eps=cfg.ln_eps,
+            pre_ln=block["ln2"], ln_eps=cfg.ln_eps, residual=True,
         )
-        return carry + h, None
+        return carry, None
 
     if remat:
         body = jax.checkpoint(body)

@@ -208,12 +208,14 @@ def _block_forward(
     if "ls1" in block:
         h = h * block["ls1"]
     x = x + h
-    # ln2 passes through mlp() so the quantized path fuses it in-kernel
-    h = mlp(block["mlp"], x, activation=act, pre_ln=block["ln2"],
-            ln_eps=cfg.ln_eps)
+    # ln2 passes through mlp() so the quantized path fuses it in-kernel;
+    # without layer-scale the residual add fuses into the kernel epilogue
     if "ls2" in block:
-        h = h * block["ls2"]
-    return x + h
+        h = mlp(block["mlp"], x, activation=act, pre_ln=block["ln2"],
+                ln_eps=cfg.ln_eps)
+        return x + h * block["ls2"]
+    return mlp(block["mlp"], x, activation=act, pre_ln=block["ln2"],
+               ln_eps=cfg.ln_eps, residual=True)
 
 
 def _map_pool(cfg: ViTCfg, act: Callable, params: Params, x: jax.Array) -> jax.Array:

@@ -81,8 +81,9 @@ def _chunk_bounds(hidden: int, chunks: int) -> list[tuple[int, int]]:
 
 def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
                 o_ref, *, activation: str, ln_refs=None, ln_eps=1e-6,
-                h_scratch=None, chunks: int = 1):
+                h_scratch=None, chunks: int = 1, add_residual: bool = False):
     x32 = x_ref[:].astype(jnp.float32)
+    res = x32 if add_residual else None  # raw residual stream (pre-LN x)
     if ln_refs is not None:
         # fused pre-MLP LayerNorm: x is the raw residual stream, normalized
         # in f32 here instead of a separate XLA pass (one less HBM round
@@ -108,6 +109,8 @@ def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
             preferred_element_type=jnp.int32,
         ).astype(jnp.float32)
         y = y * (as_ * s2_ref[0]) + b2_ref[0]
+        if res is not None:
+            y = y + res
         o_ref[:] = y.astype(o_ref.dtype)
         return
 
@@ -141,25 +144,34 @@ def _mlp_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
         )
         acc = part if acc is None else acc + part
     y = acc.astype(jnp.float32) * (as_ * s2_ref[0]) + b2_ref[0]
+    if res is not None:
+        y = y + res
     o_ref[:] = y.astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("activation", "ln_eps", "interpret",
-                                    "chunks"))
+                                    "chunks", "add_residual"))
 def int8_mlp(params: Params, x: jax.Array, *,
              activation: str = "gelu_tanh",
              pre_ln: Params | None = None, ln_eps: float = 1e-6,
              interpret: bool = False,
-             chunks: int | None = None) -> jax.Array:
+             chunks: int | None = None,
+             add_residual: bool = False) -> jax.Array:
     """Fused quantized MLP block. ``params``: {"fc": {"w_q", "w_scale",
     "b"}, "proj": {"w_q", "w_scale", "b"}} (ops.quant.quantize_tree layout).
     ``x``: [..., K]; the activation runs in f32 inside the kernel.
     ``pre_ln`` ({"scale", "bias"}) fuses the pre-MLP LayerNorm in-kernel.
     ``chunks`` splits the hidden dim into slabs for MXU/VPU co-issue
     (None = auto: 8 for hidden ≥ 2048); numerics are bit-identical to
-    chunks=1 (see _mlp_kernel).
+    chunks=1 (see _mlp_kernel). ``add_residual`` (requires ``pre_ln``)
+    returns ``x + mlp(ln(x))`` — the raw input IS the residual stream when
+    the pre-LN is fused, so the transformer-block residual add happens
+    in-kernel instead of as a separate XLA pass over HBM.
     """
+    if add_residual and pre_ln is None:
+        raise ValueError("add_residual requires the fused pre_ln (the raw "
+                         "kernel input must be the residual stream)")
     fc, pr = params["fc"], params["proj"]
     w1, s1 = fc["w_q"], fc["w_scale"].astype(jnp.float32)
     w2, s2 = pr["w_q"], pr["w_scale"].astype(jnp.float32)
@@ -221,7 +233,7 @@ def int8_mlp(params: Params, x: jax.Array, *,
                         b2_ref, o_ref, activation=activation,
                         ln_refs=(g_ref, lb_ref), ln_eps=ln_eps,
                         h_scratch=scratch[0] if scratch else None,
-                        chunks=n_chunks)
+                        chunks=n_chunks, add_residual=add_residual)
 
         in_specs = in_specs + [
             pl.BlockSpec((1, k_in), lambda i: (0, 0),

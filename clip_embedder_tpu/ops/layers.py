@@ -106,6 +106,7 @@ def mlp(
     activation: Callable[[jax.Array], jax.Array],
     pre_ln: Params | None = None,
     ln_eps: float = 1e-6,
+    residual: bool = False,
 ) -> jax.Array:
     """Transformer MLP block: [LayerNorm →] linear → act → linear.
 
@@ -116,7 +117,13 @@ def mlp(
     Quantized blocks (``w_q`` leaves) route to the fused W8A8 Pallas kernel
     on TPU (ops.int8_mlp — the intermediate activations never leave VMEM);
     elsewhere they fall back to the unfused int8 matmuls.
+
+    ``residual=True`` (requires ``pre_ln``) returns ``x + mlp(ln(x))``:
+    the fused quantized kernel folds the transformer-block residual add
+    into its epilogue (one less HBM pass per layer).
     """
+    if residual and pre_ln is None:
+        raise ValueError("mlp(residual=True) requires pre_ln")
     fc = params.get("fc")
     if isinstance(fc, dict) and "w_q" in fc:
         from .int8_mlp import fits_fused_mlp, int8_mlp
@@ -124,9 +131,11 @@ def mlp(
         name = _ACTIVATION_NAMES.get(activation)
         if name and fits_fused_mlp(params, name):
             return int8_mlp(params, x, activation=name, pre_ln=pre_ln,
-                            ln_eps=ln_eps)
+                            ln_eps=ln_eps, add_residual=residual)
+    res = x if residual else None
     if pre_ln is not None:
         x = layer_norm(pre_ln, x, eps=ln_eps)
     h = linear(params["fc"], x)
     h = activation(h)
-    return linear(params["proj"], h)
+    h = linear(params["proj"], h)
+    return h if res is None else res + h

@@ -342,3 +342,29 @@ def test_quantize_tree_skips_root_output_projection():
     assert "w_q" in q["stages"][0]["blocks"]["fc1"]
     assert "w" in q["proj"]["fc1"] and "w_q" not in q["proj"]["fc1"]
     assert "w" in q["proj"]["fc2"]
+
+
+def test_fused_int8_mlp_residual_epilogue():
+    """int8_mlp(add_residual=True) ≡ x + int8_mlp(pre_ln fused) — the
+    transformer residual folded into the kernel epilogue."""
+    import jax.numpy as jnp
+
+    from clip_embedder_tpu.ops.int8_mlp import int8_mlp
+    from clip_embedder_tpu.ops.quant import quantize_weight
+
+    rng = np.random.default_rng(13)
+    k, hidden = 128, 256
+    params = {}
+    for name, shape in (("fc", (k, hidden)), ("proj", (hidden, k))):
+        w = (rng.standard_normal(shape) * 0.05).astype(np.float32)
+        params[name] = {kk: jnp.asarray(v)
+                        for kk, v in quantize_weight(w).items()}
+        params[name]["b"] = jnp.asarray(
+            rng.standard_normal(shape[1]).astype(np.float32) * 0.01)
+    ln = {"scale": jnp.ones(k, jnp.float32), "bias": jnp.zeros(k, jnp.float32)}
+    x = jnp.asarray(rng.standard_normal((2, 33, k)).astype(np.float32))
+    ref = x + int8_mlp(params, x, pre_ln=ln, interpret=True)
+    got = int8_mlp(params, x, pre_ln=ln, add_residual=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    with pytest.raises(ValueError, match="pre_ln"):
+        int8_mlp(params, x, add_residual=True, interpret=True)
