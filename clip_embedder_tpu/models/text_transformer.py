@@ -111,8 +111,9 @@ def apply(
         h = multi_head_attention(
             block["attn"], carry, num_heads=cfg.heads, mask=mask,
             impl=attn_impl, pre_ln=block["ln1"], ln_eps=cfg.ln_eps,
+            residual=carry,
         )
-        carry = carry + h
+        carry = h
         # residual fuses into the quantized kernel epilogue
         carry = mlp(
             block["mlp"], carry, activation=act,

@@ -200,14 +200,19 @@ def _block_forward(
     cfg: ViTCfg, act: Callable, x: jax.Array, block: Params, *, impl: str
 ) -> jax.Array:
     # ln1 passes through multi_head_attention so the Pallas path fuses it
-    # with the q/k/v projections in-kernel (ops.qkv)
-    h = multi_head_attention(
-        block["attn"], x, num_heads=cfg.heads, impl=impl,
-        pre_ln=block["ln1"], ln_eps=cfg.ln_eps,
-    )
+    # with the q/k/v projections in-kernel (ops.qkv); without layer-scale
+    # the residual add rides the quantized out-projection epilogue
     if "ls1" in block:
-        h = h * block["ls1"]
-    x = x + h
+        h = multi_head_attention(
+            block["attn"], x, num_heads=cfg.heads, impl=impl,
+            pre_ln=block["ln1"], ln_eps=cfg.ln_eps,
+        )
+        x = x + h * block["ls1"]
+    else:
+        x = multi_head_attention(
+            block["attn"], x, num_heads=cfg.heads, impl=impl,
+            pre_ln=block["ln1"], ln_eps=cfg.ln_eps, residual=x,
+        )
     # ln2 passes through mlp() so the quantized path fuses it in-kernel;
     # without layer-scale the residual add fuses into the kernel epilogue
     if "ls2" in block:

@@ -77,6 +77,7 @@ def multi_head_attention(
     impl: str = "xla",
     pre_ln: Params | None = None,
     ln_eps: float = 1e-6,
+    residual: jax.Array | None = None,
 ) -> jax.Array:
     """Full MHA block: [LayerNorm →] project → attend → merge → out-project.
 
@@ -88,7 +89,21 @@ def multi_head_attention(
     LayerNorm as part of this call; on the Pallas path it fuses with the
     q/k/v projections in one kernel (ops.qkv.ln_qkv — the normalized
     activations never leave VMEM).
+
+    ``residual`` (optional, same shape as the output) returns
+    ``residual + out_proj(attention)``: quantized out-projections fold the
+    add into the kernel epilogue; other paths add explicitly.
     """
+
+    def out_proj(out):
+        outp = params["out"]
+        if residual is not None and "w_q" in outp:
+            from .int8_mlp import fits_fused_linear, int8_linear_fused
+
+            if out.size // out.shape[-1] >= 128 and fits_fused_linear(outp):
+                return int8_linear_fused(outp, out, residual=residual)
+        h = linear(outp, out)
+        return h if residual is None else residual + h
     fused_qkv = False
     if pre_ln is not None and kv is None and impl in ("pallas", "pallas_fast"):
         from .qkv import (fits_fused_qkv, fits_fused_qkv_int8, ln_qkv,
@@ -120,7 +135,7 @@ def multi_head_attention(
             out = flash_attention_packed(
                 q, k, v, num_heads=num_heads, mask=mask,
                 fast_softmax=impl == "pallas_fast")
-            return linear(params["out"], out)
+            return out_proj(out)
 
     q = rearrange(q, "b s (h d) -> b h s d", h=num_heads)
     k = rearrange(k, "b s (h d) -> b h s d", h=num_heads)
@@ -128,7 +143,7 @@ def multi_head_attention(
 
     out = attention_core(q, k, v, mask=mask, impl=impl)
     out = rearrange(out, "b h s d -> b s (h d)")
-    return linear(params["out"], out)
+    return out_proj(out)
 
 
 def causal_mask(seq_len: int, dtype=jnp.float32) -> jax.Array:

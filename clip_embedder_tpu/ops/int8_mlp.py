@@ -286,13 +286,28 @@ def _linear_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
     o_ref[:] = y.astype(o_ref.dtype)
 
 
+def _linear_res_kernel(x_ref, w_ref, s_ref, b_ref, r_ref, o_ref):
+    x32 = x_ref[:].astype(jnp.float32)
+    xq, xs = _row_quant(x32)
+    y = jax.lax.dot_general(
+        xq, w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = y * (xs * s_ref[0]) + b_ref[0] + r_ref[:].astype(jnp.float32)
+    o_ref[:] = y.astype(o_ref.dtype)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def int8_linear_fused(params: Params, x: jax.Array, *,
+                      residual: jax.Array | None = None,
                       interpret: bool = False) -> jax.Array:
     """Fused W8A8 affine map (one matmul): in-kernel dynamic row quant →
     int8 MXU matmul → fused dequant + bias. Same params layout as
     ops.quant.int8_linear; used for the attention projections under
-    ``quantize="int8_all"``."""
+    ``quantize="int8_all"``. ``residual`` ([..., k_out], same leading
+    shape as x) adds in-kernel — the transformer-block residual stream
+    riding the epilogue instead of a separate XLA pass."""
     w, s = params["w_q"], params["w_scale"].astype(jnp.float32)
     k_in, k_out = w.shape
     b = params.get("b")
@@ -309,20 +324,32 @@ def int8_linear_fused(params: Params, x: jax.Array, *,
     if rp != rows:
         x2 = jnp.pad(x2, ((0, rp - rows), (0, 0)))
 
+    in_specs = [
+        pl.BlockSpec((tile, k_in), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k_in, k_out), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k_out), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k_out), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x2, w, s, b]
+    kernel = _linear_kernel
+    if residual is not None:
+        r2 = residual.reshape(rows, k_out)
+        if rp != rows:
+            r2 = jnp.pad(r2, ((0, rp - rows), (0, 0)))
+        in_specs.append(pl.BlockSpec((tile, k_out), lambda i: (i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(r2)
+        kernel = _linear_res_kernel
+
     out = pl.pallas_call(
-        _linear_kernel,
+        kernel,
         out_shape=jax.ShapeDtypeStruct((rp, k_out), x.dtype),
         grid=(rp // tile,),
-        in_specs=[
-            pl.BlockSpec((tile, k_in), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k_in, k_out), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_out), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k_out), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((tile, k_out), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         cost_estimate=pl.CostEstimate(
@@ -331,7 +358,7 @@ def int8_linear_fused(params: Params, x: jax.Array, *,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(x2, w, s, b)
+    )(*args)
     return out[:rows].reshape(*orig_shape[:-1], k_out)
 
 

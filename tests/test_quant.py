@@ -368,3 +368,21 @@ def test_fused_int8_mlp_residual_epilogue():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
     with pytest.raises(ValueError, match="pre_ln"):
         int8_mlp(params, x, add_residual=True, interpret=True)
+
+
+def test_fused_int8_linear_residual():
+    """int8_linear_fused(residual=r) ≡ r + int8_linear_fused(x)."""
+    import jax.numpy as jnp
+
+    from clip_embedder_tpu.ops.int8_mlp import int8_linear_fused
+    from clip_embedder_tpu.ops.quant import quantize_weight
+
+    rng = np.random.default_rng(14)
+    w = (rng.standard_normal((128, 128)) * 0.05).astype(np.float32)
+    params = {**{k: jnp.asarray(v) for k, v in quantize_weight(w).items()},
+              "b": jnp.asarray(rng.standard_normal(128).astype(np.float32) * 0.01)}
+    x = jnp.asarray(rng.standard_normal((3, 50, 128)).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal((3, 50, 128)).astype(np.float32))
+    ref = r + int8_linear_fused(params, x, interpret=True)
+    got = int8_linear_fused(params, x, residual=r, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
