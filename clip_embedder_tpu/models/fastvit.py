@@ -120,17 +120,33 @@ _ALIASES = {
 }
 
 
+# Variants whose structure comes from the published scaling recipe only —
+# no in-env anchor (no timm, no real checkpoint) has ever confirmed the dims
+# or the ConvFFN BN-fold for them (see COMPONENTS.md evidence table).
+_UNANCHORED_VARIANTS = frozenset({"fastvit_mci3", "fastvit_mci4"})
+_warned_unanchored: set = set()
+
+
 def resolve_fastvit(name: str, vcfg, embed_dim: int, model_cfg) -> FastViTCfg:
-    base = _FASTVIT_VARIANTS.get(name) or _FASTVIT_VARIANTS.get(
-        _ALIASES.get(name, ""))
+    resolved = name if name in _FASTVIT_VARIANTS else _ALIASES.get(name, "")
+    base = _FASTVIT_VARIANTS.get(resolved)
     if base is None:
         # normalize bare aliases like "mci2"
         for key in _FASTVIT_VARIANTS:
             if key.endswith(name) or name.endswith(key.removeprefix("fastvit_")):
-                base = _FASTVIT_VARIANTS[key]
+                base, resolved = _FASTVIT_VARIANTS[key], key
                 break
     if base is None:
         raise ConfigError(f"Unknown FastViT variant '{name}'")
+    if resolved in _UNANCHORED_VARIANTS and resolved not in _warned_unanchored:
+        _warned_unanchored.add(resolved)
+        from ..utils.logging import get_logger
+
+        get_logger().warning(
+            "FastViT variant '%s' uses structure-from-paper dims that have "
+            "no independent anchor in this build (golden fixtures pin "
+            "today's numerics; real-checkpoint conversion re-checks shapes "
+            "and fails loudly on mismatch)", resolved)
     override = vcfg.extra.get("fastvit_cfg", {})
     merged = {**base, **override}
     return FastViTCfg(

@@ -112,6 +112,7 @@ def _pool(x, attrs, kind):
         raise WeightError("Pool dilations != 1 not supported")
     pads = attrs.get("pads", [0] * (2 * spatial))
     pad_pairs = [(pads[i], pads[i + spatial]) for i in range(spatial)]
+    explicit_pairs = list(pad_pairs)
     if int(attrs.get("ceil_mode", 0)):
         # ceil output dims: extend the high-side padding so reduce_window's
         # floor arithmetic lands on ceil((in + pads - k)/s) + 1 windows
@@ -135,6 +136,18 @@ def _pool(x, attrs, kind):
     s = jax.lax.reduce_window(x.astype(jnp.float32), 0.0, jax.lax.add,
                               window, strides_full, pad_full)
     if int(attrs.get("count_include_pad", 0)):
+        ceil_extra = tuple((0, pad_pairs[i][1] - explicit_pairs[i][1])
+                           for i in range(spatial))
+        if any(e for _, e in ceil_extra):
+            # torch semantics (the source of these exports): the divisor
+            # counts explicit padding but NOT the ceil-mode extension — a
+            # flat prod(kernel) would make boundary averages too small
+            ones = jnp.pad(jnp.ones(x.shape[2:], jnp.float32),
+                           explicit_pairs, constant_values=1.0)[None, None]
+            counts = jax.lax.reduce_window(
+                ones, 0.0, jax.lax.add, window, strides_full,
+                ((0, 0), (0, 0)) + ceil_extra)
+            return (s / counts).astype(x.dtype)
         denom = float(np.prod(ks))
         return (s / denom).astype(x.dtype)
     ones = jnp.ones(x.shape[2:], jnp.float32)[None, None]

@@ -61,8 +61,19 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, g: int, d: int,
-                   scale: float, fast_softmax: bool, mask_ref):
-    """One (batch, head-group) block in packed [S, g·D] layout."""
+                   scale: float, fast_softmax: bool, mask_ref,
+                   quant_pv: bool = False):
+    """One (batch, head-group) block in packed [S, g·D] layout.
+
+    ``quant_pv`` routes the p·v matmul through int8 (per-row dynamic quant
+    of the softmax weights — they are non-negative with a known row max —
+    and per-column dynamic quant of v), the last bf16 matmuls under
+    ``int8_all``. The softmax denominator stays f32, so normalization is
+    exact; only the weighted sum quantizes. Measured on v5e (see
+    BENCH_RESULTS.md): the extra VPU quant passes cost more than the int8
+    MXU saves on this VPU-bound kernel, so it is OFF in every preset and
+    kept as the measured record of that experiment.
+    """
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
@@ -87,11 +98,28 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, g: int, d: int,
             m = jnp.maximum(m, -1e30)
             p = jnp.exp(logits - m)
         denom = jnp.sum(p, axis=-1, keepdims=True)
-        out = jax.lax.dot_general(
-            p.astype(v.dtype), vh,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        if quant_pv:
+            # p ≥ 0 with rowmax = 1 (exact softmax) / ≤ e^120 (clamped):
+            # per-row scale from the row max, per-column scale for v
+            pmax = jnp.max(p, axis=-1, keepdims=True)
+            ps = jnp.where(pmax == 0, 1.0, pmax / 127.0)
+            pq = jnp.clip(jnp.round(p / ps), 0, 127).astype(jnp.int8)
+            vmax = jnp.max(jnp.abs(vh.astype(jnp.float32)), axis=0,
+                           keepdims=True)
+            vs = jnp.where(vmax == 0, 1.0, vmax / 127.0)
+            vq = jnp.clip(jnp.round(vh.astype(jnp.float32) / vs),
+                          -127, 127).astype(jnp.int8)
+            out = jax.lax.dot_general(
+                pq, vq,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * (ps * vs)
+        else:
+            out = jax.lax.dot_general(
+                p.astype(v.dtype), vh,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         # cast each head's slice down before the concat: halves the live
         # f32 intermediates (g output buffers coexist until the store),
         # which is what fits the kernel under the 16 MB scoped-VMEM limit
@@ -108,7 +136,8 @@ def _head_group(num_heads: int, d: int) -> int | None:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("num_heads", "fast_softmax", "interpret"))
+    jax.jit,
+    static_argnames=("num_heads", "fast_softmax", "interpret", "quant_pv"))
 def flash_attention_packed(
     q: jax.Array,  # [B, S, H·D] head-major packed (projection layout)
     k: jax.Array,
@@ -118,6 +147,7 @@ def flash_attention_packed(
     mask: jax.Array | None = None,  # additive, [1, 1, S, S] or [S, S]
     fast_softmax: bool = False,
     interpret: bool = False,
+    quant_pv: bool = False,
 ) -> jax.Array:
     """Fused attention consuming the projection layout directly.
 
@@ -154,10 +184,16 @@ def flash_attention_packed(
         if m.ndim == 4 and m.shape[0] == b and b > 1 and m.shape[1] == 1 \
                 and m.shape[2] == 1:
             maskkey = m[:, 0, :, :].astype(jnp.float32)  # [B, 1, S]
-        elif m.ndim in (2, 4):
+        elif m.ndim == 2 and m.shape == (s, s):
+            mask2d = m.astype(jnp.float32)
+        elif m.ndim == 4 and m.shape[0] == 1 and m.shape[1] == 1 \
+                and m.shape[2] in (1, s) and m.shape[3] == s:
             mask2d = jnp.broadcast_to(
                 m, (1, 1, s, s))[0, 0].astype(jnp.float32)
         else:
+            # e.g. a per-batch full [B,1,S,S] mask with B>1 — not a layout
+            # this kernel supports; fail with the shape, not a broadcast
+            # error from inside jnp.broadcast_to
             raise ValueError(f"unsupported mask shape {m.shape}")
 
     data_spec = pl.BlockSpec((1, s, gd), lambda i, j: (i, 0, j),
@@ -167,7 +203,8 @@ def flash_attention_packed(
     if mask2d is None and maskkey is None:
         def kernel(q_ref, k_ref, v_ref, o_ref):
             _packed_kernel(q_ref, k_ref, v_ref, o_ref, g=g, d=d, scale=scale,
-                           fast_softmax=fast_softmax, mask_ref=None)
+                           fast_softmax=fast_softmax, mask_ref=None,
+                           quant_pv=quant_pv)
     else:
         shared_mask = mask2d is not None
 
@@ -175,7 +212,8 @@ def flash_attention_packed(
             # shared: [S, S]; per-batch: [1, S] (broadcasts over query rows)
             mval = m_ref[:] if shared_mask else m_ref[0]
             _packed_kernel(q_ref, k_ref, v_ref, o_ref, g=g, d=d, scale=scale,
-                           fast_softmax=fast_softmax, mask_ref=mval)
+                           fast_softmax=fast_softmax, mask_ref=mval,
+                           quant_pv=quant_pv)
 
         if mask2d is not None:
             in_specs = in_specs + [

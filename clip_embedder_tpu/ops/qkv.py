@@ -29,10 +29,24 @@ from jax.experimental.pallas import tpu as pltpu
 
 Params = dict
 
-# Combined q/k/v weight bytes that may sit resident in VMEM (16 MB/core,
-# minus row tiles and double-buffering headroom). Width ≤ 1408 fits; the
-# giant-opt towers (W=1536) fall back to the unfused path.
+# Combined q/k/v weight bytes that may sit resident in VMEM per grid step
+# (16 MB/core, minus row tiles and double-buffering headroom). Widths whose
+# full q/k/v set exceeds this stream column slabs instead: the grid gains a
+# leading chunk dimension and each step holds [W, W/nc] slices of all three
+# matrices (so W=1536 giant-opt towers ride the fused path too, 2 slabs).
 _VMEM_WEIGHT_BUDGET = 12 * 1024 * 1024
+_MAX_WEIGHT_CHUNKS = 4
+
+
+def _pick_chunks(width: int, itemsize: int) -> int | None:
+    """Smallest column-chunk count keeping the per-step q/k/v slab bytes in
+    budget, with 128-lane-aligned slab widths. None = no valid chunking."""
+    for nc in range(1, _MAX_WEIGHT_CHUNKS + 1):
+        if width % (nc * 128) != 0:
+            continue
+        if 3 * width * (width // nc) * itemsize <= _VMEM_WEIGHT_BUDGET:
+            return nc
+    return None
 
 
 def _kernel(x_ref, g_ref, b_ref, wq_ref, bq_ref, wk_ref, bk_ref,
@@ -57,10 +71,11 @@ def _kernel(x_ref, g_ref, b_ref, wq_ref, bq_ref, wk_ref, bk_ref,
 
 def fits_fused_qkv(params: Params, width: int) -> bool:
     """Static eligibility: unquantized square projections on a TPU backend,
-    lane-aligned width, weights within the VMEM budget."""
+    lane-aligned width, and a column chunking that keeps each grid step's
+    weight slabs within the VMEM budget."""
     if jax.default_backend() != "tpu" or width % 128 != 0:
         return False
-    total = 0
+    itemsize = None
     for name in ("q", "k", "v"):
         p = params.get(name)
         if not isinstance(p, dict) or "w_q" in p or "w" not in p:
@@ -68,8 +83,8 @@ def fits_fused_qkv(params: Params, width: int) -> bool:
         w = p["w"]
         if w.ndim != 2 or w.shape != (width, width):
             return False
-        total += w.size * w.dtype.itemsize
-    return total <= _VMEM_WEIGHT_BUDGET
+        itemsize = w.dtype.itemsize
+    return _pick_chunks(width, itemsize) is not None
 
 
 def _kernel_int8(x_ref, g_ref, b_ref, wq_ref, sq_ref, bq_ref,
@@ -100,11 +115,10 @@ def _kernel_int8(x_ref, g_ref, b_ref, wq_ref, sq_ref, bq_ref,
 
 def fits_fused_qkv_int8(params: Params, width: int) -> bool:
     """int8 variant eligibility: quantized square projections, TPU backend,
-    lane-aligned width (weights are int8 — 3·W² bytes, always well under
-    the VMEM budget for supported widths)."""
+    lane-aligned width, chunkable within the VMEM budget (int8 weights are
+    3·W² bytes — one slab up to W=2048)."""
     if jax.default_backend() != "tpu" or width % 128 != 0:
         return False
-    total = 0
     for name in ("q", "k", "v"):
         p = params.get(name)
         if not isinstance(p, dict) or "w_q" not in p:
@@ -112,8 +126,7 @@ def fits_fused_qkv_int8(params: Params, width: int) -> bool:
         w = p["w_q"]
         if w.ndim != 2 or w.shape != (width, width):
             return False
-        total += w.size
-    return total <= _VMEM_WEIGHT_BUDGET
+    return _pick_chunks(width, 1) is not None
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
@@ -147,21 +160,29 @@ def ln_qkv_int8(params: Params, pre_ln: Params, x: jax.Array, *,
     if rp != rows:
         x2 = jnp.pad(x2, ((0, rp - rows), (0, 0)))
 
-    row_spec = pl.BlockSpec((tile, w), lambda i: (i, 0),
+    nc = _pick_chunks(w, 1)
+    wc = w // nc
+    # chunk dim outer, row tiles inner: each weight slab loads once and
+    # stays resident while the row tiles stream past it
+    row_spec = pl.BlockSpec((tile, w), lambda j, i: (i, 0),
                             memory_space=pltpu.VMEM)
-    const_vec = pl.BlockSpec((1, w), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-    const_mat = pl.BlockSpec((w, w), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
+    ln_vec = pl.BlockSpec((1, w), lambda j, i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    slab_vec = pl.BlockSpec((1, wc), lambda j, i: (0, j),
+                            memory_space=pltpu.VMEM)
+    slab_mat = pl.BlockSpec((w, wc), lambda j, i: (0, j),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile, wc), lambda j, i: (i, j),
+                            memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
         functools.partial(_kernel_int8, eps=eps),
         out_shape=tuple(
             jax.ShapeDtypeStruct((rp, w), x.dtype) for _ in range(3)),
-        grid=(rp // tile,),
-        in_specs=[row_spec, const_vec, const_vec]
-                 + [const_mat, const_vec, const_vec] * 3,
-        out_specs=(row_spec, row_spec, row_spec),
+        grid=(nc, rp // tile),
+        in_specs=[row_spec, ln_vec, ln_vec]
+                 + [slab_mat, slab_vec, slab_vec] * 3,
+        out_specs=(out_spec, out_spec, out_spec),
         compiler_params=pltpu.CompilerParams(
             # resident weights + double-buffered row tiles pass the 16 MB
             # scoped default at W=1280 (ViT-H)
@@ -169,7 +190,7 @@ def ln_qkv_int8(params: Params, pre_ln: Params, x: jax.Array, *,
         ),
         cost_estimate=pl.CostEstimate(
             flops=3 * 2 * rp * w * w,
-            bytes_accessed=rp * w * 2 * 4 + 3 * w * w,
+            bytes_accessed=nc * rp * w * 2 + rp * w * 3 * 2 + 3 * w * w,
             transcendentals=0,
         ),
         interpret=interpret,
@@ -177,15 +198,19 @@ def ln_qkv_int8(params: Params, pre_ln: Params, x: jax.Array, *,
     return tuple(o[:rows].reshape(orig_shape) for o in outs)
 
 
-@functools.partial(jax.jit, static_argnames=("eps", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("eps", "interpret", "_tile", "_nc"))
 def ln_qkv(params: Params, pre_ln: Params, x: jax.Array, *,
-           eps: float = 1e-6,
-           interpret: bool = False) -> tuple[jax.Array, jax.Array, jax.Array]:
+           eps: float = 1e-6, interpret: bool = False,
+           _tile: int | None = None, _nc: int | None = None,
+           ) -> tuple[jax.Array, jax.Array, jax.Array]:
     """Fused LayerNorm + q/k/v projections.
 
     ``params``: {"q","k","v"} linear pytrees ({"w": [W, W], "b"?});
     ``pre_ln``: {"scale","bias"}; ``x``: [..., W] (bf16/f32).
     Returns (q, k, v), each shaped like x.
+    ``_tile``/``_nc`` override the row-tile size / weight-chunk count
+    (benchmark-sweep knobs; production callers leave them None).
     """
     w = x.shape[-1]
     g = pre_ln["scale"].astype(jnp.float32).reshape(1, w)
@@ -202,33 +227,41 @@ def ln_qkv(params: Params, pre_ln: Params, x: jax.Array, *,
     orig_shape = x.shape
     rows = x.size // w
     x2 = x.reshape(rows, w)
-    tile = 256 if rows % 256 == 0 else 128
+    tile = _tile or (256 if rows % 256 == 0 else 128)
     rp = (rows + tile - 1) // tile * tile
     if rp != rows:
         x2 = jnp.pad(x2, ((0, rp - rows), (0, 0)))
 
-    row_spec = pl.BlockSpec((tile, w), lambda i: (i, 0),
+    nc = _nc or _pick_chunks(w, weights[0].dtype.itemsize)
+    wc = w // nc
+    # chunk dim outer, row tiles inner (see ln_qkv_int8): W=1536 streams
+    # two [W, W/2] slabs per matrix; W≤1408 keeps the single-slab layout
+    row_spec = pl.BlockSpec((tile, w), lambda j, i: (i, 0),
                             memory_space=pltpu.VMEM)
-    const_vec = pl.BlockSpec((1, w), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
-    const_mat = pl.BlockSpec((w, w), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)
+    ln_vec = pl.BlockSpec((1, w), lambda j, i: (0, 0),
+                          memory_space=pltpu.VMEM)
+    slab_vec = pl.BlockSpec((1, wc), lambda j, i: (0, j),
+                            memory_space=pltpu.VMEM)
+    slab_mat = pl.BlockSpec((w, wc), lambda j, i: (0, j),
+                            memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((tile, wc), lambda j, i: (i, j),
+                            memory_space=pltpu.VMEM)
 
     outs = pl.pallas_call(
         functools.partial(_kernel, eps=eps),
         out_shape=tuple(
             jax.ShapeDtypeStruct((rp, w), x.dtype) for _ in range(3)),
-        grid=(rp // tile,),
-        in_specs=[row_spec, const_vec, const_vec,
-                  const_mat, const_vec, const_mat, const_vec,
-                  const_mat, const_vec],
-        out_specs=(row_spec, row_spec, row_spec),
+        grid=(nc, rp // tile),
+        in_specs=[row_spec, ln_vec, ln_vec,
+                  slab_mat, slab_vec, slab_mat, slab_vec,
+                  slab_mat, slab_vec],
+        out_specs=(out_spec, out_spec, out_spec),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=32 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=3 * 2 * rp * w * w,
-            bytes_accessed=rp * w * 2 * 4 + 3 * w * w * 2,
+            bytes_accessed=nc * rp * w * 2 + rp * w * 3 * 2 + 3 * w * w * 2,
             transcendentals=0,
         ),
         interpret=interpret,

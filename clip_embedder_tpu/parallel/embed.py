@@ -81,14 +81,17 @@ def _sharded_vision_forward(spec, attn_impl: str, mesh: Mesh,
 def _sharded_text_forward(spec, attn_impl: str, mesh: Mesh):
     batch_spec = NamedSharding(mesh, P(DATA_AXIS))
 
-    def forward(params, ids):
+    def forward(params, ids, mask):
         from ..text import _jitted_text_forward
 
-        return _jitted_text_forward(spec, attn_impl)(params, ids)
+        # the tokenizer-produced mask is authoritative (see text.py:75-80):
+        # dropping it here would let hf_bert towers re-derive a mask from
+        # cfg.pad_id, which can differ from the resolved tokenizer pad id
+        return _jitted_text_forward(spec, attn_impl)(params, ids, mask)
 
     return jax.jit(
         forward,
-        in_shardings=(None, batch_spec),
+        in_shardings=(None, batch_spec, batch_spec),
         out_shardings=batch_spec,
     )
 
@@ -150,11 +153,12 @@ class ShardedTextEmbedder:
     def embed_texts(self, texts: Sequence[str]) -> np.ndarray:
         if len(texts) == 0:
             raise InferenceError("Empty batch")
-        ids, _ = self.inner.tokenize(texts)
+        ids, mask = self.inner.tokenize(texts)
         bb = _batch_bucket(len(texts), self.mesh.shape[DATA_AXIS])
         if bb != ids.shape[0]:
             pad = np.full((bb - ids.shape[0], ids.shape[1]),
                           self.inner.pad_id, np.int32)
             ids = np.concatenate([ids, pad], axis=0)
-        embs = self._forward(self.params, jnp.asarray(ids))
+            mask = np.concatenate([mask, np.zeros_like(pad)], axis=0)
+        embs = self._forward(self.params, jnp.asarray(ids), jnp.asarray(mask))
         return np.asarray(embs[: len(texts)].astype(jnp.float32))

@@ -80,7 +80,9 @@ def init_distributed(**kwargs) -> None:
         get_logger().info("distributed init skipped: %s", e)
 
 
-def select_platform(preferences: list[str] | None = None) -> str:
+def select_platform(
+    preferences: list[str] | None = None, *, strict: bool = False
+) -> str:
     """Ordered platform preference with fallback — the analog of the
     reference's ordered execution-provider list (reference: src/lib.rs:90-93:
     each EP tried in order, falling back to CPU).
@@ -89,11 +91,15 @@ def select_platform(preferences: list[str] | None = None) -> str:
     ``jax.config.update("jax_platforms", ...)``, which takes effect even
     after backend init) and returns its name. If none of the preferred
     platforms is available, the default platform is left in place and its
-    name returned.
+    name returned — unless ``strict=True``, which raises ``DeviceError``
+    instead (the ``.error_on_failure()`` analog, reference:
+    examples/debug_local.rs:57,60: an EP misconfiguration fails loudly
+    rather than silently landing on a slow fallback).
     """
     import jax
 
     preferences = preferences or ["tpu", "cpu"]
+    prev = jax.config.jax_platforms
     for pref in preferences:
         try:
             jax.config.update("jax_platforms", pref)
@@ -102,5 +108,13 @@ def select_platform(preferences: list[str] | None = None) -> str:
                 return pref
         except RuntimeError:
             continue
-    jax.config.update("jax_platforms", None)
+    # restore whatever was pinned on entry (not None: a caller-forced
+    # platform must survive a failed preference sweep)
+    jax.config.update("jax_platforms", prev)
+    if strict:
+        raise DeviceError(
+            f"None of the preferred platforms {preferences} initialized; "
+            "strict platform selection refuses the silent fallback "
+            "(reference: examples/debug_local.rs:57 error_on_failure)"
+        )
     return jax.devices()[0].platform

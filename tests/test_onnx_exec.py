@@ -310,6 +310,38 @@ def test_pad_reflect_and_ceil_mode_pool(tmp_path):
     np.testing.assert_allclose(got, ref, atol=1e-6)
 
 
+def test_avgpool_ceil_mode_count_include_pad_divisor(tmp_path):
+    """AveragePool with ceil_mode + count_include_pad: torch counts the
+    explicit padding in the divisor but NOT the ceil-mode extension
+    (advisor finding: a flat prod(kernel) divisor made boundary-window
+    averages too small)."""
+    # 10×10 input, k=3 s=2 p=1: span 12 → floor gives 5 windows, ceil 6 —
+    # the 6th row/col of windows overhangs into the ceil extension
+    model = nn.AvgPool2d(3, stride=2, padding=1, ceil_mode=True,
+                         count_include_pad=True).eval()
+    x = torch.randn(2, 3, 10, 10)
+    path = tmp_path / "avgceil.onnx"
+    export(model, x, path)
+    with torch.no_grad():
+        ref = model(x).numpy()
+    got = run_tower(path, {"input": jnp.asarray(x.numpy())})
+    assert got.shape == ref.shape == (2, 3, 6, 6)
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
+def test_avgpool_ceil_mode_exclude_pad(tmp_path):
+    """Same geometry with count_include_pad=False (the counts path)."""
+    model = nn.AvgPool2d(3, stride=2, padding=1, ceil_mode=True,
+                         count_include_pad=False).eval()
+    x = torch.randn(1, 2, 10, 10)
+    path = tmp_path / "avgceil2.onnx"
+    export(model, x, path)
+    with torch.no_grad():
+        ref = model(x).numpy()
+    got = run_tower(path, {"input": jnp.asarray(x.numpy())})
+    np.testing.assert_allclose(got, ref, atol=1e-6)
+
+
 def test_pad_unsupported_mode_raises(tmp_path):
     """An exotic Pad mode must raise WeightError, not silently zero-pad
     (the module's unsupported-op contract)."""
