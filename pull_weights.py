@@ -29,6 +29,11 @@ CONFIG_FILES = (
     "tokenizer.json",
     "tokenizer_config.json",
     "special_tokens_map.json",
+    # carried over from the source repo like the reference exporter does
+    # (reference: pull_onnx.py:43-50) — the upstream model card is rewritten
+    # with this framework's usage header, keeping its frontmatter/content
+    "README.md",
+    ".gitattributes",
 )
 CHECKPOINT_CANDIDATES = (
     "open_clip_model.safetensors",
@@ -169,13 +174,9 @@ def run_pull(repo_id: str, base_output_dir: Path) -> Path:
     return out
 
 
-def write_model_readme(model_dir: Path, repo_id: str) -> None:
-    """Write a usage README into the converted model dir (the analog of the
-    reference exporter's README rewrite — reference: pull_onnx.py:184-248,
-    which injects a Rust usage snippet; here the snippet is this
-    framework's Python API)."""
+def _usage_header(model_dir: Path, repo_id: str) -> str:
     name = repo_id.split("/", 1)[-1]
-    (model_dir / "README.md").write_text(f"""# {name} — clip_embedder_tpu model dir
+    return f"""# {name} — clip_embedder_tpu model dir
 
 Converted from [`{repo_id}`](https://huggingface.co/{repo_id}) by
 `pull_weights.py`. Serve it with the TPU-native framework:
@@ -196,7 +197,35 @@ for label, prob in results:
 Contents follow the reference model-dir contract
 (`open_clip_config.json`, `model_config.json`, `tokenizer.json`, …) plus
 native `visual.npz`/`text.npz` weight pytrees.
-""")
+
+---
+"""
+
+
+def write_model_readme(model_dir: Path, repo_id: str) -> None:
+    """Write or rewrite the model dir's README (the analog of the reference
+    exporter's _modify_readme — reference: pull_onnx.py:184-248): keep the
+    upstream model card's YAML frontmatter (minus ``library_name:``, which
+    would mislabel the dir) and body, and inject this framework's usage
+    header between them. When the source repo carried no README, the header
+    alone becomes the model card."""
+    readme = model_dir / "README.md"
+    header = _usage_header(model_dir, repo_id)
+    if not readme.is_file():
+        readme.write_text(header)
+        return
+    content = readme.read_text(encoding="utf-8")
+    if content.startswith("---"):
+        parts = content.split("---", 2)
+        if len(parts) >= 3:
+            frontmatter = "\n".join(
+                line for line in parts[1].splitlines()
+                if not line.strip().startswith("library_name:")
+            ).strip("\n")
+            readme.write_text(
+                f"---\n{frontmatter}\n---\n\n{header}\n{parts[2].lstrip()}")
+            return
+    readme.write_text(header + "\n" + content)
 
 
 def _inject_hf_text_config(out: Path, occ: dict) -> None:

@@ -123,3 +123,36 @@ def test_write_model_readme(tmp_path):
     assert "Some-Model" in text and "from clip_embedder_tpu import Clip" in text
     block = re.search(r"```python\n(.*?)```", text, flags=re.S).group(1)
     ast.parse(block)  # the snippet must at least be valid python
+
+
+def test_write_model_readme_preserves_upstream_card(tmp_path):
+    """When the source repo's README was carried over (reference:
+    pull_onnx.py:43-50 copies it, :184-248 rewrites it), the rewrite keeps
+    the upstream frontmatter minus library_name and the upstream body,
+    injecting the usage header between them."""
+    from pull_weights import write_model_readme
+
+    (tmp_path / "README.md").write_text(
+        "---\nlicense: apache-2.0\nlibrary_name: open_clip\ntags:\n- clip\n"
+        "---\n\n# Upstream card\n\nOriginal model description.\n")
+    write_model_readme(tmp_path, "someorg/Some-Model")
+    text = (tmp_path / "README.md").read_text()
+    assert text.startswith("---\nlicense: apache-2.0\ntags:\n- clip\n---\n")
+    assert "library_name" not in text
+    assert "from clip_embedder_tpu import Clip" in text
+    assert "Original model description." in text
+    # header comes before the upstream body
+    assert text.index("clip_embedder_tpu model dir") < text.index(
+        "# Upstream card")
+
+
+def test_write_model_readme_no_frontmatter(tmp_path):
+    """An upstream README without YAML frontmatter is kept below the
+    injected header."""
+    from pull_weights import write_model_readme
+
+    (tmp_path / "README.md").write_text("# Plain card\n\nBody text.\n")
+    write_model_readme(tmp_path, "someorg/Other")
+    text = (tmp_path / "README.md").read_text()
+    assert "from clip_embedder_tpu import Clip" in text
+    assert "Body text." in text
