@@ -1,0 +1,168 @@
+"""End-to-end from .onnx files: a torch-exported miniature ONNX model dir
+(the reference's published-dir format — visual.onnx/text.onnx with the L2
+normalize baked into the graphs, reference: pull_onnx.py:53-68,159-181)
+flows through ``Clip.from_local_dir`` — in-place ONNX→npz conversion,
+tokenizer, JPEG decode, preprocess, towers, scoring — and the resulting
+classification must agree with the full torch pipeline run on the same
+files. This is the reference's headline behavioral claim ("verified equal
+embedding outputs", reference: README.md:147-148) exercised from actual
+``.onnx`` bytes rather than fixtures built inside the framework.
+"""
+
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+from torch import nn
+
+from PIL import Image
+
+sys.path.insert(0, str(Path(__file__).parent))
+
+from test_onnx_exec import export  # noqa: E402  (installs the export shim)
+from test_tokenizer import make_clip_style_spec  # noqa: E402
+from torch_ref import TextTransformer, VisionTransformer  # noqa: E402
+
+IMG, PATCH, W, LAYERS, HEADS, MLP, EMBED, CTX = 32, 8, 64, 2, 4, 256, 32, 12
+MEAN = [0.48145466, 0.4578275, 0.40821073]
+STD = [0.26862954, 0.26130258, 0.27577711]
+LOGIT_SCALE = 100.0
+
+
+class _NormalizedVisual(nn.Module):
+    """The reference exporter's VisualWrapper (pull_onnx.py:53-59):
+    encode_image with normalize=True baked into the graph."""
+
+    def __init__(self, tower):
+        super().__init__()
+        self.visual = tower
+
+    def forward(self, pixels):
+        return F.normalize(self.visual(pixels), dim=-1)
+
+
+class _NormalizedText(nn.Module):
+    def __init__(self, tower):
+        super().__init__()
+        self.text = tower
+
+    def forward(self, ids):
+        return F.normalize(self.text(ids), dim=-1)
+
+
+@pytest.fixture(scope="module")
+def onnx_model_dir(tmp_path_factory):
+    """Build the miniature ONNX model dir: both towers exported with
+    torch.onnx opset 18 + the full config/tokenizer file set."""
+    d = tmp_path_factory.mktemp("onnx_dir") / "mini-CLIP-ONNX"
+    d.mkdir()
+    torch.manual_seed(0)
+    vt = VisionTransformer(IMG, PATCH, W, LAYERS, HEADS, MLP, EMBED,
+                           quick_gelu=True).eval()
+    tt = TextTransformer(CTX, 512, W, HEADS, LAYERS, MLP, EMBED,
+                         quick_gelu=True).eval()
+    # make every parameter value-distinct: torch.onnx deduplicates
+    # identical initializers (fresh-init LN weights are all ones, MHA
+    # biases all zeros), which no trained checkpoint exhibits and which
+    # collapses the exported graph's parameter set
+    for m in (vt, tt):
+        with torch.no_grad():
+            for name, p in m.named_parameters():
+                if "ln" in name and name.endswith("weight"):
+                    p.add_(0.05 * torch.randn_like(p))
+                elif p.abs().sum() == 0 or (p == p.flatten()[0]).all():
+                    p.add_(0.02 * torch.randn_like(p))
+
+    export(_NormalizedVisual(vt), torch.randn(2, 3, IMG, IMG),
+           d / "visual.onnx", input_name="pixel_values",
+           output_name="image_embeds")
+    export(_NormalizedText(tt), torch.randint(0, 512, (2, CTX)),
+           d / "text.onnx", input_name="input_ids",
+           output_name="text_embeds")
+
+    spec_json = make_clip_style_spec()
+    occ = {
+        "model_cfg": {
+            "embed_dim": EMBED, "quick_gelu": True,
+            "vision_cfg": {"image_size": IMG, "layers": LAYERS, "width": W,
+                           "patch_size": PATCH, "head_width": W // HEADS},
+            "text_cfg": {"context_length": CTX, "vocab_size": 512,
+                         "width": W, "heads": HEADS, "layers": LAYERS},
+        },
+        "preprocess_cfg": {"mean": MEAN, "std": STD},
+    }
+    mcfg = {"tokenizer_needs_lowercase": True,
+            "activation_function": "softmax", "logit_scale": LOGIT_SCALE,
+            "logit_bias": 0.0, "pad_id": 0}
+    (d / "open_clip_config.json").write_text(json.dumps(occ))
+    (d / "model_config.json").write_text(json.dumps(mcfg))
+    (d / "tokenizer.json").write_text(json.dumps(spec_json))
+
+    jpg = d.parent / "photo.jpg"
+    rng = np.random.default_rng(3)
+    Image.fromarray(rng.integers(0, 255, (IMG, IMG, 3), np.uint8)).save(
+        jpg, "JPEG", quality=95)
+    return d, vt, tt, jpg
+
+
+def _torch_pipeline(vt, tt, jpg, ids):
+    """The upstream pipeline on the same files: PIL decode → normalize →
+    towers → scaled softmax (no resize: the JPEG is already IMG×IMG)."""
+    arr = np.asarray(Image.open(jpg).convert("RGB"), np.float32) / 255.0
+    arr = (arr - np.asarray(MEAN, np.float32)) / np.asarray(STD, np.float32)
+    pixels = torch.from_numpy(arr).permute(2, 0, 1)[None]
+    with torch.no_grad():
+        img = F.normalize(vt(pixels), dim=-1)
+        txt = F.normalize(tt(torch.from_numpy(ids.astype(np.int64))), dim=-1)
+        probs = torch.softmax(LOGIT_SCALE * img @ txt.T, dim=-1)[0]
+    return probs.numpy()
+
+
+def test_clip_from_onnx_dir_classifies_like_torch(onnx_model_dir):
+    d, vt, tt, jpg = onnx_model_dir
+    from clip_embedder_tpu import Clip
+
+    clip = Clip.from_local_dir(d)
+    # in-place conversion happened: the dir now carries native weights
+    assert (d / "visual.npz").is_file() and (d / "text.npz").is_file()
+
+    labels = ["a photo of a cat", "a photo of a dog", "the beignet!"]
+    got = clip.classify(jpg, labels)
+
+    ids, _ = clip.text.tokenize(labels)
+    ref = _torch_pipeline(vt, tt, jpg, np.asarray(ids))
+    ref_ranked = sorted(zip(labels, ref.tolist()), key=lambda t: -t[1])
+
+    assert [l for l, _ in got] == [l for l, _ in ref_ranked]
+    np.testing.assert_allclose([p for _, p in got],
+                               [p for _, p in ref_ranked], atol=1e-3)
+    assert abs(sum(p for _, p in got) - 1.0) < 1e-4
+
+
+def test_onnx_dir_embeddings_match_torch(onnx_model_dir):
+    """Embedding-level parity from the converted dir (the README claim) —
+    unit-norm vectors, cosine ≥ 1-1e-5 against torch on both towers."""
+    d, vt, tt, jpg = onnx_model_dir
+    from clip_embedder_tpu import Clip
+
+    clip = Clip.from_local_dir(d)
+    ve = clip.vision.embed_images([jpg])
+    arr = np.asarray(Image.open(jpg).convert("RGB"), np.float32) / 255.0
+    arr = (arr - np.asarray(MEAN, np.float32)) / np.asarray(STD, np.float32)
+    with torch.no_grad():
+        vref = F.normalize(
+            vt(torch.from_numpy(arr).permute(2, 0, 1)[None]), dim=-1).numpy()
+    assert float(ve[0] @ vref[0]) > 1 - 1e-5
+
+    texts = ["a cat", "the beignet, of 2 dogs!"]
+    te = clip.text.embed_texts(texts)
+    ids, _ = clip.text.tokenize(texts)
+    with torch.no_grad():
+        tref = F.normalize(
+            tt(torch.from_numpy(np.asarray(ids, np.int64))), dim=-1).numpy()
+    cos = (te * tref).sum(-1)
+    assert (cos > 1 - 1e-5).all()
