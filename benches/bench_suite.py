@@ -184,6 +184,15 @@ def bench_model(name: str, spec: dict, batch: int, attn_impl: str,
         embed_dim=t.get("embed", 512), causal=t["causal"], pool=t["pool"],
     )
     tparams = text_transformer.init(jax.random.key(1), tcfg, dtype=jnp.bfloat16)
+    if quant in ("int8", "int8_all"):
+        from clip_embedder_tpu.ops.quant import (DEFAULT_QUANT_PATHS,
+                                                 QUANT_PATHS_ALL,
+                                                 quantize_tree)
+
+        paths = QUANT_PATHS_ALL if quant == "int8_all" else DEFAULT_QUANT_PATHS
+        tparams = jax.tree.map(
+            jnp.asarray,
+            quantize_tree(jax.tree.map(np.asarray, tparams), paths=paths))
     ids = jnp.asarray(rng.integers(1, t["vocab"] - 1, (batch, t["ctx"])),
                       jnp.int32)
     text_fn = jax.jit(lambda p, i: text_transformer.apply(p, i, tcfg,

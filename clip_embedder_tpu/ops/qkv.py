@@ -71,8 +71,15 @@ def _kernel(x_ref, g_ref, b_ref, wq_ref, bq_ref, wk_ref, bk_ref,
 
 def fits_fused_qkv(params: Params, width: int) -> bool:
     """Static eligibility: unquantized square projections on a TPU backend,
-    lane-aligned width, and a column chunking that keeps each grid step's
-    weight slabs within the VMEM budget."""
+    lane-aligned width, and the full q/k/v set resident in one VMEM slab.
+
+    Widths needing column chunking (bf16 W=1536, gopt) stay on the unfused
+    XLA path: the chunked kernel was measured SLOWER there — v5e,
+    batch 8 × S 577, interleaved medians, RTT-corrected: unfused ~0.33 ms
+    vs chunked 0.42-0.46 ms across (tile, nc) ∈ {128,256,512}×{2,3} — the
+    second streaming pass over x plus the per-chunk LN recompute costs more
+    than the fusion saves once the weights no longer fit. The chunked grid
+    stays available via ``ln_qkv(_nc=...)`` for re-measurement."""
     if jax.default_backend() != "tpu" or width % 128 != 0:
         return False
     itemsize = None
@@ -84,7 +91,7 @@ def fits_fused_qkv(params: Params, width: int) -> bool:
         if w.ndim != 2 or w.shape != (width, width):
             return False
         itemsize = w.dtype.itemsize
-    return _pick_chunks(width, itemsize) is not None
+    return _pick_chunks(width, itemsize) == 1
 
 
 def _kernel_int8(x_ref, g_ref, b_ref, wq_ref, sq_ref, bq_ref,
@@ -126,7 +133,9 @@ def fits_fused_qkv_int8(params: Params, width: int) -> bool:
         w = p["w_q"]
         if w.ndim != 2 or w.shape != (width, width):
             return False
-    return _pick_chunks(width, 1) is not None
+    # same single-slab gating as the bf16 path (chunked streaming measured
+    # slower there; no real open_clip width exceeds 2048 anyway)
+    return _pick_chunks(width, 1) == 1
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
