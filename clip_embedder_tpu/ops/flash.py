@@ -69,10 +69,13 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, g: int, d: int,
     of the softmax weights — they are non-negative with a known row max —
     and per-column dynamic quant of v), the last bf16 matmuls under
     ``int8_all``. The softmax denominator stays f32, so normalization is
-    exact; only the weighted sum quantizes. Measured on v5e (see
-    BENCH_RESULTS.md): the extra VPU quant passes cost more than the int8
-    MXU saves on this VPU-bound kernel, so it is OFF in every preset and
-    kept as the measured record of that experiment.
+    exact; only the weighted sum quantizes. Measured on v5e at SO400M
+    shapes (S=576, 16×72, interleaved medians, RTT-corrected): 0.147 →
+    0.337 ms at batch 8, 0.610 → 1.319 ms at batch 32 — 2.2× SLOWER. The
+    kernel is VPU-bound and the per-row p quantization adds two more
+    [S, S] VPU passes (row max + round/clip) that dwarf the int8 MXU
+    saving, so it is OFF in every preset and kept as the executable
+    record of that experiment (BENCH_RESULTS.md round 3).
     """
     q = q_ref[0]
     k = k_ref[0]
