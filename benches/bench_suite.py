@@ -64,6 +64,16 @@ MODELS: dict[str, dict] = {
                   mlp=3072, causal=True, pool="argmax", embed=768),
         baseline_vision_ms=192.0, baseline_text_ms=38.0,
     ),
+    # PE-Core-bigG-14-448 (reference tested-model list: README.md:145) —
+    # native rope_2d ViT tower; the reference publishes no timing for it,
+    # so there is no vs_baseline column. Off by default (--models to run):
+    # at 50 layers × W1536 × 1025 tokens it is the largest tower here.
+    "pe_core_bigg_448": dict(
+        kind="pe", image=448, patch=14, width=1536, layers=50, heads=16,
+        mlp=8960, embed=1280, default=False,
+        text=dict(ctx=72, vocab=49408, width=1280, heads=20, layers=24,
+                  mlp=5120, causal=True, pool="argmax", embed=1280),
+    ),
 }
 
 
@@ -116,7 +126,23 @@ def bench_model(name: str, spec: dict, batch: int, attn_impl: str,
     image = spec["image"]
 
     # --- vision tower ---
-    if spec["kind"] == "vit":
+    if spec["kind"] == "pe":
+        # PE-Core: cls token + abs pos + 2-D axial rope + MAP pool (8
+        # heads, ratio-4 MLP) + projection (models/build._parse_pe_core)
+        vcfg = ViTCfg(
+            image_size=image, patch_size=spec["patch"], width=spec["width"],
+            layers=spec["layers"], heads=spec["heads"],
+            mlp_hidden=spec["mlp"], embed_dim=spec["embed"],
+            activation="gelu", use_class_token=True, use_ln_pre=True,
+            pool="map", use_proj=True, ln_eps=1e-5, pos_embed_cls=True,
+            rope_2d=True, pool_heads=8, pool_mlp_hidden=4 * spec["width"],
+        )
+        vparams = vit.init(jax.random.key(0), vcfg, dtype=jnp.bfloat16)
+        vision_fn = jax.jit(lambda p, x: vit.apply(p, x, vcfg,
+                                                   attn_impl=attn_impl,
+                                                   channels_first=True))
+        pre_layout = "nchw"
+    elif spec["kind"] == "vit":
         is_map = spec["pool"] == "map"
         vcfg = ViTCfg(
             image_size=image, patch_size=spec["patch"], width=spec["width"],
@@ -209,7 +235,10 @@ def bench_model(name: str, spec: dict, batch: int, attn_impl: str,
 
 def main():
     parser = argparse.ArgumentParser()
-    parser.add_argument("--models", default=",".join(MODELS))
+    parser.add_argument(
+        "--models",
+        default=",".join(n for n, s in MODELS.items()
+                         if s.get("default", True)))
     parser.add_argument("--batch", type=int, default=32)
     parser.add_argument("--attn", default="pallas",
                         choices=["xla", "pallas", "pallas_fast"])

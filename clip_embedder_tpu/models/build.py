@@ -21,6 +21,23 @@ from ..errors import ConfigError
 from .text_transformer import TextCfgResolved
 from .vit import ViTCfg
 
+# PE-Core (Meta Perception Encoder, timm vit_pe_core_*): width, layers,
+# heads, mlp_hidden per size name. Reconstructed from the published
+# perception_models architecture (CLIP-lineage pre-LN blocks + 2-D axial
+# rope + MAP attention pooling); no independent in-env anchor exists for
+# the dims — wrong dims fail loudly at weight load, and every field is
+# overridable via vision_cfg.extra["pe_cfg"]. Evidence level tracked in
+# COMPONENTS.md; reference runs this family only as an ONNX graph
+# (reference README.md:145, timm/PE-Core-bigG-14-448).
+_PE_CORE_SIZES: dict[str, tuple[int, int, int, int]] = {
+    "base": (768, 12, 12, 3072),
+    "large": (1024, 24, 16, 4096),
+    "gigantic": (1536, 50, 16, 8960),
+    "bigg": (1536, 50, 16, 8960),
+}
+
+_warned_pe: set = set()
+
 # width, layers, heads, mlp_hidden for timm ViT size names.
 _TIMM_VIT_SIZES: dict[str, tuple[int, int, int, int]] = {
     "tiny": (192, 12, 3, 768),
@@ -117,6 +134,57 @@ def _parse_timm_vit(name: str, vcfg, embed_dim: int, timm_pool: str | None,
     )
 
 
+def _parse_pe_core(name: str, vcfg, embed_dim: int) -> ViTCfg:
+    """Resolve a PE-Core name (``vit_pe_core_gigantic_patch14_448``) into a
+    ViTCfg: ViT + cls token + learned abs pos embed + 2-D axial rope
+    (x-bands-first, ops.rope order="xy") + MAP pool (8 heads, ratio-4 MLP)
+    + linear projection. Structure per Meta's perception_models; every
+    field is overridable via ``vision_cfg.extra["pe_cfg"]``."""
+    size_key = next((k for k in _PE_CORE_SIZES if f"_{k}_" in name), None)
+    if size_key is None:
+        raise ConfigError(
+            f"Unsupported PE-Core variant '{name}' (supported sizes: "
+            f"{', '.join(sorted(set(_PE_CORE_SIZES)))})")
+    width, layers, heads, mlp_hidden = _PE_CORE_SIZES[size_key]
+    m = re.search(r"patch(\d+)", name)
+    if not m:
+        raise ConfigError(f"No patch size in timm model name '{name}'")
+    o = vcfg.extra.get("pe_cfg", {})
+    if name not in _warned_pe:
+        _warned_pe.add(name)
+        from ..utils.logging import get_logger
+
+        get_logger().warning(
+            "PE-Core tower '%s': structure reconstructed from the published "
+            "Perception Encoder architecture; dims/pool/rope conventions "
+            "have no independent in-env anchor (validate against a real "
+            "checkpoint when network is available; overrides via "
+            "vision_cfg.extra['pe_cfg']). See COMPONENTS.md.", name)
+    width = o.get("width", width)
+    return ViTCfg(
+        image_size=vcfg.image_size,
+        patch_size=int(m.group(1)),
+        width=width,
+        layers=o.get("layers", layers),
+        heads=o.get("heads", heads),
+        mlp_hidden=o.get("mlp_hidden", mlp_hidden),
+        embed_dim=embed_dim,
+        activation=o.get("activation", "gelu"),
+        use_class_token=o.get("use_class_token", True),
+        use_ln_pre=o.get("use_ln_pre", True),
+        pool=o.get("pool", "map"),
+        use_proj=o.get("use_proj", True),
+        proj_bias=False,
+        use_layer_scale=o.get("use_layer_scale", False),
+        ln_eps=o.get("ln_eps", 1e-5),
+        pos_embed_cls=o.get("pos_embed_cls", True),
+        rope_2d=True,
+        rope_temperature=o.get("rope_temperature", 10000.0),
+        pool_heads=o.get("pool_heads", 8),
+        pool_mlp_hidden=o.get("pool_mlp_hidden", 4 * width),
+    )
+
+
 def resolve_vision(model_cfg: ModelCfg) -> TowerSpec:
     """open_clip vision_cfg → TowerSpec."""
     v = model_cfg.vision_cfg
@@ -124,6 +192,8 @@ def resolve_vision(model_cfg: ModelCfg) -> TowerSpec:
 
     if v.timm_model_name:
         name = v.timm_model_name
+        if "_pe_core_" in name or name.startswith("pe_core"):
+            return TowerSpec("vit", _parse_pe_core(name, v, embed_dim))
         # EVA01 (eva_giant_*) is structurally a timm ViT: cls token, abs pos
         # embed, standard MLP — only the qkv bias layout differs (handled in
         # the weight mapper). EVA02 (eva02_*) has rope/SwiGLU: models.eva02.

@@ -39,6 +39,11 @@ from ..ops.attention import attention_core
 from ..ops.layers import layer_norm, linear
 from ..ops.normalize import l2_normalize
 
+# Shared with the PE-Core tower (ops.rope); aliased because the GPT-J
+# anchor test exercises the pair convention through this module.
+from ..ops.rope import apply_rope as _apply_rope
+from ..ops.rope import rotate_pairs as _rotate_pairs  # noqa: F401
+
 Params = dict
 
 
@@ -107,39 +112,12 @@ def rope_embed(grid: int, head_dim: int, temperature: float = 10000.0,
                ref_grid: int | None = None) -> np.ndarray:
     """Axial 2D rope angle table [grid², head_dim], timm
     ``RotaryEmbeddingCat(in_pixels=False)`` layout: per position the head
-    dim holds [y bands, x bands], each axis contributing head_dim/4
-    inverse-frequency bands duplicated into adjacent even/odd lanes
-    (``repeat_interleave(2, -1)``). ``ref_grid`` rescales the integer grid
-    coordinates to the pretrain feature grid (timm ref_feat_shape).
-    """
-    bands = head_dim // 4
-    inv_freq = 1.0 / (temperature ** (np.arange(bands) / bands))
-    coords = np.arange(grid, dtype=np.float64)
-    if ref_grid is not None:
-        coords = coords / grid * ref_grid
-    y_ang = np.einsum("y,f->yf", coords, inv_freq)  # [grid, bands]
-    x_ang = np.einsum("x,f->xf", coords, inv_freq)
-    yy = np.repeat(y_ang[:, None, :], grid, axis=1)   # [gy, gx, bands]
-    xx = np.repeat(x_ang[None, :, :], grid, axis=0)
-    ang_half = np.concatenate([yy, xx], axis=-1)      # [gy, gx, head_dim/2]
-    ang = np.repeat(ang_half, 2, axis=-1)             # adjacent-lane pairs
-    return ang.reshape(grid * grid, head_dim)
+    dim holds [y bands, x bands] (see ops.rope for the shared convention
+    family; PE-Core uses the same math with x bands first)."""
+    from ..ops.rope import axial_rope_table
 
-
-def _rotate_pairs(x: jax.Array) -> jax.Array:
-    """timm ``rot`` / GPT-J ``rotate_every_two``: (x0,x1,…) → (-x1,x0,…)."""
-    x_even = x[..., 0::2]
-    x_odd = x[..., 1::2]
-    return jnp.stack([-x_odd, x_even], axis=-1).reshape(x.shape)
-
-
-def _apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
-    """x: [B, H, N, D] patch tokens (no cls) with [N, D] tables — or the
-    packed [B, N, H·D] layout with head-tiled [N, H·D] tables (pair
-    rotation stays within heads because head offsets are even)."""
-    orig = x.dtype
-    x32 = x.astype(jnp.float32)
-    return (x32 * cos + _rotate_pairs(x32) * sin).astype(orig)
+    return axial_rope_table(grid, head_dim, temperature, order="yx",
+                            ref_grid=ref_grid)
 
 
 def apply(params: Params, pixels: jax.Array, cfg: Eva02Cfg, *,

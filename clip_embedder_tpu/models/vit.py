@@ -60,6 +60,14 @@ class ViTCfg:
     # tokens after the class token, excluded from gap pooling; whether they
     # carry pos-embed rows is inferred from the loaded table's length.
     reg_tokens: int = 0
+    # PE-Core (Meta Perception Encoder): 2-D axial rope on q/k, x bands
+    # first (ops.rope order="xy"), prefix tokens unrotated. The map-pool
+    # head of that family uses its own head count / MLP width (Meta
+    # AttentionPooling: 8 heads, ratio-4 MLP) — 0 means "same as tower".
+    rope_2d: bool = False
+    rope_temperature: float = 10000.0
+    pool_heads: int = 0
+    pool_mlp_hidden: int = 0
 
     @property
     def grid(self) -> int:
@@ -158,6 +166,7 @@ def init(key: jax.Array, cfg: ViTCfg, *, dtype=jnp.float32) -> Params:
 
     if cfg.pool == "map":
         kq, kk, kv, ko, kf, kp = jax.random.split(keys[4], 6)
+        pool_hidden = cfg.pool_mlp_hidden or cfg.mlp_hidden
         params["attn_pool"] = {
             "probe": (jax.random.normal(keys[5], (1, 1, cfg.width)) * 0.02).astype(dtype),
             "attn": {
@@ -168,8 +177,8 @@ def init(key: jax.Array, cfg: ViTCfg, *, dtype=jnp.float32) -> Params:
             },
             "ln": _init_ln(cfg.width, dtype),
             "mlp": {
-                "fc": _init_linear(kf, cfg.width, cfg.mlp_hidden, dtype=dtype),
-                "proj": _init_linear(kp, cfg.mlp_hidden, cfg.width, dtype=dtype),
+                "fc": _init_linear(kf, cfg.width, pool_hidden, dtype=dtype),
+                "proj": _init_linear(kp, pool_hidden, cfg.width, dtype=dtype),
             },
         }
     if cfg.use_proj:
@@ -197,7 +206,8 @@ def patchify(x: jax.Array, patch_size: int,
 
 
 def _block_forward(
-    cfg: ViTCfg, act: Callable, x: jax.Array, block: Params, *, impl: str
+    cfg: ViTCfg, act: Callable, x: jax.Array, block: Params, *, impl: str,
+    rope: tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     # ln1 passes through multi_head_attention so the Pallas path fuses it
     # with the q/k/v projections in-kernel (ops.qkv); without layer-scale
@@ -205,13 +215,13 @@ def _block_forward(
     if "ls1" in block:
         h = multi_head_attention(
             block["attn"], x, num_heads=cfg.heads, impl=impl,
-            pre_ln=block["ln1"], ln_eps=cfg.ln_eps,
+            pre_ln=block["ln1"], ln_eps=cfg.ln_eps, rope=rope,
         )
         x = x + h * block["ls1"]
     else:
         x = multi_head_attention(
             block["attn"], x, num_heads=cfg.heads, impl=impl,
-            pre_ln=block["ln1"], ln_eps=cfg.ln_eps, residual=x,
+            pre_ln=block["ln1"], ln_eps=cfg.ln_eps, residual=x, rope=rope,
         )
     # ln2 passes through mlp() so the quantized path fuses it in-kernel;
     # without layer-scale the residual add fuses into the kernel epilogue
@@ -230,7 +240,8 @@ def _map_pool(cfg: ViTCfg, act: Callable, params: Params, x: jax.Array) -> jax.A
     probe = jnp.broadcast_to(
         p["probe"].astype(x.dtype), (x.shape[0], 1, cfg.width)
     )
-    pooled = multi_head_attention(p["attn"], probe, kv=x, num_heads=cfg.heads)
+    pooled = multi_head_attention(p["attn"], probe, kv=x,
+                                  num_heads=cfg.pool_heads or cfg.heads)
     pooled = pooled + mlp(
         p["mlp"], layer_norm(p["ln"], pooled, eps=cfg.ln_eps), activation=act
     )
@@ -281,8 +292,19 @@ def apply(
     if cfg.use_ln_pre:
         x = layer_norm(params["ln_pre"], x, eps=cfg.ln_eps)
 
+    rope = None
+    if cfg.rope_2d:
+        from ..ops.rope import axial_rope_table, head_tiled_tables
+
+        # Meta compute_axial_cis: x bands first, raw integer coordinates,
+        # identity rows for the prefix (cls) tokens
+        ang = axial_rope_table(cfg.grid, cfg.head_dim, cfg.rope_temperature,
+                               order="xy", prefix=cfg.prefix_tokens)
+        rope = head_tiled_tables(ang, cfg.heads)
+
     def body(carry, block):
-        return _block_forward(cfg, act, carry, block, impl=attn_impl), None
+        return _block_forward(cfg, act, carry, block, impl=attn_impl,
+                              rope=rope), None
 
     if remat:
         body = jax.checkpoint(body)

@@ -78,12 +78,18 @@ def multi_head_attention(
     pre_ln: Params | None = None,
     ln_eps: float = 1e-6,
     residual: jax.Array | None = None,
+    rope: tuple[jax.Array, jax.Array] | None = None,
 ) -> jax.Array:
     """Full MHA block: [LayerNorm →] project → attend → merge → out-project.
 
     params: {"q","k","v","out"} each a linear pytree ({"w": [d, d'], "b"}).
     ``kv`` enables cross-attention (used by the SigLIP attention-pooling
     head, where a learned probe attends over patch tokens).
+
+    ``rope`` (optional ``(sin, cos)`` head-tiled [S, H·D] tables from
+    ops.rope) rotates q/k in the packed projection layout right after the
+    projections — 2-D axial rope for the PE-Core family; prefix tokens get
+    identity rows in the table rather than a concatenate/split here.
 
     ``pre_ln`` (optional {"scale","bias"}) applies the pre-attention
     LayerNorm as part of this call; on the Pallas path it fuses with the
@@ -124,6 +130,13 @@ def multi_head_attention(
         q = linear(params["q"], x)
         k = linear(params["k"], kv)
         v = linear(params["v"], kv)
+
+    if rope is not None:
+        from .rope import apply_rope
+
+        sin, cos = rope
+        q = apply_rope(q, sin, cos)
+        k = apply_rope(k, sin, cos)
 
     if impl in ("pallas", "pallas_fast") and q.shape == k.shape:
         from .flash import _head_group, flash_attention_packed

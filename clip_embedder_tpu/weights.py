@@ -227,6 +227,80 @@ def map_clip_visual(sd: Mapping[str, np.ndarray]) -> Params:
     return params
 
 
+def _pick(sd, *prefixes: str) -> str:
+    """First prefix with a ``.weight`` key present, else a loud error."""
+    for p in prefixes:
+        if f"{p}.weight" in sd:
+            return p
+    raise WeightError(
+        f"None of {prefixes} found in checkpoint (keys near: "
+        f"{sorted(k for k in sd if k.startswith(prefixes[0].split('.')[0]))[:8]})")
+
+
+def map_pe_visual(sd: Mapping[str, np.ndarray]) -> Params:
+    """Meta Perception Encoder (PE-Core) vision state dict → ViT pytree.
+
+    Meta naming (perception_models / CLIP lineage): ``conv1``,
+    ``class_embedding``, ``positional_embedding``, ``ln_pre``,
+    ``transformer.resblocks.N.{ln_1, attn.in_proj_*, attn.out_proj,
+    ls_1.gamma?, ln_2, mlp.c_fc, mlp.c_proj}``, ``ln_post``,
+    ``attn_pool.{probe, attn.in_proj_*, attn.out_proj, layernorm,
+    mlp.c_fc|fc1, mlp.c_proj|fc2}``, ``proj``. timm-converted dicts
+    (``blocks.N.attn.qkv`` style) route to map_timm_visual instead.
+    The reference runs this family only as an exported ONNX graph
+    (reference README.md:145)."""
+    sd = _select_prefix(strip_prefix(sd, "model."), "visual.")
+    n_blocks = _max_index(sd, r"transformer\.resblocks\.(\d+)\.ln_1\.weight")
+    blocks = []
+    for i in range(n_blocks):
+        prefix = f"transformer.resblocks.{i}"
+        block = _openclip_resblock(sd, prefix)
+        for ours, theirs in (("ls1", "ls_1"), ("ls2", "ls_2")):
+            if f"{prefix}.{theirs}.gamma" in sd:
+                block[ours] = np.asarray(sd[f"{prefix}.{theirs}.gamma"])
+        blocks.append(block)
+
+    pos = np.asarray(_get(sd, "positional_embedding"))
+    if pos.ndim == 2:
+        pos = pos[None]
+    params: Params = {
+        "patch_embed": {"w": _conv_to_patch(_get(sd, "conv1.weight"))},
+        "pos_embed": pos,
+        "blocks": _stack_blocks(blocks),
+        "ln_post": _ln(sd, "ln_post"),
+    }
+    if "conv1.bias" in sd:
+        params["patch_embed"]["b"] = np.asarray(sd["conv1.bias"])
+    if "class_embedding" in sd:
+        params["cls_token"] = np.asarray(sd["class_embedding"]).reshape(1, 1, -1)
+    if "ln_pre.weight" in sd:
+        params["ln_pre"] = _ln(sd, "ln_pre")
+
+    if "attn_pool.probe" in sd:
+        pool_attn = _split_qkv(
+            _get(sd, "attn_pool.attn.in_proj_weight"),
+            sd.get("attn_pool.attn.in_proj_bias"),
+        )
+        pool_attn["out"] = _linear(sd, "attn_pool.attn.out_proj")
+        params["attn_pool"] = {
+            "probe": np.asarray(sd["attn_pool.probe"]).reshape(1, 1, -1),
+            "attn": pool_attn,
+            "ln": _ln(sd, _pick(sd, "attn_pool.layernorm", "attn_pool.norm",
+                                "attn_pool.ln")),
+            "mlp": {
+                "fc": _linear(sd, _pick(sd, "attn_pool.mlp.c_fc",
+                                        "attn_pool.mlp.fc1")),
+                "proj": _linear(sd, _pick(sd, "attn_pool.mlp.c_proj",
+                                          "attn_pool.mlp.fc2")),
+            },
+        }
+    if "proj" in sd:
+        params["proj"] = {"w": np.asarray(sd["proj"])}  # stored [width, embed]
+    elif "proj.weight" in sd:
+        params["proj"] = _linear(sd, "proj")
+    return params
+
+
 def map_clip_text(sd: Mapping[str, np.ndarray]) -> Params:
     """Classic open_clip text transformer state dict → pytree.
 
@@ -360,6 +434,8 @@ def map_state_dict(
             if any(".trunk." in k or k.startswith("trunk.") or "blocks.0.norm1.weight" in k
                    for k in keys):
                 return map_timm_visual(sd)
+            if any(k.endswith("attn_pool.probe") for k in keys):
+                return map_pe_visual(sd)  # Meta PE-Core naming
             return map_clip_visual(sd)
         if family == "fastvit":
             from .models.fastvit import map_fastvit_visual

@@ -241,3 +241,154 @@ class TimmSiglipViT(nn.Module):
         x = self.norm(x)
         pooled = self.attn_pool(x)
         return F.normalize(pooled, dim=-1)
+
+
+# ---------------------------------------------------------------------------
+# Meta Perception Encoder (PE-Core): CLIP-lineage blocks + 2-D axial rope
+# (SAM2-style complex math — an independent route vs ops.rope's sin/cos
+# tables) + MAP attention pooling. Meta parameter naming (conv1,
+# class_embedding, transformer.resblocks.*, attn_pool.*, proj).
+# ---------------------------------------------------------------------------
+
+def compute_axial_cis(dim, end_x, end_y, theta=10000.0):
+    """SAM2/PE ``compute_axial_cis``: [end_x*end_y, dim/2] complex rotations,
+    x-axis bands first, raw integer grid coordinates."""
+    freqs = 1.0 / (theta ** (torch.arange(0, dim, 4)[: dim // 4].float() / dim))
+    t = torch.arange(end_x * end_y, dtype=torch.float32)
+    t_x = t % end_x
+    t_y = torch.div(t, end_x, rounding_mode="floor")
+    freqs_x = torch.outer(t_x, freqs)
+    freqs_y = torch.outer(t_y, freqs)
+    cis_x = torch.polar(torch.ones_like(freqs_x), freqs_x)
+    cis_y = torch.polar(torch.ones_like(freqs_y), freqs_y)
+    return torch.cat([cis_x, cis_y], dim=-1)
+
+
+def apply_rotary_cis(x, freqs_cis):
+    """x: [B, H, S, D]; freqs_cis: [S, D/2] complex. Adjacent-lane pairs
+    as complex numbers, rotated by complex multiply."""
+    x_ = torch.view_as_complex(x.float().reshape(*x.shape[:-1], -1, 2))
+    out = torch.view_as_real(x_ * freqs_cis).flatten(-2)
+    return out.type_as(x)
+
+
+class PEAttention(nn.Module):
+    """Packed-qkv self-attention with rope on q/k (Meta SelfAttention
+    naming: in_proj_weight / in_proj_bias / out_proj)."""
+
+    def __init__(self, width, heads):
+        super().__init__()
+        self.heads = heads
+        self.in_proj_weight = nn.Parameter(torch.empty(3 * width, width))
+        self.in_proj_bias = nn.Parameter(torch.zeros(3 * width))
+        self.out_proj = nn.Linear(width, width)
+        nn.init.normal_(self.in_proj_weight, std=width ** -0.5)
+
+    def forward(self, x, freqs_cis):
+        b, s, w = x.shape
+        qkv = F.linear(x, self.in_proj_weight, self.in_proj_bias)
+        q, k, v = qkv.chunk(3, dim=-1)
+        d = w // self.heads
+        q = q.view(b, s, self.heads, d).transpose(1, 2)
+        k = k.view(b, s, self.heads, d).transpose(1, 2)
+        v = v.view(b, s, self.heads, d).transpose(1, 2)
+        q = apply_rotary_cis(q, freqs_cis)
+        k = apply_rotary_cis(k, freqs_cis)
+        out = F.scaled_dot_product_attention(q, k, v)
+        out = out.transpose(1, 2).reshape(b, s, w)
+        return self.out_proj(out)
+
+
+class LayerScale(nn.Module):
+    def __init__(self, width, init=0.1):
+        super().__init__()
+        self.gamma = nn.Parameter(init * torch.ones(width))
+
+    def forward(self, x):
+        return x * self.gamma
+
+
+class PEBlock(nn.Module):
+    def __init__(self, width, heads, mlp_hidden, layer_scale=False):
+        super().__init__()
+        self.ln_1 = nn.LayerNorm(width)
+        self.attn = PEAttention(width, heads)
+        self.ln_2 = nn.LayerNorm(width)
+        self.mlp = nn.Sequential()
+        self.mlp.add_module("c_fc", nn.Linear(width, mlp_hidden))
+        self.mlp.add_module("gelu", nn.GELU())
+        self.mlp.add_module("c_proj", nn.Linear(mlp_hidden, width))
+        if layer_scale:
+            self.ls_1 = LayerScale(width)
+            self.ls_2 = LayerScale(width)
+        else:
+            self.ls_1 = nn.Identity()
+            self.ls_2 = nn.Identity()
+
+    def forward(self, x, freqs_cis):
+        x = x + self.ls_1(self.attn(self.ln_1(x), freqs_cis))
+        x = x + self.ls_2(self.mlp(self.ln_2(x)))
+        return x
+
+
+class PEAttentionPooling(nn.Module):
+    """big_vision MAP head as used by PE: learned probe, MHA, LN+MLP
+    residual (Meta naming: probe / attn / layernorm / mlp.c_fc|c_proj)."""
+
+    def __init__(self, width, heads, mlp_hidden):
+        super().__init__()
+        self.probe = nn.Parameter(0.02 * torch.randn(1, 1, width))
+        self.attn = nn.MultiheadAttention(width, heads, batch_first=True)
+        self.layernorm = nn.LayerNorm(width)
+        self.mlp = nn.Sequential()
+        self.mlp.add_module("c_fc", nn.Linear(width, mlp_hidden))
+        self.mlp.add_module("gelu", nn.GELU())
+        self.mlp.add_module("c_proj", nn.Linear(mlp_hidden, width))
+
+    def forward(self, x):
+        probe = self.probe.expand(x.shape[0], -1, -1)
+        y, _ = self.attn(probe, x, x, need_weights=False)
+        y = y + self.mlp(self.layernorm(y))
+        return y[:, 0]
+
+
+class PECoreViT(nn.Module):
+    """PE-Core visual tower (Meta perception_models structure)."""
+
+    def __init__(self, image_size, patch_size, width, layers, heads,
+                 mlp_hidden, embed_dim, pool_heads=8, pool_mlp_hidden=None,
+                 layer_scale=False):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, width, patch_size, patch_size, bias=False)
+        scale = width ** -0.5
+        grid = image_size // patch_size
+        self.class_embedding = nn.Parameter(scale * torch.randn(width))
+        self.positional_embedding = nn.Parameter(
+            scale * torch.randn(grid * grid + 1, width))
+        self.ln_pre = nn.LayerNorm(width)
+        self.transformer = nn.Module()
+        self.transformer.resblocks = nn.ModuleList(
+            PEBlock(width, heads, mlp_hidden, layer_scale)
+            for _ in range(layers))
+        self.ln_post = nn.LayerNorm(width)
+        self.attn_pool = PEAttentionPooling(
+            width, pool_heads, pool_mlp_hidden or 4 * width)
+        self.proj = nn.Parameter(scale * torch.randn(width, embed_dim))
+        cis = compute_axial_cis(width // heads, grid, grid)
+        self.register_buffer(
+            "freqs_cis",
+            torch.cat([torch.ones(1, cis.shape[-1], dtype=cis.dtype), cis]),
+            persistent=False)
+
+    def forward(self, x):
+        x = self.conv1(x)
+        x = x.reshape(x.shape[0], x.shape[1], -1).permute(0, 2, 1)
+        cls = self.class_embedding.to(x.dtype).expand(x.shape[0], 1, -1)
+        x = torch.cat([cls, x], dim=1)
+        x = x + self.positional_embedding
+        x = self.ln_pre(x)
+        for block in self.transformer.resblocks:
+            x = block(x, self.freqs_cis)
+        x = self.ln_post(x)
+        pooled = self.attn_pool(x)
+        return F.normalize(pooled @ self.proj, dim=-1)
