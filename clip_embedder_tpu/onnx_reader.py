@@ -562,30 +562,42 @@ def _structural_vit(g: OnnxGraph, cfg) -> dict:
     params["ln_post"] = _pull_ln(p, d)
 
     if cfg.pool == "map":
+        pool_hidden = cfg.pool_mlp_hidden or cfg.mlp_hidden
         probe = p.pull((1, 1, d), (d,), what="attn_pool probe")
-        pool_attn = {
-            "q": _pull_linear(p, d, d, what="pool q"),
-        }
-        kv = p.maybe((2 * d, d), (d, 2 * d))
-        if kv is not None:
-            w = kv if kv.shape == (2 * d, d) else kv.T
-            kvb = p.maybe((2 * d,))
-            pool_attn["k"] = {"w": np.ascontiguousarray(w[:d].T)}
-            pool_attn["v"] = {"w": np.ascontiguousarray(w[d:].T)}
-            if kvb is not None:
-                pool_attn["k"]["b"] = kvb[:d]
-                pool_attn["v"]["b"] = kvb[d:]
+        # Pool qkv packing varies by source module: PE's nn.MultiheadAttention
+        # keeps one named [3d, d] in_proj_weight (Split node consumes it),
+        # timm's AttentionPoolLatent exports a separate q plus packed kv.
+        qkv = p.maybe((3 * d, d), (d, 3 * d))
+        if qkv is not None:
+            from .weights import _split_qkv
+
+            w = qkv if qkv.shape == (3 * d, d) else qkv.T
+            pool_attn = _split_qkv(np.ascontiguousarray(w),
+                                   p.maybe((3 * d,)))
         else:
-            pool_attn["k"] = _pull_linear(p, d, d, what="pool k")
-            pool_attn["v"] = _pull_linear(p, d, d, what="pool v")
+            pool_attn = {
+                "q": _pull_linear(p, d, d, what="pool q"),
+            }
+            kv = p.maybe((2 * d, d), (d, 2 * d))
+            if kv is not None:
+                w = kv if kv.shape == (2 * d, d) else kv.T
+                kvb = p.maybe((2 * d,))
+                pool_attn["k"] = {"w": np.ascontiguousarray(w[:d].T)}
+                pool_attn["v"] = {"w": np.ascontiguousarray(w[d:].T)}
+                if kvb is not None:
+                    pool_attn["k"]["b"] = kvb[:d]
+                    pool_attn["v"]["b"] = kvb[d:]
+            else:
+                pool_attn["k"] = _pull_linear(p, d, d, what="pool k")
+                pool_attn["v"] = _pull_linear(p, d, d, what="pool v")
         pool_attn["out"] = _pull_linear(p, d, d, what="pool out")
         params["attn_pool"] = {
             "probe": np.asarray(probe).reshape(1, 1, d),
             "attn": pool_attn,
             "ln": _pull_ln(p, d),
             "mlp": {
-                "fc": _pull_linear(p, d, cfg.mlp_hidden, what="pool fc"),
-                "proj": _pull_linear(p, cfg.mlp_hidden, d, what="pool proj"),
+                "fc": _pull_linear(p, d, pool_hidden, what="pool fc"),
+                "proj": _pull_linear(p, pool_hidden, d, what="pool proj"),
             },
         }
     if cfg.use_proj:

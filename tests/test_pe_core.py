@@ -117,6 +117,105 @@ def test_pe_core_tower_parity(layer_scale, attn_impl):
     np.testing.assert_allclose(ours, theirs, atol=2e-5)
 
 
+def test_pe_core_from_onnx_dir(tmp_path):
+    """A torch-exported PE-Core ``visual.onnx`` (reference dir format,
+    normalize baked in — reference: pull_onnx.py:53-59) flows through
+    ``VisionEmbedder.from_local_dir``: in-place ONNX→npz conversion via
+    the name-based extractor (the rope constants in the graph are ignored;
+    parameters map through weights.map_pe_visual), then embedding parity
+    with torch on a real JPEG."""
+    import json
+
+    import torch.nn.functional as F
+    from PIL import Image
+    from torch import nn
+
+    from test_onnx_exec import export
+
+    torch.manual_seed(3)
+    mirror = PECoreViT(IMG, PATCH, W, LAYERS, HEADS, MLP, EMBED).eval()
+    # value-distinct params (torch.onnx deduplicates identical
+    # initializers — same guard as test_onnx_dir_e2e)
+    with torch.no_grad():
+        for name, p in mirror.named_parameters():
+            if (p == p.flatten()[0]).all():
+                p.add_(0.02 * torch.randn_like(p))
+
+    # real-arithmetic rope for export (view_as_complex has no ONNX
+    # lowering); assert it matches the complex route first
+    probe = torch.randn(1, 3, IMG, IMG)
+    with torch.no_grad():
+        ref_complex = mirror(probe)
+        mirror.use_complex_rope = False
+        assert (mirror(probe) - ref_complex).abs().max() < 1e-6
+
+    class _Normalized(nn.Module):
+        def __init__(self, tower):
+            super().__init__()
+            self.visual = tower
+
+        def forward(self, pixels):
+            return self.visual(pixels)  # mirror already L2-normalizes
+
+    d = tmp_path / "mini-PE-Core-ONNX"
+    d.mkdir()
+    export(_Normalized(mirror), torch.randn(2, 3, IMG, IMG),
+           d / "visual.onnx", input_name="pixel_values",
+           output_name="image_embeds")
+    mean = [0.5, 0.5, 0.5]
+    occ = {
+        "model_cfg": {
+            "embed_dim": EMBED,
+            "vision_cfg": {
+                "image_size": IMG,
+                "timm_model_name": f"vit_pe_core_gigantic_patch{PATCH}_448",
+                "pe_cfg": {"width": W, "layers": LAYERS, "heads": HEADS,
+                           "mlp_hidden": MLP},
+            },
+            "text_cfg": {"context_length": 16, "vocab_size": 64,
+                         "width": W, "heads": HEADS, "layers": 1},
+        },
+        "preprocess_cfg": {"mean": mean, "std": mean},
+    }
+    (d / "open_clip_config.json").write_text(json.dumps(occ))
+    (d / "model_config.json").write_text(json.dumps(
+        {"tokenizer_needs_lowercase": False,
+         "activation_function": "softmax", "logit_scale": 100.0,
+         "logit_bias": 0.0, "pad_id": 0}))
+    from test_tokenizer import make_clip_style_spec
+
+    (d / "tokenizer.json").write_text(json.dumps(make_clip_style_spec()))
+    # the dir contract requires a text tower too (reference:
+    # src/model_manager.rs:8-18); a tiny native one satisfies it
+    from clip_embedder_tpu.config import OpenClipConfig
+    from clip_embedder_tpu.models import text_transformer
+    from clip_embedder_tpu.models.build import resolve_text
+    from clip_embedder_tpu.weights import save_pytree
+
+    tspec = resolve_text(OpenClipConfig.from_dict(occ).model_cfg)
+    save_pytree(d / "text.npz", jax.tree.map(
+        np.asarray, text_transformer.init(jax.random.key(0), tspec.cfg)))
+
+    jpg = tmp_path / "photo.jpg"
+    rng = np.random.default_rng(5)
+    Image.fromarray(rng.integers(0, 255, (IMG, IMG, 3), np.uint8)).save(
+        jpg, "JPEG", quality=95)
+
+    from clip_embedder_tpu import VisionEmbedder
+
+    ve = VisionEmbedder.from_local_dir(d)
+    assert (d / "visual.npz").is_file()  # in-place conversion happened
+    got = ve.embed_images([jpg])
+
+    arr = np.asarray(Image.open(jpg).convert("RGB"), np.float32) / 255.0
+    arr = (arr - np.float32(0.5)) / np.float32(0.5)
+    with torch.no_grad():
+        ref = F.normalize(
+            mirror(torch.from_numpy(arr).permute(2, 0, 1)[None]),
+            dim=-1).numpy()
+    assert float(got[0] @ ref[0]) > 1 - 1e-5
+
+
 def test_pe_core_resolution():
     mc = ModelCfg(
         embed_dim=1280,

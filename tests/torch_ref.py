@@ -272,6 +272,17 @@ def apply_rotary_cis(x, freqs_cis):
     return out.type_as(x)
 
 
+def apply_rotary_real(x, sin, cos):
+    """Same rotation in real arithmetic (ONNX-exportable —
+    ``view_as_complex`` has no ONNX lowering): x·cos + rot(x)·sin with
+    pair-duplicated [S, D] tables. Equivalence to the complex route is
+    asserted by tests/test_pe_core.py before any export relies on it."""
+    x_even = x[..., 0::2]
+    x_odd = x[..., 1::2]
+    rot = torch.stack([-x_odd, x_even], dim=-1).flatten(-2)
+    return x * cos + rot * sin
+
+
 class PEAttention(nn.Module):
     """Packed-qkv self-attention with rope on q/k (Meta SelfAttention
     naming: in_proj_weight / in_proj_bias / out_proj)."""
@@ -284,7 +295,7 @@ class PEAttention(nn.Module):
         self.out_proj = nn.Linear(width, width)
         nn.init.normal_(self.in_proj_weight, std=width ** -0.5)
 
-    def forward(self, x, freqs_cis):
+    def forward(self, x, rope):
         b, s, w = x.shape
         qkv = F.linear(x, self.in_proj_weight, self.in_proj_bias)
         q, k, v = qkv.chunk(3, dim=-1)
@@ -292,8 +303,12 @@ class PEAttention(nn.Module):
         q = q.view(b, s, self.heads, d).transpose(1, 2)
         k = k.view(b, s, self.heads, d).transpose(1, 2)
         v = v.view(b, s, self.heads, d).transpose(1, 2)
-        q = apply_rotary_cis(q, freqs_cis)
-        k = apply_rotary_cis(k, freqs_cis)
+        if isinstance(rope, tuple):  # real-arithmetic (ONNX-export) path
+            q = apply_rotary_real(q, *rope)
+            k = apply_rotary_real(k, *rope)
+        else:
+            q = apply_rotary_cis(q, rope)
+            k = apply_rotary_cis(k, rope)
         out = F.scaled_dot_product_attention(q, k, v)
         out = out.transpose(1, 2).reshape(b, s, w)
         return self.out_proj(out)
@@ -325,8 +340,8 @@ class PEBlock(nn.Module):
             self.ls_1 = nn.Identity()
             self.ls_2 = nn.Identity()
 
-    def forward(self, x, freqs_cis):
-        x = x + self.ls_1(self.attn(self.ln_1(x), freqs_cis))
+    def forward(self, x, rope):
+        x = x + self.ls_1(self.attn(self.ln_1(x), rope))
         x = x + self.ls_2(self.mlp(self.ln_2(x)))
         return x
 
@@ -375,10 +390,17 @@ class PECoreViT(nn.Module):
             width, pool_heads, pool_mlp_hidden or 4 * width)
         self.proj = nn.Parameter(scale * torch.randn(width, embed_dim))
         cis = compute_axial_cis(width // heads, grid, grid)
+        cis = torch.cat([torch.ones(1, cis.shape[-1], dtype=cis.dtype), cis])
+        self.register_buffer("freqs_cis", cis, persistent=False)
         self.register_buffer(
-            "freqs_cis",
-            torch.cat([torch.ones(1, cis.shape[-1], dtype=cis.dtype), cis]),
+            "rope_sin", torch.repeat_interleave(cis.imag, 2, dim=-1),
             persistent=False)
+        self.register_buffer(
+            "rope_cos", torch.repeat_interleave(cis.real, 2, dim=-1),
+            persistent=False)
+        # complex rotation by default (the independent math route); real
+        # sin/cos tables for ONNX export (view_as_complex has no lowering)
+        self.use_complex_rope = True
 
     def forward(self, x):
         x = self.conv1(x)
@@ -387,8 +409,10 @@ class PECoreViT(nn.Module):
         x = torch.cat([cls, x], dim=1)
         x = x + self.positional_embedding
         x = self.ln_pre(x)
+        rope = (self.freqs_cis if self.use_complex_rope
+                else (self.rope_sin, self.rope_cos))
         for block in self.transformer.resblocks:
-            x = block(x, self.freqs_cis)
+            x = block(x, rope)
         x = self.ln_post(x)
         pooled = self.attn_pool(x)
         return F.normalize(pooled @ self.proj, dim=-1)
