@@ -242,6 +242,18 @@ def resolve_vision(model_cfg: ModelCfg) -> TowerSpec:
     mlp_ratio = v.mlp_ratio or 4.0
     if v.patch_size is None:
         raise ConfigError("vision_cfg requires patch_size for ViT towers")
+
+    # CoCa: the legacy boolean attentional_pool swaps CLS pooling for a
+    # 256-query AttentionalPooler in embed-dim space (open_clip
+    # VisionTransformer); the string 'parallel'/'cascade' variants are
+    # marked WIP upstream and carry no released checkpoints — reject loudly
+    # rather than guessing their pooling order.
+    attn_pool = v.extra.get("attentional_pool", False)
+    if isinstance(attn_pool, str):
+        raise ConfigError(
+            f"attentional_pool='{attn_pool}' (parallel/cascade) is not "
+            "supported; only the boolean CoCa-style pooler is")
+    pool = "attn" if attn_pool else "cls"
     return TowerSpec(
         "vit",
         ViTCfg(
@@ -255,10 +267,15 @@ def resolve_vision(model_cfg: ModelCfg) -> TowerSpec:
             activation="quick_gelu" if model_cfg.quick_gelu else "gelu",
             use_class_token=True,
             use_ln_pre=True,
-            pool="cls",
+            pool=pool,
             use_proj=True,
             proj_bias=False,
             ln_eps=1e-5,
+            attn_pool_queries=int(v.extra.get("attn_pooler_queries", 256))
+            if attn_pool else 0,
+            attn_pool_dim=embed_dim if attn_pool else 0,
+            pool_heads=int(v.extra.get("attn_pooler_heads", 8))
+            if attn_pool else 0,
         ),
     )
 
@@ -288,6 +305,10 @@ def resolve_text(model_cfg: ModelCfg) -> TowerSpec:
         activation = "gelu"
     norm_kwargs = t.extra.get("norm_kwargs") or {}
     ln_eps = float(norm_kwargs.get("eps", 1e-5))
+    # CoCa text tower: embed_cls appends a learned cls token (pooled at the
+    # last position, ln_final after pooling); open_clip's TextTransformer
+    # defaults pad_id=0 for its cls attention mask.
+    embed_cls = bool(t.extra.get("embed_cls", False))
 
     return TowerSpec(
         "text_transformer",
@@ -301,8 +322,10 @@ def resolve_text(model_cfg: ModelCfg) -> TowerSpec:
             embed_dim=model_cfg.embed_dim,
             activation=activation,
             causal=not no_causal,
-            pool=pool,
+            pool="last" if embed_cls else pool,
             proj_bias=proj_bias,
             ln_eps=ln_eps,
+            embed_cls=embed_cls,
+            pad_id=int(t.extra.get("pad_id", 0)),
         ),
     )

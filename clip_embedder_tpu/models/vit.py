@@ -68,6 +68,15 @@ class ViTCfg:
     rope_temperature: float = 10000.0
     pool_heads: int = 0
     pool_mlp_hidden: int = 0
+    # CoCa (open_clip coca_*): pool == "attn" — a bank of learned queries in
+    # embed-dim space cross-attends over the width-dim patch tokens
+    # (open_clip AttentionalPooler: ln_k on tokens, ln_q on queries, MHA with
+    # kdim=width), ln_post runs over the pooled queries and the contrastive
+    # embedding is query 0 (open_clip VisionTransformer legacy
+    # attentional_pool branch). The reference runs CoCa only as an exported
+    # ONNX graph (src/onnx.rs:13-29 runs whatever graph it is given).
+    attn_pool_queries: int = 0
+    attn_pool_dim: int = 0            # pooler d_model (embed_dim); 0 = width
 
     @property
     def grid(self) -> int:
@@ -164,6 +173,22 @@ def init(key: jax.Array, cfg: ViTCfg, *, dtype=jnp.float32) -> Params:
     blocks = [_init_block(k, cfg, dtype) for k in block_keys]
     params["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
 
+    if cfg.pool == "attn":
+        dm = cfg.attn_pool_dim or cfg.width
+        kq, kk, kv, ko, kque = jax.random.split(keys[4], 5)
+        params["ln_post"] = _init_ln(dm, dtype)  # over pooler d_model
+        params["attn_pool"] = {
+            "query": (jax.random.normal(kque, (cfg.attn_pool_queries, dm))
+                      * dm ** -0.5).astype(dtype),
+            "ln_q": _init_ln(dm, dtype),
+            "ln_k": _init_ln(cfg.width, dtype),
+            "attn": {
+                "q": _init_linear(kq, dm, dm, dtype=dtype),
+                "k": _init_linear(kk, cfg.width, dm, dtype=dtype),
+                "v": _init_linear(kv, cfg.width, dm, dtype=dtype),
+                "out": _init_linear(ko, dm, dm, dtype=dtype),
+            },
+        }
     if cfg.pool == "map":
         kq, kk, kv, ko, kf, kp = jax.random.split(keys[4], 6)
         pool_hidden = cfg.pool_mlp_hidden or cfg.mlp_hidden
@@ -182,9 +207,11 @@ def init(key: jax.Array, cfg: ViTCfg, *, dtype=jnp.float32) -> Params:
             },
         }
     if cfg.use_proj:
+        proj_in = (cfg.attn_pool_dim or cfg.width) if cfg.pool == "attn" \
+            else cfg.width
         params["proj"] = _init_linear(
-            keys[6], cfg.width, cfg.embed_dim, bias=cfg.proj_bias,
-            std=cfg.width ** -0.5, dtype=dtype,
+            keys[6], proj_in, cfg.embed_dim, bias=cfg.proj_bias,
+            std=proj_in ** -0.5, dtype=dtype,
         )
     return params
 
@@ -310,7 +337,19 @@ def apply(
         body = jax.checkpoint(body)
     x, _ = jax.lax.scan(body, x, params["blocks"])
 
-    if cfg.pool == "map":
+    if cfg.pool == "attn":
+        # CoCa legacy attentional pool: pooler → ln_post → first query
+        # (open_clip VisionTransformer forward, bool attentional_pool path)
+        p = params["attn_pool"]
+        dm = cfg.attn_pool_dim or cfg.width
+        keys = layer_norm(p["ln_k"], x, eps=cfg.ln_eps)
+        q = layer_norm(p["ln_q"], p["query"].astype(x.dtype), eps=cfg.ln_eps)
+        q = jnp.broadcast_to(
+            q[None], (x.shape[0], cfg.attn_pool_queries, dm))
+        pooled = multi_head_attention(
+            p["attn"], q, kv=keys, num_heads=cfg.pool_heads or cfg.heads)
+        pooled = layer_norm(params["ln_post"], pooled, eps=cfg.ln_eps)[:, 0]
+    elif cfg.pool == "map":
         x = layer_norm(params["ln_post"], x, eps=cfg.ln_eps)
         pooled = _map_pool(cfg, act, params, x)
     elif cfg.pool == "gap":

@@ -559,7 +559,45 @@ def _structural_vit(g: OnnxGraph, cfg) -> dict:
         }
         blocks.append(block)
     params["blocks"] = _stack_blocks(blocks)
-    params["ln_post"] = _pull_ln(p, d)
+    proj_in = d
+    if cfg.pool == "attn":
+        # CoCa legacy AttentionalPooler: consumption order in the exported
+        # graph is ln_k → query → ln_q → q/k/v projections (separate when
+        # dm != width; packed in_proj when equal; the single [3·dm]
+        # in_proj_bias stays one Split-consumed initializer either way) →
+        # out_proj → ln_post (over dm) → square projection.
+        dm = cfg.attn_pool_dim or d
+        nq = cfg.attn_pool_queries
+        pool: dict = {"ln_k": _pull_ln(p, d)}
+        pool["query"] = np.ascontiguousarray(
+            p.pull((nq, dm), what="pool query"))
+        pool["ln_q"] = _pull_ln(p, dm)
+        packed_b = p.maybe((3 * dm,))
+        attn: dict = {}
+        qkv = p.maybe((3 * dm, dm), (dm, 3 * dm)) if dm == d else None
+        if qkv is not None:
+            from .weights import _split_qkv
+
+            w = qkv if qkv.shape == (3 * dm, dm) else qkv.T
+            attn = _split_qkv(np.ascontiguousarray(w), packed_b)
+        else:
+            attn["q"] = _pull_linear(p, dm, dm, what="pool q",
+                                     bias=packed_b is None)
+            attn["k"] = _pull_linear(p, d, dm, what="pool k",
+                                     bias=packed_b is None)
+            attn["v"] = _pull_linear(p, d, dm, what="pool v",
+                                     bias=packed_b is None)
+            if packed_b is not None:
+                for i, nm in enumerate(("q", "k", "v")):
+                    attn[nm]["b"] = np.asarray(
+                        packed_b[i * dm:(i + 1) * dm])
+        attn["out"] = _pull_linear(p, dm, dm, what="pool out")
+        pool["attn"] = attn
+        params["attn_pool"] = pool
+        params["ln_post"] = _pull_ln(p, dm)
+        proj_in = dm
+    else:
+        params["ln_post"] = _pull_ln(p, d)
 
     if cfg.pool == "map":
         pool_hidden = cfg.pool_mlp_hidden or cfg.mlp_hidden
@@ -601,8 +639,8 @@ def _structural_vit(g: OnnxGraph, cfg) -> dict:
             },
         }
     if cfg.use_proj:
-        params["proj"] = _pull_linear(p, d, cfg.embed_dim, what="projection",
-                                      bias=cfg.proj_bias)
+        params["proj"] = _pull_linear(p, proj_in, cfg.embed_dim,
+                                      what="projection", bias=cfg.proj_bias)
     return params
 
 
@@ -613,11 +651,17 @@ def _structural_text(g: OnnxGraph, cfg) -> dict:
     d = cfg.width
     params: dict = {
         "token_embed": p.pull((cfg.vocab_size, d), what="token embedding"),
-        "pos_embed": np.asarray(
-            p.pull((cfg.context_length, d), (1, cfg.context_length, d),
-                   what="pos embed")
-        ).reshape(cfg.context_length, d),
     }
+    n_pos = cfg.context_length + (1 if getattr(cfg, "embed_cls", False)
+                                  else 0)
+    if getattr(cfg, "embed_cls", False):
+        # CoCa: the cls parameter is consumed (Expand/Concat) before the
+        # positional add
+        params["cls_emb"] = np.asarray(
+            p.pull((d,), (1, 1, d), what="cls_emb")).reshape(1, 1, d)
+    params["pos_embed"] = np.asarray(
+        p.pull((n_pos, d), (1, n_pos, d), what="pos embed")
+    ).reshape(n_pos, d)
     blocks = []
     for i in range(cfg.layers):
         block: dict = {"ln1": _pull_ln(p, d)}

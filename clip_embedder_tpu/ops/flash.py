@@ -180,8 +180,9 @@ def flash_attention_packed(
     gd = g * d
 
     # mask forms: None | shared 2-D ([S,S] or [1,1,S,S] — the causal-mask
-    # layout) | per-batch key padding ([B,1,1,S] — the BERT text mask)
-    mask2d = maskkey = None
+    # layout) | per-batch key padding ([B,1,1,S] — the BERT text mask) |
+    # per-batch full ([B,1,S,S] — CoCa text's causal+cls mask)
+    mask2d = maskkey = maskfull = None
     if mask is not None:
         m = jnp.asarray(mask)
         if m.ndim == 4 and m.shape[0] == b and b > 1 and m.shape[1] == 1 \
@@ -193,17 +194,22 @@ def flash_attention_packed(
                 and m.shape[2] in (1, s) and m.shape[3] == s:
             mask2d = jnp.broadcast_to(
                 m, (1, 1, s, s))[0, 0].astype(jnp.float32)
+        elif m.ndim == 4 and m.shape == (b, 1, s, s):
+            # per-batch full mask: the grid already iterates over batch, so
+            # this streams one [S, S] f32 block per batch index — no VMEM
+            # cost beyond the shared-mask case
+            maskfull = m[:, 0].astype(jnp.float32)  # [B, S, S]
         else:
-            # e.g. a per-batch full [B,1,S,S] mask with B>1 — not a layout
-            # this kernel supports; fail with the shape, not a broadcast
-            # error from inside jnp.broadcast_to
+            # e.g. [B,H,S,S] with per-head rows — not a layout this kernel
+            # supports; fail with the shape, not a broadcast error from
+            # inside jnp.broadcast_to
             raise ValueError(f"unsupported mask shape {m.shape}")
 
     data_spec = pl.BlockSpec((1, s, gd), lambda i, j: (i, 0, j),
                              memory_space=pltpu.VMEM)
     in_specs = [data_spec] * 3
     args = (q, k, v)
-    if mask2d is None and maskkey is None:
+    if mask2d is None and maskkey is None and maskfull is None:
         def kernel(q_ref, k_ref, v_ref, o_ref):
             _packed_kernel(q_ref, k_ref, v_ref, o_ref, g=g, d=d, scale=scale,
                            fast_softmax=fast_softmax, mask_ref=None,
@@ -212,7 +218,8 @@ def flash_attention_packed(
         shared_mask = mask2d is not None
 
         def kernel(q_ref, k_ref, v_ref, m_ref, o_ref):
-            # shared: [S, S]; per-batch: [1, S] (broadcasts over query rows)
+            # shared: [S, S]; per-batch full: [S, S] from the [1,S,S] block;
+            # per-batch key: [1, S] (broadcasts over query rows)
             mval = m_ref[:] if shared_mask else m_ref[0]
             _packed_kernel(q_ref, k_ref, v_ref, o_ref, g=g, d=d, scale=scale,
                            fast_softmax=fast_softmax, mask_ref=mval,
@@ -224,6 +231,13 @@ def flash_attention_packed(
                              memory_space=pltpu.VMEM),
             ]
             args = (q, k, v, mask2d)
+        elif maskfull is not None:
+            # one [S, S] block per batch grid index
+            in_specs = in_specs + [
+                pl.BlockSpec((1, s, s), lambda i, j: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+            args = (q, k, v, maskfull)
         else:
             # [1, S] row per batch block; broadcasts over query rows
             in_specs = in_specs + [

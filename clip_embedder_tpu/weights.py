@@ -222,6 +222,33 @@ def map_clip_visual(sd: Mapping[str, np.ndarray]) -> Params:
     }
     if "conv1.bias" in sd:
         params["patch_embed"]["b"] = np.asarray(sd["conv1.bias"])
+    if "attn_pool.query" in sd:
+        # CoCa legacy AttentionalPooler (open_clip transformer.py): learned
+        # queries in embed-dim space, MHA with kdim=vdim=width. torch's
+        # nn.MultiheadAttention packs in_proj only when q/k/v dims match;
+        # CoCa's differ, so the checkpoint carries q/k/v_proj_weight plus a
+        # single [3·dm] in_proj_bias.
+        dm = np.asarray(sd["attn_pool.query"]).shape[-1]
+        if "attn_pool.attn.in_proj_weight" in sd:
+            pool_attn = _split_qkv(
+                _get(sd, "attn_pool.attn.in_proj_weight"),
+                sd.get("attn_pool.attn.in_proj_bias"),
+            )
+        else:
+            b = sd.get("attn_pool.attn.in_proj_bias")
+            pool_attn = {}
+            for i, name in enumerate(("q", "k", "v")):
+                p = {"w": _t(_get(sd, f"attn_pool.attn.{name}_proj_weight"))}
+                if b is not None:
+                    p["b"] = np.asarray(b[i * dm:(i + 1) * dm])
+                pool_attn[name] = p
+        pool_attn["out"] = _linear(sd, "attn_pool.attn.out_proj")
+        params["attn_pool"] = {
+            "query": np.asarray(sd["attn_pool.query"]),
+            "ln_q": _ln(sd, "attn_pool.ln_q"),
+            "ln_k": _ln(sd, "attn_pool.ln_k"),
+            "attn": pool_attn,
+        }
     if "proj" in sd:
         params["proj"] = {"w": np.asarray(sd["proj"])}  # stored [width, embed]
     return params
@@ -317,6 +344,8 @@ def map_clip_text(sd: Mapping[str, np.ndarray]) -> Params:
         "blocks": _stack_blocks(blocks),
         "ln_final": _ln(sd, "ln_final"),
     }
+    if "cls_emb" in sd:  # CoCa embed_cls token (appended at sequence end)
+        params["cls_emb"] = np.asarray(sd["cls_emb"]).reshape(1, 1, -1)
     if "text_projection.weight" in sd:  # nn.Linear projection (SigLIP-style)
         params["proj"] = _linear(sd, "text_projection")
     elif "text_projection" in sd:  # bare Parameter [width, embed]

@@ -306,17 +306,45 @@ def test_hf_bert_pallas_matches_xla():
         flash_mod.flash_attention_packed = orig
 
 
-def test_packed_rejects_per_batch_full_mask_with_clear_error():
-    """A per-batch full [B,1,S,S] mask (B>1) is not a supported packed-kernel
-    layout; it must fail with the shape in the message, not an opaque
-    broadcast error from inside jnp.broadcast_to (advisor finding)."""
+def test_packed_per_batch_full_mask():
+    """A per-batch full [B,1,S,S] mask (CoCa text's causal+cls layout) is
+    streamed one [S,S] block per batch grid index and must match the XLA
+    core."""
+    from clip_embedder_tpu.ops.attention import attention_core
+    from clip_embedder_tpu.ops.flash import flash_attention_packed
+
+    b, h, s, d = 3, 2, 8, 64
+    keys = jax.random.split(jax.random.key(9), 4)
+    q, k, v = (jax.random.normal(kk, (b, s, h * d), jnp.float32)
+               for kk in keys[:3])
+    # distinct per-batch masks: causal plus a random blocked key per batch
+    mask = jnp.triu(jnp.full((s, s), -jnp.inf), k=1)[None, None]
+    mask = jnp.tile(mask, (b, 1, 1, 1))
+    for i in range(b):
+        mask = mask.at[i, 0, s - 1, i].set(-jnp.inf)
+    got = flash_attention_packed(q, k, v, num_heads=h, mask=mask,
+                                 interpret=True)
+    ref = attention_core(
+        q.reshape(b, s, h, d).transpose(0, 2, 1, 3),
+        k.reshape(b, s, h, d).transpose(0, 2, 1, 3),
+        v.reshape(b, s, h, d).transpose(0, 2, 1, 3),
+        mask=mask, impl="xla",
+    ).transpose(0, 2, 1, 3).reshape(b, s, h * d)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_packed_rejects_per_head_mask_with_clear_error():
+    """A per-head [B,H,S,S] mask is not a supported packed-kernel layout; it
+    must fail with the shape in the message, not an opaque broadcast error
+    from inside jnp.broadcast_to (advisor finding)."""
     from clip_embedder_tpu.ops.flash import flash_attention_packed
 
     b, h, s, d = 2, 2, 8, 64
     keys = jax.random.split(jax.random.key(9), 3)
     q, k, v = (jax.random.normal(kk, (b, s, h * d), jnp.float32)
                for kk in keys)
-    mask = jnp.zeros((b, 1, s, s), jnp.float32)
+    mask = jnp.zeros((b, h, s, s), jnp.float32)
     with pytest.raises(ValueError, match="unsupported mask shape"):
         flash_attention_packed(q, k, v, num_heads=h, mask=mask,
                                interpret=True)

@@ -135,6 +135,108 @@ class TextTransformer(nn.Module):
         return F.normalize(pooled, dim=-1)
 
 
+class CoCaAttentionalPooler(nn.Module):
+    """open_clip AttentionalPooler (CoCa legacy path): learned queries in
+    embed-dim space, ln_k on the width-dim tokens, ln_q on the queries, MHA
+    with kdim=vdim=width (open_clip naming: query / attn / ln_q / ln_k)."""
+
+    def __init__(self, d_model, context_dim, n_head, n_queries):
+        super().__init__()
+        self.query = nn.Parameter(torch.randn(n_queries, d_model))
+        self.attn = nn.MultiheadAttention(
+            d_model, n_head, kdim=context_dim, vdim=context_dim,
+            batch_first=True)
+        self.ln_q = nn.LayerNorm(d_model)
+        self.ln_k = nn.LayerNorm(context_dim)
+
+    def forward(self, x):
+        n = x.shape[0]
+        x = self.ln_k(x)
+        q = self.ln_q(self.query)
+        out, _ = self.attn(q.unsqueeze(0).expand(n, -1, -1), x, x,
+                           need_weights=False)
+        return out
+
+
+class CoCaVisionTower(nn.Module):
+    """CoCa visual tower (open_clip VisionTransformer with the legacy
+    boolean ``attentional_pool``): classic CLIP stem/blocks, pooler in
+    embed-dim space, ln_post over the pooled queries, contrastive embedding
+    = query 0, square projection."""
+
+    def __init__(self, image_size, patch_size, width, layers, heads,
+                 mlp_hidden, embed_dim, n_queries=8, pool_heads=4):
+        super().__init__()
+        self.conv1 = nn.Conv2d(3, width, patch_size, patch_size, bias=False)
+        scale = width ** -0.5
+        self.class_embedding = nn.Parameter(scale * torch.randn(width))
+        n = (image_size // patch_size) ** 2 + 1
+        self.positional_embedding = nn.Parameter(scale * torch.randn(n, width))
+        self.ln_pre = nn.LayerNorm(width)
+        self.transformer = Transformer(width, layers, heads, mlp_hidden,
+                                       nn.GELU)
+        self.attn_pool = CoCaAttentionalPooler(
+            embed_dim, width, pool_heads, n_queries)
+        self.ln_post = nn.LayerNorm(embed_dim)
+        self.proj = nn.Parameter(
+            embed_dim ** -0.5 * torch.randn(embed_dim, embed_dim))
+
+    def forward(self, x):
+        x = self.conv1(x)
+        x = x.reshape(x.shape[0], x.shape[1], -1).permute(0, 2, 1)
+        cls = self.class_embedding.to(x.dtype).expand(x.shape[0], 1, -1)
+        x = torch.cat([cls, x], dim=1)
+        x = x + self.positional_embedding
+        x = self.ln_pre(x)
+        x = self.transformer(x)
+        x = self.attn_pool(x)
+        x = self.ln_post(x)
+        pooled = x[:, 0]
+        return F.normalize(pooled @ self.proj, dim=-1)
+
+
+class CoCaTextTower(nn.Module):
+    """open_clip TextTransformer with ``embed_cls=True`` (CoCa): a learned
+    cls token appended at the END of the sequence, causal mask combined
+    with build_cls_mask (replicated literally, including its one-column
+    shift), pooled at the cls position, ln_final AFTER pooling."""
+
+    def __init__(self, context_length, vocab_size, width, heads, layers,
+                 mlp_hidden, embed_dim, pad_id=0):
+        super().__init__()
+        self.heads = heads
+        self.pad_id = pad_id
+        self.token_embedding = nn.Embedding(vocab_size, width)
+        self.positional_embedding = nn.Parameter(
+            0.01 * torch.randn(context_length + 1, width))
+        self.cls_emb = nn.Parameter(0.01 * torch.randn(width))
+        self.transformer = Transformer(width, layers, heads, mlp_hidden,
+                                       nn.GELU)
+        self.ln_final = nn.LayerNorm(width)
+        self.text_projection = nn.Parameter(
+            width ** -0.5 * torch.randn(width, embed_dim))
+
+    def build_cls_mask(self, text):
+        cls_mask = (text != self.pad_id).unsqueeze(1)
+        cls_mask = F.pad(cls_mask, (1, 0, cls_mask.shape[2], 0), value=True)
+        additive = torch.zeros(cls_mask.shape, dtype=torch.float32)
+        additive.masked_fill_(~cls_mask, float("-inf"))
+        return torch.repeat_interleave(additive, self.heads, 0)
+
+    def forward(self, ids):
+        s = ids.shape[1] + 1
+        x = self.token_embedding(ids)
+        x = torch.cat(
+            [x, self.cls_emb.to(x.dtype).expand(x.shape[0], 1, -1)], dim=1)
+        causal = torch.full((s, s), float("-inf")).triu(1)
+        mask = causal[None] + self.build_cls_mask(ids)
+        x = x + self.positional_embedding[:s]
+        x = self.transformer(x, mask)
+        pooled = self.ln_final(x[:, -1])
+        pooled = pooled @ self.text_projection
+        return F.normalize(pooled, dim=-1)
+
+
 # ---------------------------------------------------------------------------
 # timm-style ViT (SigLIP): trunk.* naming with packed qkv and map pooling
 # ---------------------------------------------------------------------------
