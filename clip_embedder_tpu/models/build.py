@@ -36,8 +36,6 @@ _PE_CORE_SIZES: dict[str, tuple[int, int, int, int]] = {
     "bigg": (1536, 50, 16, 8960),
 }
 
-_warned_pe: set = set()
-
 # width, layers, heads, mlp_hidden for timm ViT size names.
 _TIMM_VIT_SIZES: dict[str, tuple[int, int, int, int]] = {
     "tiny": (192, 12, 3, 768),
@@ -140,7 +138,9 @@ def _parse_pe_core(name: str, vcfg, embed_dim: int) -> ViTCfg:
     (x-bands-first, ops.rope order="xy") + MAP pool (8 heads, ratio-4 MLP)
     + linear projection. Structure per Meta's perception_models; every
     field is overridable via ``vision_cfg.extra["pe_cfg"]``."""
-    size_key = next((k for k in _PE_CORE_SIZES if f"_{k}_" in name), None)
+    # case-insensitive: the flagship spelling is bigG (timm/PE-Core-bigG)
+    size_key = next(
+        (k for k in _PE_CORE_SIZES if f"_{k}_" in name.lower()), None)
     if size_key is None:
         raise ConfigError(
             f"Unsupported PE-Core variant '{name}' (supported sizes: "
@@ -150,16 +150,15 @@ def _parse_pe_core(name: str, vcfg, embed_dim: int) -> ViTCfg:
     if not m:
         raise ConfigError(f"No patch size in timm model name '{name}'")
     o = vcfg.extra.get("pe_cfg", {})
-    if name not in _warned_pe:
-        _warned_pe.add(name)
-        from ..utils.logging import get_logger
+    from ..utils.logging import warn_once
 
-        get_logger().warning(
-            "PE-Core tower '%s': structure reconstructed from the published "
-            "Perception Encoder architecture; dims/pool/rope conventions "
-            "have no independent in-env anchor (validate against a real "
-            "checkpoint when network is available; overrides via "
-            "vision_cfg.extra['pe_cfg']). See COMPONENTS.md.", name)
+    warn_once(
+        name,
+        "PE-Core tower '%s': structure reconstructed from the published "
+        "Perception Encoder architecture; dims/pool/rope conventions "
+        "have no independent in-env anchor (validate against a real "
+        "checkpoint when network is available; overrides via "
+        "vision_cfg.extra['pe_cfg']). See COMPONENTS.md.", name)
     width = o.get("width", width)
     return ViTCfg(
         image_size=vcfg.image_size,

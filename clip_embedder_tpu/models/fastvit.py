@@ -124,7 +124,6 @@ _ALIASES = {
 # no in-env anchor (no timm, no real checkpoint) has ever confirmed the dims
 # or the ConvFFN BN-fold for them (see COMPONENTS.md evidence table).
 _UNANCHORED_VARIANTS = frozenset({"fastvit_mci3", "fastvit_mci4"})
-_warned_unanchored: set = set()
 
 
 def resolve_fastvit(name: str, vcfg, embed_dim: int, model_cfg) -> FastViTCfg:
@@ -138,11 +137,11 @@ def resolve_fastvit(name: str, vcfg, embed_dim: int, model_cfg) -> FastViTCfg:
                 break
     if base is None:
         raise ConfigError(f"Unknown FastViT variant '{name}'")
-    if resolved in _UNANCHORED_VARIANTS and resolved not in _warned_unanchored:
-        _warned_unanchored.add(resolved)
-        from ..utils.logging import get_logger
+    if resolved in _UNANCHORED_VARIANTS:
+        from ..utils.logging import warn_once
 
-        get_logger().warning(
+        warn_once(
+            resolved,
             "FastViT variant '%s' uses structure-from-paper dims that have "
             "no independent anchor in this build (golden fixtures pin "
             "today's numerics; real-checkpoint conversion re-checks shapes "

@@ -440,9 +440,18 @@ class _Puller:
         self.last_name: str | None = None
 
     def pull(self, *shapes: tuple, what: str = "",
-             consumer_ops: tuple[str, ...] | None = None) -> np.ndarray:
+             consumer_ops: tuple[str, ...] | None = None,
+             lookahead: int | None = None,
+             rewind: bool = False) -> np.ndarray:
+        """``lookahead`` overrides the window for this pull (short windows
+        keep optional probes from matching a look-alike weight far
+        downstream); ``rewind`` consumes the match but restores ``pos``, so
+        a parameter the exporter happened to order later (e.g. a packed
+        attention bias consumed after the projection weights) can be taken
+        out of order without skipping the weights in between."""
         shape_set = {tuple(s) for s in shapes}
-        end = min(len(self.arrays), self.pos + self.lookahead)
+        window = self.lookahead if lookahead is None else lookahead
+        end = min(len(self.arrays), self.pos + window)
         for i in range(self.pos, end):
             if tuple(self.arrays[i].shape) in shape_set:
                 if consumer_ops is not None:
@@ -454,7 +463,8 @@ class _Puller:
                 # consume: drop it so it can't match twice
                 del self.arrays[i]
                 del self.names[i]
-                self.pos = i
+                if not rewind:
+                    self.pos = i
                 return arr
         raise WeightError(
             f"Structural ONNX extraction: no initializer of shape "
@@ -462,13 +472,37 @@ class _Puller:
         )
 
     def maybe(self, *shapes: tuple,
-              consumer_ops: tuple[str, ...] | None = None
-              ) -> np.ndarray | None:
+              consumer_ops: tuple[str, ...] | None = None,
+              lookahead: int | None = None,
+              rewind: bool = False) -> np.ndarray | None:
         try:
             return self.pull(*shapes, what="optional",
-                             consumer_ops=consumer_ops)
+                             consumer_ops=consumer_ops, lookahead=lookahead,
+                             rewind=rewind)
         except WeightError:
             return None
+
+
+# Ops that consume a PACKED projection weight whole (Split/Slice/chunk and
+# layout shims). A MatMul/Gemm consumer means "this is itself a linear" —
+# which is how a probe for a packed [3d, d] in_proj could otherwise steal
+# the MLP fc weight of a ratio-3 tower sitting later in the window.
+_PACKED_CONSUMERS = ("Split", "Slice", "Gather", "Transpose", "Reshape",
+                     "Cast", "Identity")
+
+
+def _maybe_packed(p: _Puller, *shapes: tuple) -> np.ndarray | None:
+    """Probe for a packed projection weight without the steal hazards: a
+    surviving packed weight is consumed right at the current position, so
+    both branches use short windows — a ratio-3 MLP fc (MatMul-consumed,
+    >=6 slots ahead behind out/LN/fc) and the next attention's packed
+    in_proj (Split/Slice-consumed but >=10 slots ahead) stay out of reach.
+    The consumer-evidence branch gets a slightly wider window since
+    Split/Slice consumption can't be an MLP weight at all."""
+    w = p.maybe(*shapes, consumer_ops=_PACKED_CONSUMERS, lookahead=6)
+    if w is None:
+        w = p.maybe(*shapes, lookahead=3)
+    return w
 
 
 def _pull_linear(p: _Puller, d_in: int, d_out: int, *, what: str,
@@ -540,12 +574,13 @@ def _structural_vit(g: OnnxGraph, cfg) -> dict:
     for i in range(cfg.layers):
         block: dict = {"ln1": _pull_ln(p, d)}
         attn: dict = {}
-        qkv = p.maybe((3 * d, d), (d, 3 * d))
+        qkv = _maybe_packed(p, (3 * d, d), (d, 3 * d))
         if qkv is not None:
             w = qkv if qkv.shape == (3 * d, d) else qkv.T
             from .weights import _split_qkv
 
-            attn = _split_qkv(np.ascontiguousarray(w), p.maybe((3 * d,)))
+            attn = _split_qkv(np.ascontiguousarray(w),
+                              p.maybe((3 * d,), lookahead=4))
         else:
             attn["q"] = _pull_linear(p, d, d, what=f"block{i} q")
             attn["k"] = _pull_linear(p, d, d, what=f"block{i} k")
@@ -572,9 +607,13 @@ def _structural_vit(g: OnnxGraph, cfg) -> dict:
         pool["query"] = np.ascontiguousarray(
             p.pull((nq, dm), what="pool query"))
         pool["ln_q"] = _pull_ln(p, dm)
-        packed_b = p.maybe((3 * dm,))
+        # rewind: torch exports slice the packed bias before the projection
+        # weights today, but nothing guarantees that order — take the bias
+        # wherever it sits without advancing past unconsumed weights
+        packed_b = p.maybe((3 * dm,), rewind=True)
         attn: dict = {}
-        qkv = p.maybe((3 * dm, dm), (dm, 3 * dm)) if dm == d else None
+        qkv = _maybe_packed(p, (3 * dm, dm), (dm, 3 * dm)) \
+            if dm == d else None
         if qkv is not None:
             from .weights import _split_qkv
 
@@ -605,21 +644,21 @@ def _structural_vit(g: OnnxGraph, cfg) -> dict:
         # Pool qkv packing varies by source module: PE's nn.MultiheadAttention
         # keeps one named [3d, d] in_proj_weight (Split node consumes it),
         # timm's AttentionPoolLatent exports a separate q plus packed kv.
-        qkv = p.maybe((3 * d, d), (d, 3 * d))
+        qkv = _maybe_packed(p, (3 * d, d), (d, 3 * d))
         if qkv is not None:
             from .weights import _split_qkv
 
             w = qkv if qkv.shape == (3 * d, d) else qkv.T
             pool_attn = _split_qkv(np.ascontiguousarray(w),
-                                   p.maybe((3 * d,)))
+                                   p.maybe((3 * d,), lookahead=4))
         else:
             pool_attn = {
                 "q": _pull_linear(p, d, d, what="pool q"),
             }
-            kv = p.maybe((2 * d, d), (d, 2 * d))
+            kv = _maybe_packed(p, (2 * d, d), (d, 2 * d))
             if kv is not None:
                 w = kv if kv.shape == (2 * d, d) else kv.T
-                kvb = p.maybe((2 * d,))
+                kvb = p.maybe((2 * d,), lookahead=4)
                 pool_attn["k"] = {"w": np.ascontiguousarray(w[:d].T)}
                 pool_attn["v"] = {"w": np.ascontiguousarray(w[d:].T)}
                 if kvb is not None:
@@ -666,10 +705,11 @@ def _structural_text(g: OnnxGraph, cfg) -> dict:
     for i in range(cfg.layers):
         block: dict = {"ln1": _pull_ln(p, d)}
         attn: dict = {}
-        qkv = p.maybe((3 * d, d), (d, 3 * d))
+        qkv = _maybe_packed(p, (3 * d, d), (d, 3 * d))
         if qkv is not None:
             w = qkv if qkv.shape == (3 * d, d) else qkv.T
-            attn = _split_qkv(np.ascontiguousarray(w), p.maybe((3 * d,)))
+            attn = _split_qkv(np.ascontiguousarray(w),
+                              p.maybe((3 * d,), lookahead=4))
         else:
             attn["q"] = _pull_linear(p, d, d, what=f"block{i} q")
             attn["k"] = _pull_linear(p, d, d, what=f"block{i} k")

@@ -242,6 +242,12 @@ def ln_qkv(params: Params, pre_ln: Params, x: jax.Array, *,
         x2 = jnp.pad(x2, ((0, rp - rows), (0, 0)))
 
     nc = _nc or _pick_chunks(w, weights[0].dtype.itemsize)
+    if nc is None or w % (nc * 128) != 0:
+        raise ValueError(
+            f"ln_qkv: width {w} has no valid column chunking (needs a "
+            f"128-multiple slab within the {_VMEM_WEIGHT_BUDGET >> 20} MB "
+            f"VMEM weight budget; got nc={nc}) — gate callers on "
+            "fits_fused_qkv or pass an explicit _nc")
     wc = w // nc
     # chunk dim outer, row tiles inner (see ln_qkv_int8): W=1536 streams
     # two [W, W/2] slabs per matrix; W≤1408 keeps the single-slab layout

@@ -153,6 +153,16 @@ class TextEmbedder:
 
         try:
             spec = resolve_text(config.model_cfg)
+            if getattr(spec.cfg, "embed_cls", False) \
+                    and spec.cfg.pad_id != int(pad_id):
+                # CoCa's cls attention mask is built from the ids INSIDE the
+                # forward, so it must use the id the tokenizer actually pads
+                # with (the chain above) — not text_cfg's default 0. Same
+                # authoritative-tokenizer rule as the hf_bert mask.
+                import dataclasses
+
+                spec = TowerSpec(spec.family, dataclasses.replace(
+                    spec.cfg, pad_id=int(pad_id)))
             params = _load_or_convert_text(model_dir, spec, dtype)
         except (ConfigError, WeightError):
             # run-any-graph fallback (e.g. MobileCLIP-S0's MCT text tower):

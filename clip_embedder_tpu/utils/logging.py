@@ -52,3 +52,16 @@ def trace(log_dir: str = "/tmp/clip_tpu_trace"):
         yield log_dir
     finally:
         jax.profiler.stop_trace()
+
+
+_warned_once: set = set()
+
+
+def warn_once(key: str, msg: str, *args) -> None:
+    """Emit a warning exactly once per process for ``key`` (unanchored-
+    structure notices at config resolution: fastvit mci3/4, PE-Core).
+    Tests reset via ``_warned_once.clear()``."""
+    if key in _warned_once:
+        return
+    _warned_once.add(key)
+    get_logger().warning(msg, *args)

@@ -215,6 +215,10 @@ def write_model_readme(model_dir: Path, repo_id: str) -> None:
         readme.write_text(header)
         return
     content = readme.read_text(encoding="utf-8")
+    if "— clip_embedder_tpu model dir" in content:
+        # already rewritten (rerun whose upstream README download missed):
+        # injecting again would stack a second usage header on the card
+        return
     if content.startswith("---"):
         parts = content.split("---", 2)
         if len(parts) >= 3:

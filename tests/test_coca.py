@@ -253,3 +253,81 @@ def test_coca_from_onnx_dir(tmp_path):
     probs = [p for _, p in res]
     assert abs(sum(probs) - 1.0) < 1e-4 and probs == sorted(probs,
                                                             reverse=True)
+
+
+def test_embed_cls_uses_tokenizer_pad_id(tmp_path):
+    """The cls attention mask is built from ids inside the forward, so it
+    must use the pad id the tokenizer actually pads with (model_config.json
+    chain, text.py) — not text_cfg's open_clip default 0. A dir whose
+    resolved pad id differs from 0 must mask its real padding columns."""
+    from clip_embedder_tpu.text import TextEmbedder
+    from clip_embedder_tpu.weights import save_pytree
+    from test_tokenizer import make_clip_style_spec
+
+    real_pad = 17
+    mc = _coca_model_cfg()
+    spec = resolve_text(mc)
+    assert spec.cfg.pad_id == 0  # config-level default
+
+    d = tmp_path / "coca-pad"
+    d.mkdir()
+    occ = {
+        "model_cfg": {
+            "embed_dim": EMBED,
+            "vision_cfg": {"image_size": IMG, "layers": LAYERS, "width": W,
+                           "patch_size": PATCH, "mlp_ratio": MLP / W},
+            "text_cfg": {"context_length": CTX, "vocab_size": 49408,
+                         "width": W, "heads": HEADS, "layers": LAYERS,
+                         "embed_cls": True, "mlp_ratio": MLP / W},
+        },
+        "preprocess_cfg": {"mean": [0.5] * 3, "std": [0.5] * 3},
+    }
+    (d / "open_clip_config.json").write_text(json.dumps(occ))
+    (d / "model_config.json").write_text(json.dumps(
+        {"tokenizer_needs_lowercase": False,
+         "activation_function": "softmax", "logit_scale": 100.0,
+         "logit_bias": 0.0, "pad_id": real_pad}))
+    (d / "tokenizer.json").write_text(json.dumps(make_clip_style_spec()))
+    big = resolve_text(ModelCfg(
+        embed_dim=EMBED,
+        vision_cfg=mc.vision_cfg,
+        text_cfg=TextCfg(context_length=CTX, vocab_size=49408, width=W,
+                         heads=HEADS, layers=LAYERS,
+                         extra={"embed_cls": True, "mlp_ratio": MLP / W}),
+    ))
+    save_pytree(d / "text.npz",
+                text_transformer.init(jax.random.key(4), big.cfg))
+    vspec = resolve_vision(OpenClipConfig.from_file(
+        d / "open_clip_config.json").model_cfg)
+    save_pytree(d / "visual.npz", vit.init(jax.random.key(5), vspec.cfg))
+
+    emb = TextEmbedder.from_local_dir(d)
+    assert emb.spec.cfg.pad_id == real_pad
+
+    # functional: with the override, a row padded with real_pad embeds the
+    # same whether the pad tail is there or replaced by other pad ids —
+    # i.e. the cls query ignores padding. Without the fix the cls mask
+    # masked nothing (no token == 0), so padding leaked into the embedding.
+    ids = np.full((2, CTX), real_pad, np.int32)
+    ids[0, :3] = [5, 9, 2]
+    ids[1, :3] = [5, 9, 2]
+    out_a = np.asarray(text_transformer.apply(
+        jax.tree.map(jnp.asarray, emb.params), jnp.asarray(ids[:1]),
+        emb.spec.cfg))
+    wrong_cfg = big.cfg  # pad_id=0: mask misses the real padding
+    out_b = np.asarray(text_transformer.apply(
+        jax.tree.map(jnp.asarray, emb.params), jnp.asarray(ids[:1]),
+        wrong_cfg))
+    assert not np.allclose(out_a, out_b, atol=1e-6)
+
+    # and the fixed path matches the torch mirror at this pad id
+    torch.manual_seed(6)
+    mirror = CoCaTextTower(CTX, 49408, W, HEADS, LAYERS, MLP, EMBED,
+                           pad_id=real_pad).eval()
+    sd = {k: v.detach().numpy() for k, v in mirror.state_dict().items()}
+    params = map_state_dict(sd, tower="text", family="text_transformer")
+    ours = np.asarray(text_transformer.apply(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(ids), emb.spec.cfg))
+    with torch.no_grad():
+        theirs = mirror(torch.from_numpy(ids.astype(np.int64))).numpy()
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)

@@ -109,10 +109,10 @@ def test_unanchored_variant_warns_once(caplog):
     import logging
 
     from clip_embedder_tpu.config import VisionCfg
-    from clip_embedder_tpu.models import fastvit as fv
+    from clip_embedder_tpu.utils.logging import _warned_once
 
     vcfg = VisionCfg(image_size=256)
-    fv._warned_unanchored.clear()
+    _warned_once.clear()
     with caplog.at_level(logging.WARNING, logger="clip_embedder_tpu"):
         resolve_fastvit("mobileclip2_s3", vcfg, 512, None)
         resolve_fastvit("fastvit_mci3", vcfg, 512, None)  # same variant

@@ -429,3 +429,78 @@ def test_typed_field_fp16_bit_patterns(tmp_path):
     g = read_onnx(path)
     np.testing.assert_array_equal(
         g.initializers["half"].astype(np.float32), vals.astype(np.float32))
+
+
+def _fake_graph(entries):
+    """Build an OnnxGraph whose consumption order is the given
+    [(name, array, consumer_op)] list."""
+    from clip_embedder_tpu.onnx_reader import OnnxGraph
+
+    g = OnnxGraph()
+    for i, (name, arr, op) in enumerate(entries):
+        g.initializers[name] = arr
+        g.nodes.append((op, [name], [f"out{i}"], {}))
+    return g
+
+
+def test_packed_probe_does_not_steal_ratio3_mlp_weight():
+    """A packed-qkv probe on a tower whose MLP hidden is exactly 3x width
+    must NOT consume the MatMul-consumed fc weight sitting later in the
+    lookahead window (it previously matched by shape alone and skipped the
+    separate q/k/v projections entirely)."""
+    from clip_embedder_tpu.onnx_reader import _maybe_packed, _Puller
+
+    d = 8
+    rng = np.random.default_rng(0)
+    entries = [
+        ("q", rng.standard_normal((d, d)), "MatMul"),
+        ("k", rng.standard_normal((d, d)), "MatMul"),
+        ("v", rng.standard_normal((d, d)), "MatMul"),
+        ("out", rng.standard_normal((d, d)), "MatMul"),
+        ("ln2_g", rng.standard_normal((d,)), "Mul"),
+        ("ln2_b", rng.standard_normal((d,)), "Add"),
+        ("fc", rng.standard_normal((d, 3 * d)), "MatMul"),  # ratio-3 MLP
+        ("fc_b", rng.standard_normal((3 * d,)), "Add"),
+        ("proj", rng.standard_normal((3 * d, d)), "MatMul"),
+    ]
+    p = _Puller(_fake_graph(entries))
+    assert _maybe_packed(p, (3 * d, d), (d, 3 * d)) is None
+    assert p.pos == 0  # nothing consumed, separate path starts at q
+
+    # a REAL packed in_proj (Split-consumed) is still found, full window
+    packed = [("in_proj", rng.standard_normal((3 * d, d)), "Split")] \
+        + entries[3:]
+    p2 = _Puller(_fake_graph(packed))
+    got = _maybe_packed(p2, (3 * d, d), (d, 3 * d))
+    assert got is not None and got.shape == (3 * d, d)
+
+    # a MatMul-consumed packed weight adjacent to the probe position is
+    # accepted via the short window (folded in_proj, Split on the output)
+    folded = [("in_proj", rng.standard_normal((d, 3 * d)), "MatMul")] \
+        + entries[3:]
+    p3 = _Puller(_fake_graph(folded))
+    got = _maybe_packed(p3, (3 * d, d), (d, 3 * d))
+    assert got is not None and got.shape == (d, 3 * d)
+
+
+def test_rewind_pull_takes_late_bias_without_skipping_weights():
+    """rewind=True consumes a later-ordered parameter (packed attention
+    bias exported after the projection weights) without advancing pos past
+    the unconsumed weights in between."""
+    from clip_embedder_tpu.onnx_reader import _Puller
+
+    d = 4
+    rng = np.random.default_rng(1)
+    entries = [
+        ("q", rng.standard_normal((d, d)), "MatMul"),
+        ("k", rng.standard_normal((d, d)), "MatMul"),
+        ("v", rng.standard_normal((d, d)), "MatMul"),
+        ("in_proj_bias", rng.standard_normal((3 * d,)), "Slice"),
+        ("out", rng.standard_normal((d, d)), "MatMul"),
+    ]
+    p = _Puller(_fake_graph(entries))
+    b = p.maybe((3 * d,), rewind=True)
+    assert b is not None and p.pos == 0
+    for want in ("q", "k", "v", "out"):
+        p.pull((d, d), what=want)
+        assert p.last_name == want

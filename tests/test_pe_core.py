@@ -241,3 +241,11 @@ def test_pe_core_resolution():
         text_cfg=TextCfg(context_length=72),
     )
     assert resolve_vision(mc2).cfg.width == 1536
+    # the flagship repo's capitalized spelling (timm/PE-Core-bigG-14-448)
+    mc3 = ModelCfg(
+        embed_dim=1280,
+        vision_cfg=VisionCfg(
+            image_size=448, timm_model_name="vit_pe_core_bigG_patch14_448"),
+        text_cfg=TextCfg(context_length=72),
+    )
+    assert resolve_vision(mc3).cfg.width == 1536

@@ -156,3 +156,17 @@ def test_write_model_readme_no_frontmatter(tmp_path):
     text = (tmp_path / "README.md").read_text()
     assert "from clip_embedder_tpu import Clip" in text
     assert "Body text." in text
+
+
+def test_write_model_readme_idempotent(tmp_path):
+    """Rerunning a pull whose upstream README download missed must not
+    stack a second usage header onto the already-rewritten card."""
+    from pull_weights import write_model_readme
+
+    (tmp_path / "README.md").write_text(
+        "---\nlicense: mit\n---\n\n# Upstream card\n\nBody.\n")
+    write_model_readme(tmp_path, "someorg/Some-Model")
+    once = (tmp_path / "README.md").read_text()
+    write_model_readme(tmp_path, "someorg/Some-Model")
+    assert (tmp_path / "README.md").read_text() == once
+    assert once.count("clip_embedder_tpu model dir") == 1
