@@ -74,6 +74,16 @@ MODELS: dict[str, dict] = {
         text=dict(ctx=72, vocab=49408, width=1280, heads=20, layers=24,
                   mlp=5120, causal=True, pool="argmax", embed=1280),
     ),
+    # coca_ViT-L-14 (open_clip CoCa; the reference runs it as an exported
+    # graph, here native: models/vit.py pool="attn" + text embed_cls).
+    # No published reference timing, so no vs_baseline. Off by default.
+    "coca_vit_l14_224": dict(
+        kind="coca", image=224, patch=14, width=1024, layers=24, heads=16,
+        mlp=4096, embed=768, default=False,
+        text=dict(ctx=76, vocab=49408, width=768, heads=12, layers=12,
+                  mlp=3072, causal=True, pool="last", embed=768,
+                  embed_cls=True),
+    ),
 }
 
 
@@ -136,6 +146,23 @@ def bench_model(name: str, spec: dict, batch: int, attn_impl: str,
             activation="gelu", use_class_token=True, use_ln_pre=True,
             pool="map", use_proj=True, ln_eps=1e-5, pos_embed_cls=True,
             rope_2d=True, pool_heads=8, pool_mlp_hidden=4 * spec["width"],
+        )
+        vparams = vit.init(jax.random.key(0), vcfg, dtype=jnp.bfloat16)
+        vision_fn = jax.jit(lambda p, x: vit.apply(p, x, vcfg,
+                                                   attn_impl=attn_impl,
+                                                   channels_first=True))
+        pre_layout = "nchw"
+    elif spec["kind"] == "coca":
+        # CoCa: classic CLIP stem + legacy boolean AttentionalPooler in
+        # embed-dim space (models/build.resolve_vision attn pool path)
+        vcfg = ViTCfg(
+            image_size=image, patch_size=spec["patch"], width=spec["width"],
+            layers=spec["layers"], heads=spec["heads"],
+            mlp_hidden=spec["mlp"], embed_dim=spec["embed"],
+            activation="gelu", use_class_token=True, use_ln_pre=True,
+            pool="attn", use_proj=True, ln_eps=1e-5, pos_embed_cls=True,
+            attn_pool_queries=256, attn_pool_dim=spec["embed"],
+            pool_heads=8,
         )
         vparams = vit.init(jax.random.key(0), vcfg, dtype=jnp.bfloat16)
         vision_fn = jax.jit(lambda p, x: vit.apply(p, x, vcfg,
@@ -208,6 +235,7 @@ def bench_model(name: str, spec: dict, batch: int, attn_impl: str,
         context_length=t["ctx"], vocab_size=t["vocab"], width=t["width"],
         heads=t["heads"], layers=t["layers"], mlp_hidden=t["mlp"],
         embed_dim=t.get("embed", 512), causal=t["causal"], pool=t["pool"],
+        embed_cls=t.get("embed_cls", False),
     )
     tparams = text_transformer.init(jax.random.key(1), tcfg, dtype=jnp.bfloat16)
     if quant in ("int8", "int8_all"):

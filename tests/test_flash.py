@@ -434,3 +434,19 @@ def test_packed_quant_pv_close_to_exact():
     # quantize coarsest); ~1e-4 cosine is the int8 noise level
     assert (cos > 1 - 5e-4).all()
     np.testing.assert_allclose(g, e, atol=0.1)
+
+
+def test_ln_qkv_rejects_unchunkable_width():
+    """A direct ln_qkv call on a width with no valid VMEM chunking must
+    raise a descriptive error, not a TypeError from nc=None arithmetic
+    (production callers gate on fits_fused_qkv; the benchmark-sweep entry
+    point does not)."""
+    from clip_embedder_tpu.ops.qkv import ln_qkv
+
+    w = 4160  # no 128-multiple slab of 3*w*w/nc fits the VMEM budget
+    params = {
+        name: {"w": jnp.zeros((w, w), jnp.float32)} for name in ("q", "k", "v")
+    }
+    pre_ln = {"scale": jnp.ones((w,)), "bias": jnp.zeros((w,))}
+    with pytest.raises(ValueError, match="no valid column chunking"):
+        ln_qkv(params, pre_ln, jnp.zeros((2, 4, w)), interpret=True)
