@@ -84,11 +84,17 @@ def tp_param_specs(params: dict, *, tower: str) -> dict:
         specs["blocks"]["ls1"] = REPL
         specs["blocks"]["ls2"] = REPL
     if "attn_pool" in params:
+        # covers both pooler layouts: SigLIP/PE MAP pool
+        # ({probe, attn, ln, mlp}) and the CoCa AttentionalPooler
+        # ({query, ln_q, ln_k, attn}) — queries/LNs replicate, the pooler
+        # MHA shards by heads like any attention, the MAP MLP like any MLP
         pool = params["attn_pool"]
-        specs["attn_pool"] = {
-            "probe": REPL,
-            "attn": _attn_specs(pool["attn"], stacked=False),
-            "ln": _replicated_like(pool["ln"]),
-            "mlp": _mlp_specs(pool["mlp"], stacked=False),
+        pool_specs = {
+            k: _replicated_like(v) for k, v in pool.items()
+            if k not in ("attn", "mlp")
         }
+        pool_specs["attn"] = _attn_specs(pool["attn"], stacked=False)
+        if "mlp" in pool:
+            pool_specs["mlp"] = _mlp_specs(pool["mlp"], stacked=False)
+        specs["attn_pool"] = pool_specs
     return specs

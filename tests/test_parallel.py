@@ -416,3 +416,50 @@ def test_sharded_text_embedder_passes_mask(mesh, tmp_path):
 
     got = ShardedTextEmbedder(emb, mesh).embed_texts(texts)
     np.testing.assert_allclose(got, expect, atol=2e-5)
+
+
+def test_tensor_parallel_coca_towers_match_replicated(mesh):
+    """TP specs cover the CoCa pooler layout ({query, ln_q, ln_k, attn} —
+    not the MAP pool's {probe, attn, ln, mlp}) and the embed_cls text
+    params; both towers must match the replicated forward under TP."""
+    vcfg = ViTCfg(image_size=32, patch_size=8, width=64, layers=2, heads=4,
+                  mlp_hidden=128, embed_dim=32, pool="attn",
+                  attn_pool_queries=8, attn_pool_dim=32, pool_heads=4)
+    params = vit.init(jax.random.key(8), vcfg)
+    x = jax.random.uniform(jax.random.key(9), (4, 32, 32, 3))
+    expect = vit.apply(params, x, vcfg)
+    specs = tp_param_specs(params, tower="vit")
+    shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), specs,
+        is_leaf=lambda s: isinstance(s, P),
+    )
+    fn = jax.jit(
+        lambda p, xx: vit.apply(p, xx, vcfg),
+        in_shardings=(shardings, NamedSharding(mesh, P("data"))),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+    got = fn(jax.device_put(params, shardings),
+             jax.device_put(x, NamedSharding(mesh, P("data"))))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               atol=2e-5)
+
+    tcfg = TextCfgResolved(context_length=16, vocab_size=128, width=64,
+                           heads=4, layers=2, mlp_hidden=128, embed_dim=32,
+                           pool="last", embed_cls=True)
+    tparams = text_transformer.init(jax.random.key(10), tcfg)
+    ids = jax.random.randint(jax.random.key(11), (4, 16), 1, 127)
+    t_expect = text_transformer.apply(tparams, ids, tcfg)
+    t_specs = tp_param_specs(tparams, tower="text")
+    t_shardings = jax.tree.map(
+        lambda s: NamedSharding(mesh, s), t_specs,
+        is_leaf=lambda s: isinstance(s, P),
+    )
+    t_fn = jax.jit(
+        lambda p, i: text_transformer.apply(p, i, tcfg),
+        in_shardings=(t_shardings, NamedSharding(mesh, P("data"))),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+    t_got = t_fn(jax.device_put(tparams, t_shardings),
+                 jax.device_put(ids, NamedSharding(mesh, P("data"))))
+    np.testing.assert_allclose(np.asarray(t_got), np.asarray(t_expect),
+                               atol=2e-5)
