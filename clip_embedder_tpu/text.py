@@ -109,12 +109,12 @@ class TextEmbedder:
         tokenizer: Tokenizer,
         model_dir: Path,
         dtype: Any = jnp.float32,
-        attn_impl: str = "xla",
+        attn_impl: str = "auto",
         quantize: str | None = None,
     ):
-        from .vision import check_attn_impl
+        from .vision import resolve_attn_impl
 
-        check_attn_impl(spec.family, attn_impl)
+        attn_impl = resolve_attn_impl(spec.family, attn_impl)
         self.params = params
         self.spec = spec
         self.config = config
@@ -132,7 +132,7 @@ class TextEmbedder:
     @classmethod
     def from_local_dir(
         cls, model_dir: Path | str, *, dtype: Any = jnp.float32,
-        attn_impl: str = "xla", quantize: str | None = None,
+        attn_impl: str = "auto", quantize: str | None = None,
     ) -> "TextEmbedder":
         model_dir = Path(model_dir)
         verify_model_dir(model_dir)

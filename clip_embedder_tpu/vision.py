@@ -147,8 +147,28 @@ def check_attn_impl(family: str, attn_impl: str) -> None:
         raise ConfigError(
             f"attn_impl='{attn_impl}' is not supported for the '{family}' "
             f"family (supported families: {sorted(ATTN_IMPL_FAMILIES)}); "
-            "use the default attn_impl='xla'"
+            "use attn_impl='xla'"
         )
+
+
+def resolve_attn_impl(family: str, attn_impl: str) -> str:
+    """Resolve the embedder-level ``attn_impl`` request. ``"auto"`` (the
+    default) picks the fused packed-head Pallas kernel on a TPU backend for
+    families that thread it, and the XLA core everywhere else (CPU, or a
+    family the kernel doesn't cover) — a TPU-first framework should not
+    hide its fast path behind an opt-in. Explicit values are validated
+    and passed through: ``"pallas_fast"`` (drops the softmax max-pass —
+    the benchmark configuration) and ``"xla"`` (required under tensor
+    parallelism, where GSPMD partitions the einsum attention natively but
+    a Pallas call is an opaque boundary — docs/DEPLOYMENT.md)."""
+    if attn_impl == "auto":
+        import jax
+
+        if jax.default_backend() == "tpu" and family in ATTN_IMPL_FAMILIES:
+            return "pallas"
+        return "xla"
+    check_attn_impl(family, attn_impl)
+    return attn_impl
 
 
 class VisionEmbedder:
@@ -163,10 +183,10 @@ class VisionEmbedder:
         model_config: ModelConfig,
         model_dir: Path,
         dtype: Any = jnp.float32,
-        attn_impl: str = "xla",
+        attn_impl: str = "auto",
         quantize: str | None = None,
     ):
-        check_attn_impl(spec.family, attn_impl)
+        attn_impl = resolve_attn_impl(spec.family, attn_impl)
         self.params = params
         self.spec = spec
         self.config = config
@@ -193,7 +213,7 @@ class VisionEmbedder:
     @classmethod
     def from_local_dir(
         cls, model_dir: Path | str, *, dtype: Any = jnp.float32,
-        attn_impl: str = "xla", quantize: str | None = None,
+        attn_impl: str = "auto", quantize: str | None = None,
     ) -> "VisionEmbedder":
         model_dir = Path(model_dir)
         verify_model_dir(model_dir)
