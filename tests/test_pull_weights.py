@@ -170,3 +170,22 @@ def test_write_model_readme_idempotent(tmp_path):
     write_model_readme(tmp_path, "someorg/Some-Model")
     assert (tmp_path / "README.md").read_text() == once
     assert once.count("clip_embedder_tpu model dir") == 1
+
+
+def test_pull_popular_models_tallies_failures(tmp_path):
+    """The batch-pull script (analog of the reference's
+    scripts/pull_popular_models.ps1) runs the exporter per id and exits
+    nonzero with a failure summary when a pull fails."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parent.parent / "scripts" \
+        / "pull_popular_models.py"
+    r = subprocess.run(
+        [sys.executable, str(script), "--models", "no-such-org/no-such-model",
+         "--output", str(tmp_path)],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 1
+    assert "FAILED: no-such-org/no-such-model" in r.stderr
+    assert "Summary of failures" in r.stderr
