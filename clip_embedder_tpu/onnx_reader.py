@@ -733,17 +733,65 @@ def _structural_text(g: OnnxGraph, cfg) -> dict:
     return params
 
 
+def _structural_eva02(g: OnnxGraph, cfg) -> dict:
+    """EVA02 (rope + SwiGLU + sub-LN) structural recovery. Per-block
+    consumption order in a torch export: ln1 → q (bias) → k (NO bias) →
+    v (bias) → [rope sin/cos constants — distinct shapes, skipped] →
+    inner_ln → out → ln2 → w_gate → w_x → ffn_ln (hidden-dim) → w_out.
+    The rope tables are runtime-computed here (models.eva02.rope_embed),
+    so the graph's baked tables are ignored."""
+    from .weights import _conv_to_patch, _stack_blocks
+
+    p = _Puller(g)
+    d, hidden = cfg.width, cfg.mlp_hidden
+    conv = p.pull((d, 3, cfg.patch_size, cfg.patch_size), what="patch conv")
+    params: dict = {"patch_embed": {"w": _conv_to_patch(conv)}}
+    cb = p.maybe((d,), consumer_ops=("Conv",))
+    if cb is not None:
+        params["patch_embed"]["b"] = cb
+    cls = p.pull((d,), (1, 1, d), what="cls token")
+    params["cls_token"] = np.asarray(cls).reshape(1, 1, d)
+    n = cfg.grid ** 2 + 1
+    pos = p.pull((n, d), (1, n, d), what="pos embed")
+    params["pos_embed"] = np.asarray(pos).reshape(1, n, d)
+    blocks = []
+    for i in range(cfg.layers):
+        block: dict = {"ln1": _pull_ln(p, d)}
+        block["attn"] = {
+            "q": _pull_linear(p, d, d, what=f"block{i} q"),
+            "k": _pull_linear(p, d, d, what=f"block{i} k", bias=False),
+            "v": _pull_linear(p, d, d, what=f"block{i} v"),
+            "inner_ln": _pull_ln(p, d),
+            "out": _pull_linear(p, d, d, what=f"block{i} attn out"),
+        }
+        block["ln2"] = _pull_ln(p, d)
+        block["mlp"] = {
+            "w_gate": _pull_linear(p, d, hidden, what=f"block{i} w_gate"),
+            "w_x": _pull_linear(p, d, hidden, what=f"block{i} w_x"),
+            "ffn_ln": _pull_ln(p, hidden),
+            "w_out": _pull_linear(p, hidden, d, what=f"block{i} w_out"),
+        }
+        blocks.append(block)
+    params["blocks"] = _stack_blocks(blocks)
+    params["ln_post"] = _pull_ln(p, d)
+    if cfg.use_proj:
+        params["proj"] = _pull_linear(p, d, cfg.embed_dim, what="projection")
+    return params
+
+
 def _structural_extract(g: OnnxGraph, spec, *, tower: str) -> dict:
     """Recover anonymously-named (constant-folded) weights by shape +
     consumption order against the architecture the config promises.
 
-    Covers the transformer families (classic/timm ViT, text transformer).
-    Conv-hybrid FastViT and BERT towers with folded names are not
-    recoverable this way — convert the original checkpoint with
+    Covers the transformer families (classic/timm ViT, EVA02, text
+    transformer). Conv-hybrid FastViT and BERT towers with folded names
+    are not recoverable this way — convert the original checkpoint with
     pull_weights.py for those.
     """
     if tower == "visual" and spec.family == "vit":
         return _structural_vit(g, spec.cfg)
+    if tower == "visual" and spec.family == "eva02":
+        return _structural_eva02(g, spec.cfg)
     if tower == "text" and spec.family == "text_transformer":
         return _structural_text(g, spec.cfg)
     raise WeightError(

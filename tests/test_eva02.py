@@ -235,3 +235,86 @@ def test_eva02_packed_attn_matches_xla():
     cos = (a * b).sum(-1)
     assert (cos > 1 - 1e-6).all(), cos
     np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_eva02_from_onnx_dir(tmp_path):
+    """A torch-exported EVA02 ``visual.onnx`` (reference dir format,
+    normalize baked in — reference: pull_onnx.py:53-59) converts to the
+    NATIVE eva02 tower via structural extraction (the Linear weights
+    constant-fold to anonymous names; the baked rope tables are skipped
+    and recomputed), then matches the torch pipeline on a real JPEG."""
+    import json
+
+    from PIL import Image
+
+    from test_onnx_exec import export
+    from test_tokenizer import make_clip_style_spec
+
+    IMG, PATCH, W, LAYERS, HEADS, HIDDEN, EMBED = 32, 8, 64, 2, 4, 96, 48
+    torch.manual_seed(7)
+    mirror = TorchEva02(IMG, PATCH, W, LAYERS, HEADS, HIDDEN, EMBED).eval()
+    with torch.no_grad():
+        for _, p in mirror.named_parameters():
+            if (p == p.flatten()[0]).all():
+                p.add_(0.02 * torch.randn_like(p))
+
+    class _V(nn.Module):
+        def __init__(self, t):
+            super().__init__()
+            self.visual = t
+
+        def forward(self, x):
+            return self.visual(x)  # mirror already L2-normalizes
+
+    d = tmp_path / "mini-EVA02-ONNX"
+    d.mkdir()
+    export(_V(mirror), torch.randn(2, 3, IMG, IMG), d / "visual.onnx",
+           input_name="pixel_values", output_name="image_embeds")
+    occ = {
+        "model_cfg": {
+            "embed_dim": EMBED,
+            "vision_cfg": {
+                "image_size": IMG,
+                "timm_model_name": f"eva02_base_patch{PATCH}_clip",
+                "eva02_cfg": {"width": W, "layers": LAYERS, "heads": HEADS,
+                              "mlp_hidden": HIDDEN},
+            },
+            "text_cfg": {"context_length": 12, "vocab_size": 49408,
+                         "width": W, "heads": HEADS, "layers": 1,
+                         "mlp_ratio": 2.0},
+        },
+        "preprocess_cfg": {"mean": [0.5] * 3, "std": [0.5] * 3},
+    }
+    (d / "open_clip_config.json").write_text(json.dumps(occ))
+    (d / "model_config.json").write_text(json.dumps(
+        {"tokenizer_needs_lowercase": False,
+         "activation_function": "softmax", "logit_scale": 100.0,
+         "logit_bias": 0.0, "pad_id": 0}))
+    (d / "tokenizer.json").write_text(json.dumps(make_clip_style_spec()))
+
+    from clip_embedder_tpu.config import OpenClipConfig
+    from clip_embedder_tpu.models import text_transformer
+    from clip_embedder_tpu.models.build import resolve_text
+    from clip_embedder_tpu.weights import save_pytree
+
+    tspec = resolve_text(OpenClipConfig.from_dict(occ).model_cfg)
+    save_pytree(d / "text.npz", jax.tree.map(
+        np.asarray, text_transformer.init(jax.random.key(0), tspec.cfg)))
+
+    jpg = tmp_path / "photo.jpg"
+    rng = np.random.default_rng(6)
+    Image.fromarray(rng.integers(0, 255, (IMG, IMG, 3), np.uint8)).save(
+        jpg, "JPEG", quality=95)
+
+    from clip_embedder_tpu import VisionEmbedder
+
+    ve = VisionEmbedder.from_local_dir(d)
+    assert (d / "visual.npz").is_file()  # native conversion happened
+    assert ve.spec.family == "eva02"
+
+    got = ve.embed_images([jpg])
+    arr = np.asarray(Image.open(jpg).convert("RGB"), np.float32) / 255.0
+    arr = (arr - np.float32(0.5)) / np.float32(0.5)
+    with torch.no_grad():
+        ref = mirror(torch.from_numpy(arr).permute(2, 0, 1)[None]).numpy()
+    assert float(np.asarray(got)[0] @ ref[0]) > 1 - 1e-5
