@@ -41,6 +41,12 @@ def _lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.clip_preprocess_batch.restype = None
+    lib.clip_decode_jpeg.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_ulong,
+        ctypes.POINTER(ctypes.c_uint8),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.clip_decode_jpeg.restype = ctypes.c_int
     return lib
 
 
@@ -96,4 +102,31 @@ def host_preprocess_batch(
         _FILTERS[interpolation], _MODES.get(resize_mode, 0),
         1 if chw else 0, n_threads,
     )
+    return out
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode JPEG bytes to an RGB u8 [H, W, 3] array via the native
+    library (libjpeg; two-phase: header for dims, then decode into a
+    caller-owned numpy buffer). ctypes releases the GIL for the call, so
+    thread pools scale. Raises ImageError on malformed data or when the
+    library isn't built."""
+    lib = _lib()
+    if lib is None:
+        raise ImageError(
+            "native decode library not built (run `make -C native`)")
+    buf = np.frombuffer(data, dtype=np.uint8)
+    src = buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    w = ctypes.c_int(0)
+    h = ctypes.c_int(0)
+    rc = lib.clip_decode_jpeg(src, len(data), None,
+                              ctypes.byref(w), ctypes.byref(h))
+    if rc != 0 or w.value <= 0 or h.value <= 0:
+        raise ImageError(f"Image error: JPEG header decode failed (rc={rc})")
+    out = np.empty((h.value, w.value, 3), dtype=np.uint8)
+    rc = lib.clip_decode_jpeg(src, len(data),
+                              out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                              ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise ImageError(f"Image error: JPEG decode failed (rc={rc})")
     return out

@@ -18,6 +18,24 @@ import numpy as np
 from ..errors import ImageError
 
 
+def _native_decode_jpeg(data: bytes):
+    """JPEG bytes → RGB array via native/decode.cc, or None to fall back
+    to Pillow (library not built, or malformed data — Pillow then raises
+    the canonical ImageError)."""
+    import os
+
+    if os.environ.get("CLIP_TPU_NO_NATIVE_DECODE"):
+        return None
+    try:
+        from .. import native
+
+        if not native.available():
+            return None
+        return native.decode_jpeg(data)
+    except ImageError:
+        return None
+
+
 def to_rgb_array(image: Any) -> np.ndarray:
     """Convert any supported image input to an RGB uint8 [H, W, 3] array.
 
@@ -43,20 +61,26 @@ def to_rgb_array(image: Any) -> np.ndarray:
 
     if isinstance(image, (str, Path)):
         try:
-            from PIL import Image
-
-            with Image.open(image) as img:
-                return np.asarray(img.convert("RGB"))
-        except ImportError as e:
-            raise ImageError("Pillow required to decode image files") from e
+            data = Path(image).read_bytes()
         except OSError as e:
             raise ImageError(f"Image error: {e}") from e
+        return to_rgb_array(bytes(data))
 
     if isinstance(image, (bytes, bytearray)):
+        data = bytes(image)
+        if data[:2] == b"\xff\xd8":
+            # JPEG: native libjpeg fast path (bit-identical to Pillow —
+            # both wrap libjpeg-turbo; proven in test_native.py). The
+            # ctypes call releases the GIL, so the EmbedPipeline decode
+            # pool scales across cores. Any native failure falls through
+            # to Pillow for its (identical) error semantics.
+            decoded = _native_decode_jpeg(data)
+            if decoded is not None:
+                return decoded
         try:
             from PIL import Image
 
-            with Image.open(io.BytesIO(image)) as img:
+            with Image.open(io.BytesIO(data)) as img:
                 return np.asarray(img.convert("RGB"))
         except ImportError as e:
             raise ImageError("Pillow required to decode image bytes") from e

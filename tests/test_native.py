@@ -99,3 +99,58 @@ print("ok")
                           capture_output=True, text=True, timeout=120)
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "ok" in proc.stdout
+
+
+def test_native_jpeg_decode_matches_pillow():
+    """native/decode.cc must be BIT-IDENTICAL to Pillow on JPEG decode
+    (both wrap libjpeg-turbo with default IDCT) — the precondition for
+    making it the default fast path in utils.images.to_rgb_array."""
+    import io
+
+    from PIL import Image
+
+    rng = np.random.default_rng(3)
+    for shape, quality in (((37, 53), 92), ((128, 96), 75), ((1, 1), 95)):
+        img = Image.fromarray(
+            rng.integers(0, 255, (*shape, 3), np.uint8))
+        buf = io.BytesIO()
+        img.save(buf, "JPEG", quality=quality)
+        data = buf.getvalue()
+        ours = native.decode_jpeg(data)
+        theirs = np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
+        np.testing.assert_array_equal(ours, theirs)
+
+
+def test_native_jpeg_decode_rejects_garbage():
+    from clip_embedder_tpu.errors import ImageError
+
+    with pytest.raises(ImageError):
+        native.decode_jpeg(b"\xff\xd8not actually a jpeg")
+
+
+def test_to_rgb_array_uses_native_and_falls_back(monkeypatch, tmp_path):
+    """to_rgb_array routes JPEG bytes through the native decoder and falls
+    back to Pillow (same result, canonical errors) when it is disabled."""
+    import io
+
+    from PIL import Image
+
+    from clip_embedder_tpu.utils.images import to_rgb_array
+
+    rng = np.random.default_rng(4)
+    img = Image.fromarray(rng.integers(0, 255, (24, 31, 3), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=90)
+    data = buf.getvalue()
+
+    fast = to_rgb_array(data)
+    monkeypatch.setenv("CLIP_TPU_NO_NATIVE_DECODE", "1")
+    slow = to_rgb_array(data)
+    np.testing.assert_array_equal(fast, slow)
+
+    # PNG bytes (non-JPEG magic) always take the Pillow path
+    monkeypatch.delenv("CLIP_TPU_NO_NATIVE_DECODE")
+    buf = io.BytesIO()
+    img.save(buf, "PNG")
+    png = to_rgb_array(buf.getvalue())
+    np.testing.assert_array_equal(png, np.asarray(img))
