@@ -155,9 +155,15 @@ def apply(params: Params, pixels: jax.Array, cfg: Eva02Cfg, *,
                       jnp.float32)
     sin, cos = jnp.sin(ang), jnp.cos(ang)
     if use_packed:
-        # head-tiled tables for rope in the packed layout
-        sin_p = jnp.tile(sin, (1, cfg.heads))
-        cos_p = jnp.tile(cos, (1, cfg.heads))
+        # head-tiled tables for rope in the packed layout, with an identity
+        # row 0 (sin 0 / cos 1) so the cls token passes through unrotated —
+        # lets the kernel apply rope to the whole [S, H·D] block in VMEM
+        # instead of a concat around an outside apply_rope (bit-identical:
+        # x·1 + rot(x)·0 is the exact bf16 passthrough)
+        sin_p = jnp.tile(
+            jnp.concatenate([jnp.zeros_like(sin[:1]), sin]), (1, cfg.heads))
+        cos_p = jnp.tile(
+            jnp.concatenate([jnp.ones_like(cos[:1]), cos]), (1, cfg.heads))
 
     def body(carry, block):
         if use_packed:
@@ -171,13 +177,9 @@ def apply(params: Params, pixels: jax.Array, cfg: Eva02Cfg, *,
             q = linear(block["attn"]["q"], h)  # [B, N, H·D]
             k = linear(block["attn"]["k"], h)
             v = linear(block["attn"]["v"], h)
-            # rope on patch tokens only; cls (position 0) passes through
-            q = jnp.concatenate(
-                [q[:, :1], _apply_rope(q[:, 1:], sin_p, cos_p)], axis=1)
-            k = jnp.concatenate(
-                [k[:, :1], _apply_rope(k[:, 1:], sin_p, cos_p)], axis=1)
+            # rope applies in-kernel (identity row 0 covers the cls token)
             o = flash_attention_packed(
-                q, k, v, num_heads=cfg.heads,
+                q, k, v, num_heads=cfg.heads, rope=(sin_p, cos_p),
                 fast_softmax=attn_impl == "pallas_fast")
         else:
             h = layer_norm(block["ln1"], carry, eps=cfg.ln_eps)

@@ -131,24 +131,28 @@ def multi_head_attention(
         k = linear(params["k"], kv)
         v = linear(params["v"], kv)
 
+    if impl in ("pallas", "pallas_fast") and q.shape == k.shape:
+        from .flash import _head_group, flash_attention_packed
+
+        d = q.shape[-1] // num_heads
+        if _head_group(num_heads, d) is not None and (rope is None
+                                                      or mask is None):
+            # packed-layout kernel: q/k/v stay in the projection layout
+            # [B, S, H·D] — no transpose, no head-dim lane pad (ops.flash
+            # v3). rope applies IN-KERNEL on the VMEM-resident blocks
+            # (bit-identical to the outside apply_rope, minus its q/k HBM
+            # round-trip).
+            out = flash_attention_packed(
+                q, k, v, num_heads=num_heads, mask=mask, rope=rope,
+                fast_softmax=impl == "pallas_fast")
+            return out_proj(out)
+
     if rope is not None:
         from .rope import apply_rope
 
         sin, cos = rope
         q = apply_rope(q, sin, cos)
         k = apply_rope(k, sin, cos)
-
-    if impl in ("pallas", "pallas_fast") and q.shape == k.shape:
-        from .flash import _head_group, flash_attention_packed
-
-        d = q.shape[-1] // num_heads
-        if _head_group(num_heads, d) is not None:
-            # packed-layout kernel: q/k/v stay in the projection layout
-            # [B, S, H·D] — no transpose, no head-dim lane pad (ops.flash v3)
-            out = flash_attention_packed(
-                q, k, v, num_heads=num_heads, mask=mask,
-                fast_softmax=impl == "pallas_fast")
-            return out_proj(out)
 
     q = rearrange(q, "b s (h d) -> b h s d", h=num_heads)
     k = rearrange(k, "b s (h d) -> b h s d", h=num_heads)

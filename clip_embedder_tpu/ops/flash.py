@@ -60,8 +60,24 @@ def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
+def _rope_rotate(x, sin_v, cos_v):
+    """Pair rotation on a VMEM-resident [S, g·D] block via two single-lane
+    rolls + parity select (see ops.rope.apply_rope — same algebra, no
+    strided-lane shuffles). Computes in f32 and casts back to the input
+    dtype — numerically equivalent to applying ops.rope.apply_rope on the
+    tensor outside the kernel (differences limited to f32 fma-contraction
+    rounding between the two compilations)."""
+    x32 = x.astype(jnp.float32)
+    even = (jax.lax.broadcasted_iota(jnp.int32, x.shape, 1) % 2) == 0
+    n = x.shape[1]
+    # pltpu.roll takes non-negative shifts: roll(-1) == roll(n-1)
+    rot = jnp.where(even, -pltpu.roll(x32, n - 1, 1), pltpu.roll(x32, 1, 1))
+    return (x32 * cos_v + rot * sin_v).astype(x.dtype)
+
+
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, g: int, d: int,
                    scale: float, fast_softmax: bool, mask_ref,
+                   rope_refs=None,
                    quant_pv: bool = False):
     """One (batch, head-group) block in packed [S, g·D] layout.
 
@@ -80,6 +96,14 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, g: int, d: int,
     q = q_ref[0]
     k = k_ref[0]
     v = v_ref[0]
+    if rope_refs is not None:
+        # 2-D axial / EVA02 rope applied in VMEM: saves the q/k HBM
+        # round-trip an outside apply_rope pays (the kernel is a custom
+        # call, so XLA cannot fuse the rotation into it)
+        sin_v = rope_refs[0][:]
+        cos_v = rope_refs[1][:]
+        q = _rope_rotate(q, sin_v, cos_v)
+        k = _rope_rotate(k, sin_v, cos_v)
     # fold the softmax scale into q: one [S, g·D] pass for the whole group
     qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
     outs = []
@@ -148,6 +172,7 @@ def flash_attention_packed(
     *,
     num_heads: int,
     mask: jax.Array | None = None,  # additive, [1, 1, S, S] or [S, S]
+    rope: tuple[jax.Array, jax.Array] | None = None,  # (sin, cos) [S, H·D]
     fast_softmax: bool = False,
     interpret: bool = False,
     quant_pv: bool = False,
@@ -209,7 +234,27 @@ def flash_attention_packed(
                              memory_space=pltpu.VMEM)
     in_specs = [data_spec] * 3
     args = (q, k, v)
-    if mask2d is None and maskkey is None and maskfull is None:
+    if rope is not None:
+        # vision towers only (rope never coexists with a text mask); the
+        # head-tiled [S, H·D] tables stream one [S, g·D] slab per group
+        if mask is not None:
+            raise ValueError("rope with a mask is not a supported packed-"
+                             "kernel combination")
+        sin_t, cos_t = (jnp.asarray(t, jnp.float32) for t in rope)
+        if sin_t.shape != (s, hd) or cos_t.shape != (s, hd):
+            raise ValueError(
+                f"rope tables must be [S, H·D] = {(s, hd)}, got "
+                f"{sin_t.shape}/{cos_t.shape}")
+        rope_spec = pl.BlockSpec((s, gd), lambda i, j: (0, j),
+                                 memory_space=pltpu.VMEM)
+        in_specs = in_specs + [rope_spec, rope_spec]
+        args = (q, k, v, sin_t, cos_t)
+
+        def kernel(q_ref, k_ref, v_ref, sin_ref, cos_ref, o_ref):
+            _packed_kernel(q_ref, k_ref, v_ref, o_ref, g=g, d=d, scale=scale,
+                           fast_softmax=fast_softmax, mask_ref=None,
+                           rope_refs=(sin_ref, cos_ref), quant_pv=quant_pv)
+    elif mask2d is None and maskkey is None and maskfull is None:
         def kernel(q_ref, k_ref, v_ref, o_ref):
             _packed_kernel(q_ref, k_ref, v_ref, o_ref, g=g, d=d, scale=scale,
                            fast_softmax=fast_softmax, mask_ref=None,

@@ -81,10 +81,21 @@ def apply_rope(x: jax.Array, sin: jax.Array, cos: jax.Array) -> jax.Array:
     x: [B, H, N, D] with [N, D] tables — or the packed [B, N, H·D]
     projection layout with head-tiled [N, H·D] tables (pair rotation stays
     within heads because head offsets are even). Computes in f32.
+
+    The pair rotation is expressed as two single-lane rolls + a parity
+    select instead of ``rotate_pairs``'s strided slices + interleave —
+    algebraically identical (even lane j takes -x[j+1] = -roll(x,-1)[j],
+    odd lane j takes x[j-1] = roll(x,1)[j]; the wrap-around lanes land
+    only on positions whose parity never selects them), but lane rotates
+    are cheap TPU ops while strided gather/interleave lower to lane
+    shuffles that measured 6x the memory-bound floor at PE-Core shapes.
     """
     orig = x.dtype
     x32 = x.astype(jnp.float32)
-    return (x32 * cos + rotate_pairs(x32) * sin).astype(orig)
+    even = (jnp.arange(x.shape[-1]) % 2) == 0
+    rot = jnp.where(even, -jnp.roll(x32, -1, axis=-1),
+                    jnp.roll(x32, 1, axis=-1))
+    return (x32 * cos + rot * sin).astype(orig)
 
 
 def head_tiled_tables(ang: np.ndarray, heads: int) -> tuple[jax.Array, jax.Array]:

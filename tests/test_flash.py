@@ -450,3 +450,36 @@ def test_ln_qkv_rejects_unchunkable_width():
     pre_ln = {"scale": jnp.ones((w,)), "bias": jnp.zeros((w,))}
     with pytest.raises(ValueError, match="no valid column chunking"):
         ln_qkv(params, pre_ln, jnp.zeros((2, 4, w)), interpret=True)
+
+
+def test_packed_in_kernel_rope_matches_outside_apply():
+    """rope=(sin, cos) applied inside the packed kernel matches
+    ops.rope.apply_rope on the tensors outside (same f32 math; differences
+    limited to fma-contraction rounding across the two compilations), and
+    rejects mask+rope combinations."""
+    from clip_embedder_tpu.ops.flash import flash_attention_packed
+    from clip_embedder_tpu.ops.rope import apply_rope
+
+    b, h, s, d = 2, 4, 9, 32  # h*d = 128 (one lane group)
+    keys = jax.random.split(jax.random.key(11), 3)
+    q, k, v = (jax.random.normal(kk, (b, s, h * d), jnp.float32)
+               for kk in keys)
+    rng = np.random.default_rng(12)
+    ang = np.tile(rng.standard_normal((s, d)).astype(np.float32), (1, h))
+    sin, cos = jnp.sin(jnp.asarray(ang)), jnp.cos(jnp.asarray(ang))
+
+    inside = flash_attention_packed(q, k, v, num_heads=h, rope=(sin, cos),
+                                    interpret=True)
+    outside = flash_attention_packed(
+        apply_rope(q, sin, cos), apply_rope(k, sin, cos), v, num_heads=h,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(inside), np.asarray(outside),
+                               atol=1e-5, rtol=1e-5)
+
+    with pytest.raises(ValueError, match="rope with a mask"):
+        flash_attention_packed(
+            q, k, v, num_heads=h, rope=(sin, cos),
+            mask=jnp.zeros((s, s)), interpret=True)
+    with pytest.raises(ValueError, match="rope tables"):
+        flash_attention_packed(q, k, v, num_heads=h,
+                               rope=(sin[:-1], cos), interpret=True)
