@@ -105,7 +105,11 @@ def main() -> None:
                                       out_dtype=dtype, layout="nchw")
             emb = vit.apply(params, pixels, cfg, attn_impl=attn_impl,
                             channels_first=True)
-            return acc + jnp.sum(emb[0, :1].astype(jnp.float32))
+            # FULL reduction: a [:1] slice invites XLA slice-propagation
+            # into the bench body (observed computing one row of a bare
+            # matmul chain); real towers measured immune, but the full
+            # sum removes the hazard for ~nothing ([B, D] reduce)
+            return acc + jnp.sum(emb.astype(jnp.float32))
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
     wh_np, ww_np = preprocess_weights_for(src, src, target)

@@ -108,7 +108,11 @@ def _time(fn, params, x, *, iters=20):
                 # the dependency without touching the values
                 x_i = jnp.where(acc > jnp.float32(1e30), x + 1, x)
             out = fn(params, x_i)
-            return acc + jnp.sum(out.reshape(-1)[:1].astype(jnp.float32))
+            # FULL reduction: a [:1] slice invites XLA slice-propagation
+            # into the bench body (observed computing one row of a bare
+            # matmul chain); real towers measured immune, but the full
+            # sum removes the hazard for ~nothing ([B, D] reduce)
+            return acc + jnp.sum(out.astype(jnp.float32))
         return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
 
     float(chain(params, x))  # compile + warmup
