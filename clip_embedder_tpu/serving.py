@@ -1,5 +1,6 @@
 """Serving helpers: warmup (ahead-of-time compile of the shape buckets a
-deployment will hit) and a ready-check.
+deployment will hit), a dynamic micro-batcher for concurrent callers, and a
+ready-check.
 
 Batch shapes are bucketed (powers of two; source sizes to 128-multiples), so
 a deployment compiles a small, enumerable set of programs. ``warmup``
@@ -7,14 +8,26 @@ compiles them before traffic arrives — on this class of TPU runtime a cold
 compile can take minutes, a warm one milliseconds (the persistent
 compilation cache in utils.compilation_cache makes warmup survive process
 restarts too).
+
+The reference scales concurrent callers by replicating sessions
+(``duplicate()``, reference src/clip.rs:69-73 — one ORT session per user
+thread). On TPU the scarce resource is the chip, not the session: one large
+batch through the MXU beats many concurrent small ones, so the serving
+analog is ``MicroBatcher`` — coalesce items from concurrent callers into
+one device step per window.
 """
 
 from __future__ import annotations
 
-from typing import Iterable
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import Any, Callable, Iterable, Sequence
 
 import numpy as np
 
+from .errors import InferenceError
 from .utils.logging import get_logger, timed
 
 
@@ -51,3 +64,135 @@ def warmup(
         if text is not None and texts:
             with timed(f"warmup text batch={batch}", logger):
                 text.embed_texts(["warmup"] * batch)
+
+
+_STOP = object()
+
+
+class MicroBatcher:
+    """Coalesce single-item embed requests from concurrent callers into
+    batched device steps.
+
+    ``embed_fn`` maps a list of items to an ``[N, D]`` array — pass a bound
+    ``VisionEmbedder.embed_images`` or ``TextEmbedder.embed_texts`` (or any
+    callable with that contract). A collector thread drains the submission
+    queue: the first item opens a window, further items join until
+    ``max_batch`` is reached or ``max_delay_ms`` elapses, then the whole
+    window runs as ONE forward. Per-request latency is bounded by
+    ``max_delay_ms`` + one device step; throughput approaches the bulk
+    batched rate even when every caller submits a single item.
+
+    Batch sizes inside the embedders bucket to powers of two, so pick
+    ``max_batch`` equal to a warmed bucket (``warmup(..., batch_sizes=...)``)
+    to avoid cold compiles under traffic.
+
+    Thread-safe; usable as a context manager. A failed forward propagates
+    the exception to exactly the callers whose items were in that window —
+    later windows are unaffected.
+    """
+
+    def __init__(
+        self,
+        embed_fn: Callable[[Sequence[Any]], np.ndarray],
+        *,
+        max_batch: int = 32,
+        max_delay_ms: float = 2.0,
+    ) -> None:
+        if max_batch < 1:
+            raise ValueError(f"max_batch must be >= 1, got {max_batch}")
+        self._embed_fn = embed_fn
+        self._max_batch = int(max_batch)
+        self._max_delay = float(max_delay_ms) / 1e3
+        self._queue: queue.SimpleQueue = queue.SimpleQueue()
+        self._closed = False
+        self.batches = 0   # windows executed (observability + tests)
+        self.items = 0     # items embedded
+        self._worker = threading.Thread(
+            target=self._run, name="clip-microbatcher", daemon=True)
+        self._worker.start()
+
+    # -- submission ---------------------------------------------------------
+
+    def submit(self, item: Any) -> "Future[np.ndarray]":
+        """Enqueue one item; resolves to its ``[D]`` embedding row."""
+        if self._closed:
+            raise InferenceError("MicroBatcher is closed")
+        fut: Future = Future()
+        self._queue.put((item, fut))
+        return fut
+
+    def embed(self, item: Any) -> np.ndarray:
+        """Blocking convenience wrapper over :meth:`submit`."""
+        return self.submit(item).result()
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def close(self) -> None:
+        """Drain already-submitted items, then stop the collector thread.
+        Subsequent :meth:`submit` calls raise ``InferenceError``."""
+        if self._closed:
+            return
+        self._closed = True          # reject new work first…
+        self._queue.put(_STOP)       # …then fence the queue (FIFO: earlier
+        self._worker.join()          # submissions drain before the fence)
+        # A submit() racing close() can slip an item behind the fence —
+        # fail it rather than leave the future unresolved forever.
+        while True:
+            try:
+                leftover = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            if leftover is not _STOP:
+                leftover[1].set_exception(
+                    InferenceError("MicroBatcher is closed"))
+
+    def __enter__(self) -> "MicroBatcher":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+    # -- collector ----------------------------------------------------------
+
+    def _run(self) -> None:
+        logger = get_logger()
+        while True:
+            first = self._queue.get()
+            if first is _STOP:
+                return
+            window = [first]
+            deadline = time.monotonic() + self._max_delay
+            stop = False
+            while len(window) < self._max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    nxt = self._queue.get(timeout=remaining)
+                except queue.Empty:
+                    break
+                if nxt is _STOP:
+                    stop = True
+                    break
+                window.append(nxt)
+            items = [item for item, _ in window]
+            try:
+                rows = self._embed_fn(items)
+            except BaseException as e:  # propagate to THIS window's callers
+                for _, fut in window:
+                    fut.set_exception(e)
+            else:
+                if len(rows) != len(window):
+                    err = InferenceError(
+                        f"embed_fn returned {len(rows)} rows for "
+                        f"{len(window)} items")
+                    for _, fut in window:
+                        fut.set_exception(err)
+                else:
+                    for (_, fut), row in zip(window, rows):
+                        fut.set_result(np.asarray(row))
+            self.batches += 1
+            self.items += len(window)
+            logger.debug("microbatch: %d items", len(window))
+            if stop:
+                return

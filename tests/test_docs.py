@@ -75,6 +75,7 @@ def doc_namespace(tmp_path, monkeypatch):
     images = [np.asarray(Image.open(p)) for p in paths]
     ns = {
         "jnp": jnp,
+        "jpeg_bytes": Path(paths[0]).read_bytes(),
         "model_dir": str(FIXTURE),
         "list_of_images": images,
         "images": images,

@@ -102,3 +102,85 @@ def test_search_example_over_committed_assets():
     assert proc.returncode == 0, proc.stderr[-2000:]
     for p in images:
         assert p.name in proc.stdout
+
+
+def test_serve_example(image_file):
+    """examples/serve.py end-to-end: concurrent HTTP callers through the
+    MicroBatcher-backed service get correct, unit-norm embeddings."""
+    import threading
+    import urllib.request
+
+    code = (
+        "import jax; jax.config.update('jax_platforms', 'cpu'); "
+        f"import runpy, sys; sys.argv = ['serve.py', {str(FIXTURE)!r}, '0']; "
+        f"runpy.run_path({str(REPO / 'examples' / 'serve.py')!r}, "
+        "run_name='__main__')"
+    )
+    proc = subprocess.Popen(
+        [sys.executable, "-c", code], env=ENV, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True, cwd=REPO)
+    try:
+        # load + warmup happen before the banner; generous CI allowance
+        banner = [None]
+        reader = threading.Thread(
+            target=lambda: banner.__setitem__(0, proc.stdout.readline()),
+            daemon=True)
+        reader.start()
+        reader.join(timeout=240)
+        assert banner[0] and banner[0].startswith("serving on "), (
+            banner[0], proc.stderr if proc.poll() is not None else "")
+        base = "http://" + banner[0].split()[-1].strip()
+
+        def post(path, data):
+            req = urllib.request.Request(base + path, data=data,
+                                         method="POST")
+            with urllib.request.urlopen(req, timeout=120) as resp:
+                return resp.status, json.loads(resp.read())
+
+        img_bytes = Path(image_file).read_bytes()
+        results = [None] * 6
+
+        def caller(i):
+            if i % 2 == 0:
+                results[i] = post("/embed/image", img_bytes)
+            else:
+                results[i] = post("/embed/text", "a photo of a cat".encode())
+
+        threads = [threading.Thread(target=caller, args=(i,))
+                   for i in range(6)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+
+        for i, r in enumerate(results):
+            assert r is not None, f"caller {i} hung"
+            status, obj = r
+            assert status == 200
+            emb = np.asarray(obj["embedding"])
+            assert obj["dim"] == emb.shape[0] == 32
+            np.testing.assert_allclose(np.linalg.norm(emb), 1.0, atol=1e-3)
+        # identical inputs -> identical rows, regardless of window packing
+        img_embs = [np.asarray(r[1]["embedding"]) for r in results[::2]]
+        for e in img_embs[1:]:
+            np.testing.assert_allclose(e, img_embs[0], atol=1e-4)
+
+        with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
+            assert json.loads(resp.read()) == {"ok": True}
+
+        # malformed image -> 400 with a ClipError message, service stays up
+        req = urllib.request.Request(base + "/embed/image",
+                                     data=b"not an image", method="POST")
+        try:
+            urllib.request.urlopen(req, timeout=120)
+            raise AssertionError("expected HTTP 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        status, _ = post("/embed/text", b"still alive")
+        assert status == 200
+    finally:
+        proc.terminate()
+        try:
+            proc.wait(timeout=30)
+        except subprocess.TimeoutExpired:
+            proc.kill()
