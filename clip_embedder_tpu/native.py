@@ -41,12 +41,15 @@ def _lib():
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.clip_preprocess_batch.restype = None
-    lib.clip_decode_jpeg.argtypes = [
-        ctypes.POINTER(ctypes.c_uint8), ctypes.c_ulong,
-        ctypes.POINTER(ctypes.c_uint8),
-        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
-    ]
-    lib.clip_decode_jpeg.restype = ctypes.c_int
+    # clip_decode_jpeg is newer than clip_preprocess_batch; a libclippre.so
+    # built before decode.cc existed must still serve the preprocess path.
+    if hasattr(lib, "clip_decode_jpeg"):
+        lib.clip_decode_jpeg.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_ulong,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.clip_decode_jpeg.restype = ctypes.c_int
     return lib
 
 
@@ -112,7 +115,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     thread pools scale. Raises ImageError on malformed data or when the
     library isn't built."""
     lib = _lib()
-    if lib is None:
+    if lib is None or not hasattr(lib, "clip_decode_jpeg"):
         raise ImageError(
             "native decode library not built (run `make -C native`)")
     buf = np.frombuffer(data, dtype=np.uint8)
@@ -123,6 +126,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                               ctypes.byref(w), ctypes.byref(h))
     if rc != 0 or w.value <= 0 or h.value <= 0:
         raise ImageError(f"Image error: JPEG header decode failed (rc={rc})")
+    # Decompression-bomb guard: header dims are attacker-controlled (a
+    # few-KB JPEG can declare 65500x65500 ≈ 12.8 GB RGB). Mirror Pillow's
+    # MAX_IMAGE_PIXELS policy; on exceed the caller falls back to Pillow,
+    # which raises its canonical DecompressionBombError/-Warning.
+    try:
+        from PIL import Image as _PILImage
+        max_pixels = _PILImage.MAX_IMAGE_PIXELS
+    except Exception:
+        max_pixels = 178956970
+    if max_pixels is not None and h.value * w.value > max_pixels:
+        raise ImageError(
+            f"Image error: {h.value}x{w.value} JPEG exceeds the "
+            f"{max_pixels}-pixel decompression-bomb limit")
     out = np.empty((h.value, w.value, 3), dtype=np.uint8)
     rc = lib.clip_decode_jpeg(src, len(data),
                               out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),

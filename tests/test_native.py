@@ -154,3 +154,26 @@ def test_to_rgb_array_uses_native_and_falls_back(monkeypatch, tmp_path):
     img.save(buf, "PNG")
     png = to_rgb_array(buf.getvalue())
     np.testing.assert_array_equal(png, np.asarray(img))
+
+
+def test_native_jpeg_decode_bomb_guard():
+    """Header dims are attacker-controlled: a few-KB JPEG declaring huge
+    dimensions must not allocate h*w*3 bytes — the native path mirrors
+    Pillow's MAX_IMAGE_PIXELS decompression-bomb policy (ImageError → the
+    caller falls back to Pillow, which raises its canonical error)."""
+    import io
+
+    from PIL import Image
+
+    from clip_embedder_tpu.errors import ImageError
+
+    img = Image.fromarray(np.zeros((16, 16, 3), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=90)
+    data = bytearray(buf.getvalue())
+    sof = data.find(b"\xff\xc0")
+    assert sof > 0
+    # SOF0: marker(2) length(2) precision(1) height(2) width(2)
+    data[sof + 5:sof + 9] = (65500).to_bytes(2, "big") * 2
+    with pytest.raises(ImageError, match="decompression-bomb"):
+        native.decode_jpeg(bytes(data))
