@@ -117,9 +117,25 @@ class ShardedVisionEmbedder:
             tensor_parallel = False
             self.params = replicate(embedder.params, mesh)
 
+        # GSPMD partitions the einsum attention across the model axis
+        # natively; a Pallas kernel is an opaque custom call that forces an
+        # all-gather of the TP-sharded activations every layer (see
+        # docs/DEPLOYMENT.md). With attn_impl="auto" the inner embedder
+        # resolves to pallas on TPU — override to the sharding-native core.
+        self.attn_impl = embedder.attn_impl
+        if tensor_parallel and self.attn_impl.startswith("pallas"):
+            from ..utils.logging import warn_once
+
+            warn_once(
+                "tp-pallas-override",
+                "tensor_parallel: overriding attn_impl=%r to 'xla' (a Pallas "
+                "custom call would force per-layer all-gathers of the "
+                "model-sharded activations)", self.attn_impl)
+            self.attn_impl = "xla"
+
         pp = embedder.preprocessor
         self._forward = _sharded_vision_forward(
-            embedder.spec, embedder.attn_impl, mesh, tensor_parallel,
+            embedder.spec, self.attn_impl, mesh, tensor_parallel,
             (tuple(np.asarray(pp.mean).tolist()),
              tuple(np.asarray(pp.std).tolist()), pp.out_dtype),
         )

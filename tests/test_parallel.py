@@ -463,3 +463,21 @@ def test_tensor_parallel_coca_towers_match_replicated(mesh):
                  jax.device_put(ids, NamedSharding(mesh, P("data"))))
     np.testing.assert_allclose(np.asarray(t_got), np.asarray(t_expect),
                                atol=2e-5)
+
+
+def test_tensor_parallel_overrides_pallas_attn(mesh):
+    """tensor_parallel + a Pallas attn_impl (what attn_impl="auto" resolves
+    to on TPU) must fall back to the sharding-native XLA core — an opaque
+    custom call would force per-layer all-gathers of the model-sharded
+    activations (docs/DEPLOYMENT.md)."""
+    from clip_embedder_tpu import Clip
+    from clip_embedder_tpu.parallel import ShardedVisionEmbedder
+    from test_concurrency import make_model_dir
+
+    clip = Clip.from_local_dir(make_model_dir(), attn_impl="pallas")
+    assert clip.vision.attn_impl == "pallas"
+    tp = ShardedVisionEmbedder(clip.vision, mesh, tensor_parallel=True)
+    assert tp.attn_impl == "xla"
+    # data-parallel-only keeps the inner embedder's choice
+    dp = ShardedVisionEmbedder(clip.vision, mesh)
+    assert dp.attn_impl == "pallas"

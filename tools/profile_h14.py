@@ -42,19 +42,7 @@ def main() -> None:
     batch = int(os.environ.get("PROF_BATCH", "8"))
     iters = int(os.environ.get("PROF_ITERS", "30"))
 
-    _rtt = []
-
-    def dispatch_rtt() -> float:
-        if not _rtt:
-            nop = jax.jit(lambda v: v + 1)
-            float(nop(jnp.float32(1)))
-            best = float("inf")
-            for _ in range(10):
-                t0 = time.perf_counter()
-                float(nop(jnp.float32(1)))
-                best = min(best, time.perf_counter() - t0)
-            _rtt.append(best)
-        return _rtt[0]
+    from benches.timing import dispatch_rtt
 
     def timed(label, fn, *args, it=iters, flops=None):
         @jax.jit
@@ -65,7 +53,10 @@ def main() -> None:
                 out = fn(x_i, *a[1:])
                 if isinstance(out, tuple):
                     out = out[0]
-                return acc + out.reshape(-1)[:1].astype(jnp.float32)[0]
+                # full-sum reduction: a [:1] slice can propagate backward
+                # through non-custom-call stages and understate the cost
+                # (see bench.py / benches/timing.py methodology)
+                return acc + jnp.sum(out.astype(jnp.float32)) * 1e-20
             return jax.lax.fori_loop(0, it, body, jnp.float32(0))
 
         float(chain(*args))
