@@ -1,5 +1,6 @@
-"""HF (BERT-style) text towers — the ``hf_model_name`` branch of open_clip
-text configs (e.g. BiomedCLIP's PubMedBERT), reference: src/config.rs:46
+"""HF (BERT/RoBERTa-style) text towers — the ``hf_model_name`` branch of
+open_clip text configs (e.g. BiomedCLIP's PubMedBERT, laion's
+xlm-roberta-large-ViT-H-14), reference: src/config.rs:46
 (``hf_tokenizer_name``) and the text graphs that take an ``attention_mask``
 input (reference: src/text.rs:156-161).
 
@@ -7,7 +8,12 @@ From-scratch post-LN BERT encoder in JAX: embeddings (word + position +
 token-type, LayerNorm), blocks of self-attention → residual+LN → MLP →
 residual+LN with additive key-padding mask derived from the pad id, then an
 open_clip-style pooler (CLS or masked mean) and projection (linear or MLP).
-Parity vs transformers.BertModel is tested in tests/test_hf_text.py.
+RoBERTa-class models (``model_type`` roberta / xlm-roberta / camembert)
+differ only in the embeddings: position ids are derived from the pad id
+(pads pinned to ``padding_idx``, real tokens numbered from
+``padding_idx + 1``) against a ``max_position_embeddings``-sized table.
+Parity vs transformers.BertModel / XLMRobertaModel is tested in
+tests/test_hf_text.py.
 """
 
 from __future__ import annotations
@@ -40,6 +46,8 @@ class BertCfg:
     pooler: str = "cls"          # cls | cls_pooler | mean | max
     proj: str = "linear"         # linear | mlp | none
     ln_eps: float = 1e-12
+    position_style: str = "bert"  # bert (0..L-1) | roberta (pad-id offset)
+    max_pos: int = 0             # position-table rows; 0 → context_length
 
 
 def resolve_hf_text(model_cfg) -> BertCfg:
@@ -78,6 +86,12 @@ def resolve_hf_text(model_cfg) -> BertCfg:
     proj_type = next(
         (t.extra[k] for k in ("hf_proj_type", "proj", "proj_type")
          if t.extra.get(k)), default_proj)
+    # RoBERTa-class embeddings: transformers derives position ids from the
+    # pad id (create_position_ids_from_input_ids) and sizes the table to
+    # max_position_embeddings (= context + pad_id + 2 upstream).
+    model_type = str(hf_cfg.get("model_type", "bert")).replace("_", "-")
+    roberta = model_type in ("roberta", "xlm-roberta", "xlm-roberta-xl",
+                             "camembert")
     return BertCfg(
         context_length=t.context_length,
         vocab_size=int(hf_cfg["vocab_size"]),
@@ -86,10 +100,13 @@ def resolve_hf_text(model_cfg) -> BertCfg:
         layers=int(hf_cfg["num_hidden_layers"]),
         mlp_hidden=int(hf_cfg["intermediate_size"]),
         embed_dim=model_cfg.embed_dim,
-        pad_id=int(hf_cfg.get("pad_token_id", 0)),
+        pad_id=int(hf_cfg.get("pad_token_id", 1 if roberta else 0)),
         pooler=pooler,
         proj={"mlp": "mlp", "none": "none"}.get(proj_type, "linear"),
-        ln_eps=float(hf_cfg.get("layer_norm_eps", 1e-12)),
+        ln_eps=float(hf_cfg.get("layer_norm_eps",
+                                1e-5 if roberta else 1e-12)),
+        position_style="roberta" if roberta else "bert",
+        max_pos=int(hf_cfg.get("max_position_embeddings", 0)),
     )
 
 
@@ -100,8 +117,10 @@ def init(key: jax.Array, cfg: BertCfg, *, dtype=jnp.float32) -> Params:
     params: Params = {
         "word_embed": (jax.random.normal(keys[0], (cfg.vocab_size, cfg.width))
                        * 0.02).astype(dtype),
-        "pos_embed": (jax.random.normal(keys[1], (cfg.context_length, cfg.width))
-                      * 0.02).astype(dtype),
+        "pos_embed": (jax.random.normal(
+            keys[1],
+            (cfg.max_pos or cfg.context_length, cfg.width))
+            * 0.02).astype(dtype),
         "type_embed": (jax.random.normal(keys[2], (2, cfg.width))
                        * 0.02).astype(dtype),
         "embed_ln": _init_ln(cfg.width, dtype),
@@ -156,9 +175,18 @@ def apply(params: Params, input_ids: jax.Array, cfg: BertCfg, *,
         valid = attention_mask.astype(jnp.float32)  # [B, L]
     else:
         valid = (input_ids != cfg.pad_id).astype(jnp.float32)
-    # BERT convention: position 0.. and token type 0; CLS/SEP are real ids.
     x = params["word_embed"][input_ids]
-    x = x + params["pos_embed"].astype(x.dtype)[None, : x.shape[1]]
+    if cfg.position_style == "roberta":
+        # transformers create_position_ids_from_input_ids: pads sit at
+        # padding_idx, real tokens count from padding_idx + 1 — derived
+        # from input_ids vs the HF pad id, NOT the attention mask (HF
+        # computes them the same way even when a mask is passed).
+        real = (input_ids != cfg.pad_id).astype(jnp.int32)
+        pos_ids = jnp.cumsum(real, axis=1) * real + cfg.pad_id
+        x = x + params["pos_embed"].astype(x.dtype)[pos_ids]
+    else:
+        # BERT convention: positions 0..L-1; CLS/SEP are real ids.
+        x = x + params["pos_embed"].astype(x.dtype)[None, : x.shape[1]]
     x = x + params["type_embed"].astype(x.dtype)[0][None, None, :]
     x = layer_norm(params["embed_ln"], x, eps=cfg.ln_eps)
 
@@ -217,6 +245,7 @@ def map_hf_text(sd: Mapping[str, np.ndarray]) -> Params:
     sd = strip_prefix(sd, "model.", "text.")
     sd = strip_prefix(sd, "transformer.")
     sd = strip_prefix(sd, "bert.")
+    sd = strip_prefix(sd, "roberta.")
 
     n = _max_index(sd, r"encoder\.layer\.(\d+)\.attention\.self\.query\.weight")
     blocks = []

@@ -253,7 +253,10 @@ def _inject_hf_text_config(out: Path, occ: dict) -> None:
         k: hf_cfg[k]
         for k in ("vocab_size", "hidden_size", "num_attention_heads",
                   "num_hidden_layers", "intermediate_size", "pad_token_id",
-                  "layer_norm_eps")
+                  "layer_norm_eps",
+                  # RoBERTa-class towers (xlm-roberta-large-ViT-H-14):
+                  # position-id style + table size (models/hf_text.py)
+                  "model_type", "max_position_embeddings")
         if k in hf_cfg
     }
     (out / "open_clip_config.json").write_text(json.dumps(occ, indent=2))

@@ -170,6 +170,121 @@ def test_resolve_accepts_all_proj_pooler_key_spellings():
     assert resolve_text(mc()).cfg.proj == "mlp"
 
 
+@pytest.fixture(scope="module")
+def xlmr_pair():
+    """Independent anchor: transformers.XLMRobertaModel (not written here)
+    through the production mapper — the laion xlm-roberta-large-ViT-H-14
+    text-tower class."""
+    config = transformers.XLMRobertaConfig(
+        vocab_size=130, hidden_size=64, num_hidden_layers=3,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=24, pad_token_id=1,
+        layer_norm_eps=1e-5,
+    )
+    torch.manual_seed(4)
+    model = transformers.XLMRobertaModel(config,
+                                         add_pooling_layer=False).eval()
+    cfg = BertCfg(
+        context_length=16, vocab_size=130, width=64, heads=4, layers=3,
+        mlp_hidden=128, embed_dim=64, pad_id=1, pooler="mean", proj="none",
+        ln_eps=1e-5, position_style="roberta", max_pos=24,
+    )
+    sd = {f"transformer.{k}": v.detach().numpy()
+          for k, v in model.state_dict().items()}
+    params = hf_text.map_hf_text(sd)
+    assert params["pos_embed"].shape == (24, 64)
+    return model, cfg, params
+
+
+def make_roberta_ids(batch=3, length=16):
+    torch.manual_seed(5)
+    ids = torch.randint(4, 129, (batch, length))
+    ids[:, 0] = 0       # <s>
+    ids[0, 10:] = 1     # <pad> rows (XLM-R pad id is 1)
+    ids[1, 5:] = 1
+    return ids
+
+
+def test_xlm_roberta_hidden_state_parity(xlmr_pair):
+    """RoBERTa position ids (pads at padding_idx, real tokens from
+    padding_idx+1) must match transformers exactly — BERT-style 0..L-1
+    positions would shift every token's position embedding."""
+    model, cfg, params = xlmr_pair
+    ids = make_roberta_ids()
+    mask = (ids != 1).long()
+    with torch.no_grad():
+        ref = model(input_ids=ids, attention_mask=mask).last_hidden_state
+    maskf = mask.float()
+    ref_mean = ((ref * maskf[..., None]).sum(1)
+                / maskf.sum(1)[:, None]).numpy()
+
+    got = np.asarray(
+        hf_text.apply(params, jnp.asarray(ids.numpy()), cfg,
+                      normalize=False,
+                      attention_mask=jnp.asarray(mask.numpy())))
+    np.testing.assert_allclose(got, ref_mean, atol=2e-4)
+
+
+def test_xlm_roberta_position_ids_not_bert(xlmr_pair):
+    """Same weights under position_style='bert' must NOT match the anchor —
+    proves the parity above actually exercises the RoBERTa offset."""
+    model, cfg, params = xlmr_pair
+    ids = make_roberta_ids()
+    mask = (ids != 1).long()
+    with torch.no_grad():
+        ref = model(input_ids=ids, attention_mask=mask).last_hidden_state
+    maskf = mask.float()
+    ref_mean = ((ref * maskf[..., None]).sum(1)
+                / maskf.sum(1)[:, None]).numpy()
+
+    bert_cfg = BertCfg(**{**cfg.__dict__, "position_style": "bert"})
+    got = np.asarray(
+        hf_text.apply(params, jnp.asarray(ids.numpy()), bert_cfg,
+                      normalize=False,
+                      attention_mask=jnp.asarray(mask.numpy())))
+    assert np.abs(got - ref_mean).max() > 1e-3
+
+
+def test_resolve_roberta_config():
+    """model_type roberta/xlm-roberta flips the position style, pulls the
+    position-table size, and defaults pad_id=1 / ln_eps=1e-5."""
+    from clip_embedder_tpu.config import ModelCfg
+    from clip_embedder_tpu.models.build import resolve_text
+
+    mc = ModelCfg.from_dict({
+        "embed_dim": 48,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 64,
+                       "patch_size": 8},
+        "text_cfg": {
+            "context_length": 16,
+            "hf_model_name": "xlm-roberta-large",
+            "hf_tokenizer_name": "xlm-roberta-large",
+            "hf_pooler_type": "mean_pooler",
+            "hf_proj_type": "mlp",
+            "hf_config": {
+                "model_type": "xlm-roberta",
+                "vocab_size": 130, "hidden_size": 64,
+                "num_attention_heads": 4, "num_hidden_layers": 3,
+                "intermediate_size": 128,
+                "max_position_embeddings": 24,
+            },
+        },
+    })
+    spec = resolve_text(mc)
+    assert spec.family == "hf_bert"
+    cfg = spec.cfg
+    assert cfg.position_style == "roberta"
+    assert cfg.max_pos == 24
+    assert cfg.pad_id == 1
+    assert cfg.ln_eps == 1e-5
+    assert cfg.pooler == "mean" and cfg.proj == "mlp"
+    # init builds the full-size position table for the declared style
+    import jax
+
+    params = hf_text.init(jax.random.key(0), cfg)
+    assert params["pos_embed"].shape[0] == 24
+
+
 def test_cls_pooler_without_weights_raises():
     """cls_pooler with a checkpoint exported without the BERT pooler must
     raise, not silently degrade to raw-CLS pooling."""
