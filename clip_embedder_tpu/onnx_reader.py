@@ -22,6 +22,7 @@ Extraction strategy, in order:
 
 from __future__ import annotations
 
+import re
 import struct
 from pathlib import Path
 from typing import Iterator
@@ -361,6 +362,7 @@ _NAMED_MARKERS = (
     "conv1.weight",
     "patch_embed.proj",
     "stages.",                 # FastViT
+    "encoder.layer.",          # HF BERT/RoBERTa text towers
 )
 
 
@@ -779,14 +781,90 @@ def _structural_eva02(g: OnnxGraph, cfg) -> dict:
     return params
 
 
+def _structural_bert(g: OnnxGraph, cfg) -> dict:
+    """HF BERT/RoBERTa text-tower structural recovery (BiomedCLIP class,
+    reference README.md:143). torch exports of transformers towers are the
+    canonical mixed-name case: embeddings / LayerNorms / biases keep their
+    state-dict names while every Linear weight folds to an anonymous
+    pre-transposed ``onnx::MatMul_*`` constant — consumption order against
+    the BertModel forward recovers them all.
+
+    Per-block order (transformers BertLayer): q → k → v → attention output
+    dense → LN → intermediate dense → output dense → LN; embeddings consume
+    word → token-type → position → LN ahead of the blocks; the optional
+    tanh pooler and the open_clip projection trail the encoder.
+    """
+    from .weights import _stack_blocks
+
+    p = _Puller(g)
+    d, inter = cfg.width, cfg.mlp_hidden
+    n_pos = cfg.max_pos or cfg.context_length
+
+    params: dict = {
+        "word_embed": p.pull((cfg.vocab_size, d), what="word embeddings"),
+    }
+    # token-type table: tiny row count (2 for BERT, 1 for XLM-R). When the
+    # exporter constant-folds the all-zeros token_type_ids lookup, the add
+    # arrives as a [ctx, d] (or [1, ctx, d]) row-constant instead — keep
+    # its first row as a 1-row table (apply() reads type_embed[0]).
+    type_tab = p.maybe((1, d), (2, d), (4, d), (8, d), (16, d))
+    if type_tab is None:
+        folded = p.maybe((cfg.context_length, d),
+                         (1, cfg.context_length, d))
+        if folded is None:
+            raise WeightError(
+                "BERT structural recovery: token-type embedding table "
+                f"not found (expected [2, {d}]-class or a folded "
+                f"[{cfg.context_length}, {d}] constant)")
+        type_tab = np.asarray(folded).reshape(-1, d)[:1]
+    params["type_embed"] = np.asarray(type_tab)
+    params["pos_embed"] = np.asarray(
+        p.pull((n_pos, d), (1, n_pos, d), what="position embeddings")
+    ).reshape(-1, d)
+    params["embed_ln"] = _pull_ln(p, d)
+
+    blocks = []
+    for i in range(cfg.layers):
+        blocks.append({
+            "attn": {
+                "q": _pull_linear(p, d, d, what=f"block{i} q"),
+                "k": _pull_linear(p, d, d, what=f"block{i} k"),
+                "v": _pull_linear(p, d, d, what=f"block{i} v"),
+                "out": _pull_linear(p, d, d, what=f"block{i} attn out"),
+            },
+            "attn_ln": _pull_ln(p, d),
+            "mlp": {
+                "fc": _pull_linear(p, d, inter, what=f"block{i} fc"),
+                "proj": _pull_linear(p, inter, d, what=f"block{i} proj"),
+            },
+            "mlp_ln": _pull_ln(p, d),
+        })
+    params["blocks"] = _stack_blocks(blocks)
+
+    if cfg.pooler == "cls_pooler":
+        params["pooler"] = _pull_linear(p, d, d, what="bert pooler")
+    if cfg.proj == "mlp":
+        # open_clip HFTextEncoder: hidden = (width + embed_dim) // 2,
+        # second Linear bias-free
+        mid = (d + cfg.embed_dim) // 2
+        params["proj"] = {
+            "fc": _pull_linear(p, d, mid, what="proj fc"),
+            "out": _pull_linear(p, mid, cfg.embed_dim, what="proj out",
+                                bias=False),
+        }
+    elif cfg.proj == "linear":
+        params["proj"] = _pull_linear(p, d, cfg.embed_dim, what="proj")
+    return params
+
+
 def _structural_extract(g: OnnxGraph, spec, *, tower: str) -> dict:
     """Recover anonymously-named (constant-folded) weights by shape +
     consumption order against the architecture the config promises.
 
     Covers the transformer families (classic/timm ViT, EVA02, text
-    transformer). Conv-hybrid FastViT and BERT towers with folded names
-    are not recoverable this way — convert the original checkpoint with
-    pull_weights.py for those.
+    transformer, HF BERT/RoBERTa). Conv-hybrid FastViT towers with folded
+    names are not recoverable this way — convert the original checkpoint
+    with pull_weights.py for those.
     """
     if tower == "visual" and spec.family == "vit":
         return _structural_vit(g, spec.cfg)
@@ -794,9 +872,188 @@ def _structural_extract(g: OnnxGraph, spec, *, tower: str) -> dict:
         return _structural_eva02(g, spec.cfg)
     if tower == "text" and spec.family == "text_transformer":
         return _structural_text(g, spec.cfg)
+    if tower == "text" and spec.family == "hf_bert":
+        return _structural_bert(g, spec.cfg)
     raise WeightError(
         f"This ONNX graph carries constant-folded (anonymous) weight names; "
         f"structural extraction is not supported for family '{spec.family}'. "
         f"Convert the original open_clip checkpoint with pull_weights.py "
         f"instead."
     )
+
+
+# --------------------------------------------------------------------------
+# hf_config recovery for BERT/RoBERTa text graphs
+# --------------------------------------------------------------------------
+
+
+def derive_bert_hf_config(onnx_path: Path | str) -> dict:
+    """Recover the ``text_cfg.hf_config`` dict for an ``hf_model_name``
+    (BERT/RoBERTa-class) text tower from the exported text.onnx itself.
+
+    The reference model-dir contract carries no HF config.json
+    (src/model_manager.rs:8-18), so a BiomedCLIP-class ONNX dir (reference
+    README.md:143 lists microsoft/BiomedCLIP as tested) arrives without the
+    architecture dims models.hf_text.resolve_hf_text needs. Every one of
+    them is present in the graph: the embedding tables give vocab / width /
+    position count, per-layer parameter names give depth, 2-D weight shapes
+    give the MLP width, the transpose-for-scores reshape constants give the
+    head count, LayerNormalization attributes give the epsilon, and the
+    RoBERTa position-id derivation (CumSum over ``ids != pad``) identifies
+    the model type and pad id.
+
+    Raises WeightError when the graph's embedding tables can't be located —
+    fully constant-folded anonymous graphs fall back to the generic ONNX
+    executor, same as any unknown family.
+    """
+    g = read_onnx(onnx_path)
+    inits = g.initializers
+
+    def by_suffix(suffix: str) -> np.ndarray | None:
+        hits = [v for k, v in inits.items() if k.endswith(suffix)]
+        return hits[0] if len(hits) == 1 else None
+
+    word = by_suffix("embeddings.word_embeddings.weight")
+    pos = by_suffix("embeddings.position_embeddings.weight")
+    if word is None or pos is None or word.ndim != 2:
+        raise WeightError(
+            f"{onnx_path}: cannot locate the BERT embedding tables by name; "
+            "hf_config is not derivable from this graph (convert the "
+            "original checkpoint with pull_weights.py, or let the generic "
+            "ONNX executor run it)"
+        )
+    vocab, hidden = int(word.shape[0]), int(word.shape[1])
+    max_pos = int(pos.shape[0])
+
+    # depth: named per-layer parameters (LN scales survive even the
+    # mixed-name exports whose Linear weights fold to onnx::MatMul_*)
+    layer_ids = {
+        int(m.group(1))
+        for k in inits
+        for m in (re.search(r"encoder\.layer\.(\d+)\.", k),)
+        if m
+    }
+    layers = max(layer_ids) + 1 if layer_ids else 0
+
+    # MLP width + (fallback) depth from 2-D weight shapes: each block has
+    # exactly two [hidden, inter]-shaped matrices (fc + proj, either
+    # orientation), and inter is the only repeated non-hidden pair dim
+    pair_dims: list[int] = []
+    for v in inits.values():
+        if v.ndim == 2 and hidden in v.shape:
+            other = int(v.shape[0] if int(v.shape[1]) == hidden
+                        else v.shape[1])
+            if other not in (hidden, vocab, max_pos):
+                pair_dims.append(other)
+    inter_candidates = [d for d in pair_dims if d > hidden]
+    if not inter_candidates:
+        raise WeightError(
+            f"{onnx_path}: no MLP intermediate matrices found "
+            "(is this a BERT-class text graph?)"
+        )
+    intermediate = max(set(inter_candidates), key=inter_candidates.count)
+    if not layers:
+        layers = inter_candidates.count(intermediate) // 2
+
+    # head count: transformers' transpose_for_scores reshapes to
+    # [..., heads, head_dim]. torch.onnx builds that shape either as one
+    # int64 constant or as a Concat of scalar constants (dynamic batch/seq
+    # Gathers + a [heads] and a [head_dim] Constant node) — scan adjacent
+    # value pairs in both forms for (h, d) with h·d == hidden
+    scalar_const: dict[str, int] = {}
+    for op_type, _, outputs, attrs in g.nodes:
+        v = attrs.get("value")
+        if op_type == "Constant" and outputs \
+                and isinstance(v, np.ndarray) and v.dtype.kind in "iu" \
+                and v.size == 1:
+            scalar_const[outputs[0]] = int(v.reshape(-1)[0])
+    head_votes: list[int] = []
+
+    def scan_pairs(values) -> None:
+        for a, b in zip(values[:-1], values[1:]):
+            if a is not None and b is not None and a > 0 and b > 0 \
+                    and a * b == hidden and a <= 256:
+                head_votes.append(a)
+
+    def scan_shape_const(arr) -> None:
+        if not isinstance(arr, np.ndarray) or arr.dtype.kind not in "iu":
+            return
+        flat = arr.reshape(-1)
+        if 2 <= flat.size <= 6:
+            scan_pairs([int(x) for x in flat])
+
+    for v in inits.values():
+        scan_shape_const(v)
+    for op_type, inputs, _, attrs in g.nodes:
+        if op_type == "Constant":
+            scan_shape_const(attrs.get("value"))
+        elif op_type == "Concat" and 2 <= len(inputs) <= 6:
+            vals = [scalar_const.get(name) if name not in inits
+                    else (int(inits[name].reshape(-1)[0])
+                          if inits[name].size == 1 else None)
+                    for name in inputs]
+            scan_pairs(vals)
+    # [1, 1, hidden]-style mask/broadcast reshapes also yield a (1, hidden)
+    # pair — prefer multi-head votes (the transpose-for-scores constants
+    # recur 2×/layer and dominate any genuine single-head graph anyway)
+    multi_votes = [h for h in head_votes if h > 1] or head_votes
+    if multi_votes:
+        heads = max(set(multi_votes), key=multi_votes.count)
+    elif hidden % 64 == 0:
+        heads = hidden // 64  # transformers-wide convention
+    else:
+        raise WeightError(
+            f"{onnx_path}: cannot derive the attention head count "
+            f"(no reshape constants, hidden={hidden} not 64-divisible)"
+        )
+
+    # model type: RoBERTa position ids come from
+    # create_position_ids_from_input_ids = CumSum(ids != pad) + pad
+    roberta = any(op == "CumSum" for op, _, _, _ in g.nodes)
+
+    # pad id: open_clip's HFTextEncoder derives the mask IN-graph as
+    # ``ids != pad_token_id`` (the exported tower takes only input_ids,
+    # reference: pull_onnx.py:62-68 wraps encode_text) — the comparison's
+    # scalar int constant is the pad id, for BERT and RoBERTa alike
+    const_outputs: dict[str, np.ndarray] = {}
+    for op_type, _, outputs, attrs in g.nodes:
+        if op_type == "Constant" and outputs \
+                and isinstance(attrs.get("value"), np.ndarray):
+            const_outputs[outputs[0]] = attrs["value"]
+    pad_votes: list[int] = []
+    for op_type, inputs, _, _ in g.nodes:
+        if op_type in ("Equal", "NotEqual"):
+            for name in inputs:
+                c = inits.get(name)
+                if c is None:
+                    c = const_outputs.get(name)
+                if c is not None and c.dtype.kind in "iu" and c.size == 1:
+                    pad_votes.append(int(c.reshape(-1)[0]))
+    pad_id = (max(set(pad_votes), key=pad_votes.count) if pad_votes
+              else (1 if roberta else 0))
+
+    eps_votes: list[float] = []
+    for op_type, _, _, attrs in g.nodes:
+        if op_type == "LayerNormalization" \
+                and isinstance(attrs.get("epsilon"), float):
+            eps_votes.append(float(attrs["epsilon"]))
+    if not eps_votes:
+        # decomposed LN: the epsilon rides an Add with a tiny scalar const
+        for v in inits.values():
+            if v.dtype.kind == "f" and v.size == 1 \
+                    and 0.0 < float(v.reshape(-1)[0]) <= 1e-3:
+                eps_votes.append(float(v.reshape(-1)[0]))
+    eps = (max(set(eps_votes), key=eps_votes.count) if eps_votes
+           else (1e-5 if roberta else 1e-12))
+
+    return {
+        "vocab_size": vocab,
+        "hidden_size": hidden,
+        "num_attention_heads": heads,
+        "num_hidden_layers": layers,
+        "intermediate_size": intermediate,
+        "pad_token_id": pad_id,
+        "layer_norm_eps": eps,
+        "model_type": "xlm-roberta" if roberta else "bert",
+        "max_position_embeddings": max_pos,
+    }

@@ -13,6 +13,7 @@ instead of HF `tokenizers` + an ONNX Runtime session.
 
 from __future__ import annotations
 
+import json
 from functools import lru_cache
 from pathlib import Path
 from typing import Any, Sequence
@@ -33,6 +34,40 @@ from .models.build import TowerSpec, resolve_text
 from .ops.preprocess import bucket_batch
 from .tokenizer import Tokenizer
 from .weights import load_pytree, save_pytree
+
+
+def _maybe_derive_hf_config(model_dir: Path, config: OpenClipConfig) -> None:
+    """For ``hf_model_name`` (BERT/RoBERTa) dirs that arrived as reference
+    ONNX exports: the dir contract carries no HF config.json, so recover the
+    architecture dims from the text graph itself and persist them into
+    ``text_cfg.hf_config`` — the BiomedCLIP class (reference README.md:143)
+    then rides the native tower instead of the generic executor. Leaves the
+    config untouched (executor fallback) when derivation fails."""
+    tcfg = config.model_cfg.text_cfg
+    if not (tcfg.hf_model_name or tcfg.extra.get("hf_model_name")):
+        return
+    if tcfg.extra.get("hf_config"):
+        return
+    onnx_path = model_dir / "text.onnx"
+    if not onnx_path.is_file():
+        return
+    from .onnx_reader import derive_bert_hf_config
+
+    try:
+        hf_cfg = derive_bert_hf_config(onnx_path)
+    except WeightError:
+        return
+    tcfg.extra["hf_config"] = hf_cfg
+    # persist, so later loads (and the .npz fast path, whose spec still
+    # resolves from this config) never re-read the ONNX
+    cfg_path = model_dir / "open_clip_config.json"
+    try:
+        raw = json.loads(cfg_path.read_text())
+        raw.setdefault("model_cfg", {}).setdefault("text_cfg", {})[
+            "hf_config"] = hf_cfg
+        cfg_path.write_text(json.dumps(raw, indent=2))
+    except OSError:
+        pass  # read-only dir: in-memory config still carries it
 
 
 def _load_or_convert_text(model_dir: Path, spec: TowerSpec, dtype) -> dict:
@@ -150,6 +185,8 @@ class TextEmbedder:
         ctx_len = config.model_cfg.text_cfg.context_length
         tokenizer.with_padding(length=ctx_len, pad_id=int(pad_id))
         tokenizer.with_truncation(max_length=ctx_len)
+
+        _maybe_derive_hf_config(model_dir, config)
 
         try:
             spec = resolve_text(config.model_cfg)

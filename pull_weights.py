@@ -118,6 +118,11 @@ def convert_onnx_dir(model_dir: Path) -> None:
     from clip_embedder_tpu.weights import save_pytree
 
     cfg = OpenClipConfig.from_file(model_dir / "open_clip_config.json")
+    # hf_model_name (BERT-class) dirs carry no HF config.json — recover the
+    # architecture dims from the text graph itself (and persist them)
+    from clip_embedder_tpu.text import _maybe_derive_hf_config
+
+    _maybe_derive_hf_config(model_dir, cfg)
     vspec = resolve_vision(cfg.model_cfg)
     tspec = resolve_text(cfg.model_cfg)
     save_pytree(
