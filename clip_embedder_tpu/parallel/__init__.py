@@ -9,15 +9,18 @@ weights), optional tensor parallelism over a 'model' axis for the largest
 towers, with XLA inserting all collectives over ICI.
 """
 
-from .mesh import get_mesh, replicate, shard_batch
+from .mesh import get_mesh, replicate, select_platform, shard_batch
 from .sharding import tp_param_specs
 from .embed import ShardedVisionEmbedder, ShardedTextEmbedder
+from .pipeline import EmbedPipeline
 
 __all__ = [
     "get_mesh",
     "replicate",
+    "select_platform",
     "shard_batch",
     "tp_param_specs",
     "ShardedVisionEmbedder",
     "ShardedTextEmbedder",
+    "EmbedPipeline",
 ]

@@ -75,3 +75,31 @@ def test_non_square_image_size_rejected():
     assert VisionCfg.from_dict({"image_size": [336, 336]}).image_size == 336
     with pytest.raises(ConfigError, match="Non-square"):
         VisionCfg.from_dict({"image_size": [336, 448]})
+
+
+def test_parallel_exports():
+    """The scale-out surface docs/MIGRATION.md points users at."""
+    import clip_embedder_tpu.parallel as par
+
+    for name in ("get_mesh", "replicate", "select_platform", "shard_batch",
+                 "tp_param_specs", "ShardedVisionEmbedder",
+                 "ShardedTextEmbedder", "EmbedPipeline"):
+        assert hasattr(par, name), name
+
+
+def test_migration_guide_names_resolve():
+    """Every dotted clip_embedder_tpu attribute the migration guide cites
+    must exist — docs must not rot."""
+    import re
+    from pathlib import Path
+
+    import clip_embedder_tpu
+
+    text = (Path(__file__).parent.parent / "docs" / "MIGRATION.md").read_text()
+    for mod, attr in re.findall(
+            r"`(?:clip_embedder_tpu\.)?(parallel|serving|errors|config|"
+            r"model_manager|train)\.([A-Za-z_]\w*)", text):
+        if attr == "py":  # a file mention (`train.py`), not an attribute
+            continue
+        module = __import__(f"clip_embedder_tpu.{mod}", fromlist=[mod])
+        assert hasattr(module, attr), f"{mod}.{attr} cited but missing"
