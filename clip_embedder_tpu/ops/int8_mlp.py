@@ -274,6 +274,223 @@ def int8_mlp(params: Params, x: jax.Array, *,
     return out[:rows].reshape(*orig_shape[:-1], k_out)
 
 
+def _mlp_streamed_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref,
+                         b2_ref, o_ref, xq_ref, xs_ref, acc_ref, *,
+                         activation: str, ln_refs=None, ln_eps=1e-6,
+                         n_chunks: int, add_residual: bool,
+                         hidden: int, chunk: int):
+    """One (row-tile, hidden-slab) grid step of the weight-streamed MLP.
+
+    j == 0: LN + row-quant the input tile once into scratch, zero the f32
+    accumulator. Every j: h_j = act(dequant(xq @ w1_j)), per-slab row
+    requant, acc += dequant(aq_j @ w2_j). j == last: bias + (residual) +
+    cast to the output tile. Weight slabs arrive via the BlockSpec pipeline
+    (double-buffered DMA hides under the slab matmuls from tile 512 up)."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _first():
+        x32 = x_ref[:].astype(jnp.float32)
+        if ln_refs is not None:
+            g_ref, b_ref = ln_refs
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+            x32 = (x32 - mean) * jax.lax.rsqrt(var + ln_eps)
+            x32 = x32 * g_ref[0] + b_ref[0]
+        xq, xs = _row_quant(x32)
+        xq_ref[:] = xq
+        xs_ref[:] = xs
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    h = jax.lax.dot_general(
+        xq_ref[:], w1_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    h = h * (xs_ref[:] * s1_ref[0]) + b1_ref[0]
+    h = _act(h, activation)
+    if hidden % chunk:
+        # ragged last slab: Mosaic's out-of-range block padding is
+        # unspecified — zero it so the per-slab amax (and via aq=0, the
+        # fc2 contribution of padded rows) stays exact
+        cols = jax.lax.broadcasted_iota(jnp.int32, h.shape, 1)
+        valid = hidden - pl.program_id(1) * chunk
+        h = jnp.where(cols < valid, h, 0.0)
+    # per-slab row scales (vs the resident kernel's global row amax):
+    # finer quant granularity, same int8 rounding class — A/B-tested
+    aq, as_ = _row_quant(h)
+    part = jax.lax.dot_general(
+        aq, w2_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    acc_ref[:] += part * (as_ * s2_ref[0])
+
+    @pl.when(j == n_chunks - 1)
+    def _last():
+        y = acc_ref[:] + b2_ref[0]
+        if add_residual:
+            y = y + x_ref[:].astype(jnp.float32)
+        o_ref[:] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("activation", "ln_eps", "interpret",
+                                    "chunk", "add_residual"))
+def int8_mlp_streamed(params: Params, x: jax.Array, *,
+                      activation: str = "gelu_tanh",
+                      pre_ln: Params | None = None, ln_eps: float = 1e-6,
+                      interpret: bool = False,
+                      chunk: int = 1792,
+                      add_residual: bool = False) -> jax.Array:
+    """Fused W8A8 MLP for weight sets too large to sit resident in VMEM
+    (PE-Core-bigG: 1536×8960×2 ≈ 27.5 MB int8). The hidden dim is split
+    into ``chunk``-column slabs streamed through the BlockSpec pipeline —
+    per grid step one w1 column slab and the matching w2 row slab — with
+    the input tile quantized once and a f32 output accumulator in scratch.
+    The intermediate [T, hidden] activations never exist anywhere, not
+    even in scratch.
+
+    Numerics: per-slab activation requant (slightly finer than the
+    resident kernel's global row scale); within int8 rounding of the
+    unfused path (tests/test_quant.py)."""
+    if add_residual and pre_ln is None:
+        raise ValueError("add_residual requires the fused pre_ln")
+    fc, pr = params["fc"], params["proj"]
+    w1, s1 = fc["w_q"], fc["w_scale"].astype(jnp.float32)
+    w2, s2 = pr["w_q"], pr["w_scale"].astype(jnp.float32)
+    k_in, hidden = w1.shape
+    k_out = w2.shape[1]
+    b1 = fc.get("b")
+    b1 = (jnp.zeros((hidden,), jnp.float32) if b1 is None
+          else b1.astype(jnp.float32))
+    b2 = pr.get("b")
+    b2 = (jnp.zeros((k_out,), jnp.float32) if b2 is None
+          else b2.astype(jnp.float32))
+    s1, b1 = s1.reshape(1, hidden), b1.reshape(1, hidden)
+    s2, b2 = s2.reshape(1, k_out), b2.reshape(1, k_out)
+
+    orig_shape = x.shape
+    rows = 1
+    for dim in orig_shape[:-1]:
+        rows *= dim
+    x2 = x.reshape(rows, k_in)
+    tile = 512 if rows % 512 == 0 else (256 if rows % 256 == 0 else 128)
+    rp = (rows + tile - 1) // tile * tile
+    if rp != rows:
+        x2 = jnp.pad(x2, ((0, rp - rows), (0, 0)))
+
+    n_chunks = (hidden + chunk - 1) // chunk
+    # BlockSpec pads the trailing ragged slab with zeros: h = act(0 + 0) =
+    # 0 for every supported activation, so padded columns contribute
+    # nothing to the fc2 accumulation.
+    in_specs = [
+        pl.BlockSpec((tile, k_in), lambda i, j: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((k_in, chunk), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, chunk), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, chunk), lambda i, j: (0, j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, k_out), lambda i, j: (j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k_out), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, k_out), lambda i, j: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x2, w1, s1, b1, w2, s2, b2]
+    scratch_shapes = [
+        pltpu.VMEM((tile, k_in), jnp.int8),      # quantized LN'd input
+        pltpu.VMEM((tile, 1), jnp.float32),      # its per-row scales
+        pltpu.VMEM((tile, k_out), jnp.float32),  # output accumulator
+    ]
+    if pre_ln is not None:
+        ln_g = pre_ln["scale"].astype(jnp.float32).reshape(1, k_in)
+        ln_b = pre_ln["bias"].astype(jnp.float32).reshape(1, k_in)
+
+        def kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                   g_ref, lb_ref, o_ref, xq_ref, xs_ref, acc_ref):
+            _mlp_streamed_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref,
+                                 s2_ref, b2_ref, o_ref, xq_ref, xs_ref,
+                                 acc_ref, activation=activation,
+                                 ln_refs=(g_ref, lb_ref), ln_eps=ln_eps,
+                                 n_chunks=n_chunks,
+                                 add_residual=add_residual,
+                                 hidden=hidden, chunk=chunk)
+
+        in_specs = in_specs + [
+            pl.BlockSpec((1, k_in), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k_in), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        args = args + [ln_g, ln_b]
+    else:
+        def kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref, s2_ref, b2_ref,
+                   o_ref, xq_ref, xs_ref, acc_ref):
+            _mlp_streamed_kernel(x_ref, w1_ref, s1_ref, b1_ref, w2_ref,
+                                 s2_ref, b2_ref, o_ref, xq_ref, xs_ref,
+                                 acc_ref, activation=activation,
+                                 n_chunks=n_chunks,
+                                 add_residual=add_residual,
+                                 hidden=hidden, chunk=chunk)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((rp, k_out), x.dtype),
+        grid=(rp // tile, n_chunks),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile, k_out), lambda i, j: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=scratch_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # double-buffered weight slabs (2×(k_in+k_out)×chunk ≈ 7.9 MB
+            # at PE shapes) + tiles/scratch
+            vmem_limit_bytes=48 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * rp * k_in * hidden + 2 * rp * hidden * k_out,
+            bytes_accessed=(rp * (k_in + k_out) * 2
+                            + (rp // tile) * (k_in + k_out) * hidden),
+            transcendentals=rp * hidden,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out[:rows].reshape(*orig_shape[:-1], k_out)
+
+
+def fits_streamed_mlp(params: Params, activation_name: str,
+                      rows: int) -> bool:
+    """Eligibility for the weight-streamed fused MLP: quantized weights too
+    large for residency (fits_fused_mlp takes priority), enough rows per
+    weight pass to amortize the streaming, a supported in-kernel
+    activation, TPU.
+
+    Measured gate (tools/profile_streamed_mlp.py, v5e, interleaved
+    medians): PE-bigG's 27.5 MB set wins streamed vs unfused (3.35 vs
+    3.62 ms, 270 TF/s-equiv); gopt's 18.9 MB set loses (1.19 vs 1.09 —
+    the unfused XLA path already runs 320 TF/s-equiv at those shapes), so
+    only weight sets past ~20 MB stream."""
+    fc = params.get("fc")
+    pr = params.get("proj")
+    if not (isinstance(fc, dict) and isinstance(pr, dict)):
+        return False
+    if "w_q" not in fc or "w_q" not in pr:
+        return False
+    if fc["w_q"].ndim != 2 or pr["w_q"].ndim != 2:
+        return False
+    if activation_name not in ("gelu_tanh", "gelu", "quick_gelu", "relu"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    if fc["w_q"].size + pr["w_q"].size <= 20 * 1024 * 1024:
+        return False
+    return rows >= 512
+
+
 def _linear_kernel(x_ref, w_ref, s_ref, b_ref, o_ref):
     x32 = x_ref[:].astype(jnp.float32)
     xq, xs = _row_quant(x32)

@@ -126,12 +126,20 @@ def mlp(
         raise ValueError("mlp(residual=True) requires pre_ln")
     fc = params.get("fc")
     if isinstance(fc, dict) and "w_q" in fc:
-        from .int8_mlp import fits_fused_mlp, int8_mlp
+        from .int8_mlp import (fits_fused_mlp, fits_streamed_mlp, int8_mlp,
+                               int8_mlp_streamed)
 
         name = _ACTIVATION_NAMES.get(activation)
         if name and fits_fused_mlp(params, name):
             return int8_mlp(params, x, activation=name, pre_ln=pre_ln,
                             ln_eps=ln_eps, add_residual=residual)
+        if name and fits_streamed_mlp(params, name,
+                                      x.size // x.shape[-1]):
+            # weight sets beyond VMEM residency (PE-Core-bigG 27.5 MB):
+            # hidden-slab weight streaming, DMA hidden under slab matmuls
+            return int8_mlp_streamed(params, x, activation=name,
+                                     pre_ln=pre_ln, ln_eps=ln_eps,
+                                     add_residual=residual)
     res = x if residual else None
     if pre_ln is not None:
         x = layer_norm(pre_ln, x, eps=ln_eps)

@@ -386,3 +386,84 @@ def test_fused_int8_linear_residual():
     ref = r + int8_linear_fused(params, x, interpret=True)
     got = int8_linear_fused(params, x, residual=r, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def test_streamed_int8_mlp_matches_unfused():
+    """The weight-streamed fused MLP (PE-Core-class weight sets beyond VMEM
+    residency) quantizes the hidden activations per slab. Against a
+    per-slab unfused reference it must be near-exact; against the
+    global-row-scale unfused path it must stay within int8 rounding
+    (cosine ≥ 1 - 1e-4). Covers pre-LN + in-kernel residual and a ragged
+    last slab."""
+    import jax
+    import jax.numpy as jnp
+
+    from clip_embedder_tpu.ops.int8_mlp import int8_mlp_streamed
+    from clip_embedder_tpu.ops.layers import layer_norm
+    from clip_embedder_tpu.ops.quant import int8_linear, quantize_weight
+
+    rng = np.random.default_rng(21)
+    k, hidden = 128, 576  # chunk=256 -> slabs 256+256+64 (ragged last)
+    params = {}
+    raw = {}
+    for name, shape in (("fc", (k, hidden)), ("proj", (hidden, k))):
+        w = (rng.standard_normal(shape) * 0.05).astype(np.float32)
+        raw[name] = w
+        params[name] = {kk: jnp.asarray(v)
+                        for kk, v in quantize_weight(w).items()}
+        params[name]["b"] = jnp.asarray(
+            rng.standard_normal(shape[1]).astype(np.float32) * 0.01)
+    x = jnp.asarray(rng.standard_normal((2, 64, k)).astype(np.float32))
+    ln = {"scale": jnp.asarray(
+              1 + rng.standard_normal(k).astype(np.float32) * 0.1),
+          "bias": jnp.asarray(rng.standard_normal(k).astype(np.float32)
+                              * 0.01)}
+
+    def act(h):
+        return jax.nn.gelu(h, approximate=True)
+
+    def per_slab_reference(xin, chunk):
+        """Unfused math with the streamed kernel's exact quant structure:
+        per-slab row scales on the hidden activations, f32 accumulation."""
+        h = act(int8_linear(params["fc"], xin))
+        h = np.asarray(h, np.float64)
+        w2q = np.asarray(params["proj"]["w_q"], np.float64)
+        w2s = np.asarray(params["proj"]["w_scale"], np.float64)
+        acc = np.zeros(h.shape[:-1] + (k,), np.float64)
+        for off in range(0, hidden, chunk):
+            hs = h[..., off:off + chunk]
+            amax = np.max(np.abs(hs), axis=-1, keepdims=True)
+            scale = np.where(amax == 0, 1.0, amax / 127.0)
+            aq = np.clip(np.round(hs / scale), -127, 127)
+            acc += (aq @ w2q[off:off + chunk]) * (scale * w2s)
+        return acc + np.asarray(params["proj"]["b"], np.float64)
+
+    # plain: near-exact vs the per-slab reference
+    got = int8_mlp_streamed(params, x, activation="gelu_tanh", chunk=256,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float64),
+                               per_slab_reference(x, 256),
+                               atol=2e-5, rtol=0)
+
+    # one slab == the resident kernel's numerics exactly
+    ref1 = int8_linear(params["proj"], act(int8_linear(params["fc"], x)))
+    got1 = int8_mlp_streamed(params, x, activation="gelu_tanh", chunk=hidden,
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(got1), np.asarray(ref1), atol=2e-5)
+
+    # vs the global-row-scale path: same int8 rounding class
+    g = np.asarray(got).reshape(-1, k)
+    r = np.asarray(ref1).reshape(-1, k)
+    cos = (g * r).sum(-1) / (np.linalg.norm(g, axis=-1)
+                             * np.linalg.norm(r, axis=-1))
+    assert cos.min() > 1 - 5e-4, cos.min()
+
+    # pre-LN + in-kernel residual (the production int8 tower configuration)
+    xn = layer_norm(ln, x, eps=1e-6)
+    got = int8_mlp_streamed(params, x, activation="gelu_tanh", chunk=256,
+                            pre_ln=ln, ln_eps=1e-6, add_residual=True,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float64),
+                               np.asarray(x, np.float64)
+                               + per_slab_reference(xn, 256),
+                               atol=2e-5, rtol=0)
