@@ -196,3 +196,163 @@ class MicroBatcher:
             logger.debug("microbatch: %d items", len(window))
             if stop:
                 return
+
+
+class ClipServer:
+    """Minimal production HTTP embedding service over a ``Clip``.
+
+    Stdlib-only (``http.server.ThreadingHTTPServer``): no framework
+    dependency, deployable anywhere the library runs. Single-item image and
+    text requests ride per-modality :class:`MicroBatcher` instances, so
+    concurrent callers coalesce into batched device steps; list requests go
+    straight to the bulk embed path (already one batch).
+
+    Endpoints (JSON unless noted):
+
+    - ``GET  /healthz`` → ``{"status": "ok", ...}`` (after construction the
+      model is loaded; pair with :func:`warmup` for cold-start-free serving)
+    - ``POST /v1/embed/image`` — body = raw image bytes (any
+      ``image/*``/``application/octet-stream`` content type), or JSON
+      ``{"images_b64": ["<base64>", ...]}`` → ``{"embeddings": [[...], ...]}``
+    - ``POST /v1/embed/text`` — ``{"texts": ["...", ...]}`` →
+      ``{"embeddings": [[...], ...]}``
+    - ``POST /v1/classify`` — ``{"image_b64": "...", "labels": [...]}`` →
+      ``{"results": [[label, prob], ...]}`` sorted descending (the
+      reference's classify contract, src/clip.rs:94-132)
+    - ``POST /v1/rank`` — ``{"images_b64": [...], "text": "..."}`` →
+      ``{"results": [[index, prob], ...]}`` sorted descending
+
+    Client errors (bad JSON, undecodable image, empty batch) map to HTTP
+    400 with ``{"error": <ClipError class>, "message": ...}``; unexpected
+    failures to 500. Binds loopback by default — put a real ingress in
+    front for anything public.
+    """
+
+    def __init__(
+        self,
+        clip,
+        *,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        max_batch: int = 32,
+        max_delay_ms: float = 2.0,
+    ) -> None:
+        import base64
+        import json as _json
+        from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+        from .errors import ClipError
+
+        self._clip = clip
+        self._vision_batcher = MicroBatcher(
+            clip.vision.embed_images, max_batch=max_batch,
+            max_delay_ms=max_delay_ms)
+        self._text_batcher = MicroBatcher(
+            clip.text.embed_texts, max_batch=max_batch,
+            max_delay_ms=max_delay_ms)
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            # quiet: route request logs through our env-filtered logger
+            def log_message(self, fmt, *args):  # noqa: A003
+                get_logger().debug("http: " + fmt, *args)
+
+            def _send(self, code: int, payload: dict) -> None:
+                body = _json.dumps(payload).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> bytes:
+                n = int(self.headers.get("Content-Length") or 0)
+                return self.rfile.read(n)
+
+            def do_GET(self):  # noqa: N802
+                if self.path == "/healthz":
+                    self._send(200, {
+                        "status": "ok",
+                        "batches": server._vision_batcher.batches
+                        + server._text_batcher.batches,
+                    })
+                else:
+                    self._send(404, {"error": "NotFound",
+                                     "message": self.path})
+
+            def do_POST(self):  # noqa: N802
+                try:
+                    payload = self._route(self.path, self._body(),
+                                          self.headers.get("Content-Type",
+                                                           ""))
+                except ClipError as e:
+                    self._send(400, {"error": type(e).__name__,
+                                     "message": str(e)})
+                except (ValueError, KeyError, TypeError) as e:
+                    self._send(400, {"error": type(e).__name__,
+                                     "message": str(e)})
+                except Exception as e:  # noqa: BLE001
+                    self._send(500, {"error": type(e).__name__,
+                                     "message": str(e)})
+                else:
+                    self._send(200, payload)
+
+            def _route(self, path: str, body: bytes, ctype: str) -> dict:
+                if path == "/v1/embed/image":
+                    if ctype.startswith("application/json"):
+                        req = _json.loads(body)
+                        imgs = [base64.b64decode(b)
+                                for b in req["images_b64"]]
+                        if not imgs:
+                            from .errors import InferenceError
+
+                            raise InferenceError("Empty batch")
+                        emb = server._clip.vision.embed_images(imgs)
+                        return {"embeddings": np.asarray(emb).tolist()}
+                    row = server._vision_batcher.embed(body)
+                    return {"embeddings": [row.tolist()]}
+                if path == "/v1/embed/text":
+                    req = _json.loads(body)
+                    texts = req["texts"]
+                    if isinstance(texts, str):
+                        texts = [texts]
+                    if len(texts) == 1:
+                        return {"embeddings":
+                                [server._text_batcher.embed(texts[0])
+                                 .tolist()]}
+                    emb = server._clip.text.embed_texts(texts)
+                    return {"embeddings": np.asarray(emb).tolist()}
+                if path == "/v1/classify":
+                    req = _json.loads(body)
+                    img = base64.b64decode(req["image_b64"])
+                    return {"results":
+                            server._clip.classify(img, req["labels"])}
+                if path == "/v1/rank":
+                    req = _json.loads(body)
+                    imgs = [base64.b64decode(b) for b in req["images_b64"]]
+                    return {"results":
+                            server._clip.rank_images(imgs, req["text"])}
+                raise KeyError(f"no such endpoint: {path}")
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, name="clip-http", daemon=True)
+        self._thread.start()
+
+    @property
+    def address(self) -> tuple[str, int]:
+        """Actual (host, port) — useful with ``port=0`` (ephemeral)."""
+        return self._httpd.server_address[:2]
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._thread.join()
+        self._vision_batcher.close()
+        self._text_batcher.close()
+
+    def __enter__(self) -> "ClipServer":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

@@ -142,9 +142,11 @@ def test_serve_example(image_file):
 
         def caller(i):
             if i % 2 == 0:
-                results[i] = post("/embed/image", img_bytes)
+                results[i] = post("/v1/embed/image", img_bytes)
             else:
-                results[i] = post("/embed/text", "a photo of a cat".encode())
+                results[i] = post(
+                    "/v1/embed/text",
+                    json.dumps({"texts": "a photo of a cat"}).encode())
 
         threads = [threading.Thread(target=caller, args=(i,))
                    for i in range(6)]
@@ -157,26 +159,28 @@ def test_serve_example(image_file):
             assert r is not None, f"caller {i} hung"
             status, obj = r
             assert status == 200
-            emb = np.asarray(obj["embedding"])
-            assert obj["dim"] == emb.shape[0] == 32
+            emb = np.asarray(obj["embeddings"][0])
+            assert emb.shape[0] == 32
             np.testing.assert_allclose(np.linalg.norm(emb), 1.0, atol=1e-3)
         # identical inputs -> identical rows, regardless of window packing
-        img_embs = [np.asarray(r[1]["embedding"]) for r in results[::2]]
+        img_embs = [np.asarray(r[1]["embeddings"][0]) for r in results[::2]]
         for e in img_embs[1:]:
             np.testing.assert_allclose(e, img_embs[0], atol=1e-4)
 
         with urllib.request.urlopen(base + "/healthz", timeout=30) as resp:
-            assert json.loads(resp.read()) == {"ok": True}
+            assert json.loads(resp.read())["status"] == "ok"
 
-        # malformed image -> 400 with a ClipError message, service stays up
-        req = urllib.request.Request(base + "/embed/image",
+        # malformed image -> 400 with a ClipError name, service stays up
+        req = urllib.request.Request(base + "/v1/embed/image",
                                      data=b"not an image", method="POST")
         try:
             urllib.request.urlopen(req, timeout=120)
             raise AssertionError("expected HTTP 400")
         except urllib.error.HTTPError as e:
             assert e.code == 400
-        status, _ = post("/embed/text", b"still alive")
+            assert json.loads(e.read())["error"] == "ImageError"
+        status, _ = post("/v1/embed/text",
+                         json.dumps({"texts": "still alive"}).encode())
         assert status == 200
     finally:
         proc.terminate()
