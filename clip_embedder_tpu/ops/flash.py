@@ -78,7 +78,8 @@ def _rope_rotate(x, sin_v, cos_v):
 def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, g: int, d: int,
                    scale: float, fast_softmax: bool, mask_ref,
                    rope_refs=None,
-                   quant_pv: bool = False):
+                   quant_pv: bool = False,
+                   mxu_denom: bool = False):
     """One (batch, head-group) block in packed [S, g·D] layout.
 
     ``quant_pv`` routes the p·v matmul through int8 (per-row dynamic quant
@@ -124,6 +125,27 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, g: int, d: int,
             m = jnp.max(logits, axis=-1, keepdims=True)
             m = jnp.maximum(m, -1e30)
             p = jnp.exp(logits - m)
+        if mxu_denom and not quant_pv and d % 128:
+            # v2's spare-lane trick ported to the packed layout: pad the
+            # head's v slab to the lane width with a ones column at lane d,
+            # so the p·v matmul also emits the softmax denominator — the
+            # MXU pads the [S, d] operand to 128 lanes internally anyway,
+            # so the row-sum costs zero extra MXU time and removes one
+            # [S, S] VPU reduction pass per head (the kernel is VPU-bound)
+            dp = _round_up(d + 1, 128)
+            colp = jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], dp - d),
+                                            1)
+            extra = jnp.where(colp == 0, jnp.ones((), v.dtype),
+                              jnp.zeros((), v.dtype))
+            vpad = jnp.concatenate([vh, extra], axis=1)
+            out = jax.lax.dot_general(
+                p.astype(v.dtype), vpad,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            denom = out[:, d:d + 1]
+            outs.append((out[:, :d] * (1.0 / denom)).astype(o_ref.dtype))
+            continue
         denom = jnp.sum(p, axis=-1, keepdims=True)
         if quant_pv:
             # p ≥ 0 with rowmax = 1 (exact softmax) / ≤ e^120 (clamped):
@@ -164,7 +186,8 @@ def _head_group(num_heads: int, d: int) -> int | None:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "fast_softmax", "interpret", "quant_pv"))
+    static_argnames=("num_heads", "fast_softmax", "interpret", "quant_pv",
+                     "mxu_denom"))
 def flash_attention_packed(
     q: jax.Array,  # [B, S, H·D] head-major packed (projection layout)
     k: jax.Array,
@@ -176,6 +199,7 @@ def flash_attention_packed(
     fast_softmax: bool = False,
     interpret: bool = False,
     quant_pv: bool = False,
+    mxu_denom: bool = False,
 ) -> jax.Array:
     """Fused attention consuming the projection layout directly.
 
@@ -253,12 +277,13 @@ def flash_attention_packed(
         def kernel(q_ref, k_ref, v_ref, sin_ref, cos_ref, o_ref):
             _packed_kernel(q_ref, k_ref, v_ref, o_ref, g=g, d=d, scale=scale,
                            fast_softmax=fast_softmax, mask_ref=None,
-                           rope_refs=(sin_ref, cos_ref), quant_pv=quant_pv)
+                           rope_refs=(sin_ref, cos_ref), quant_pv=quant_pv,
+                           mxu_denom=mxu_denom)
     elif mask2d is None and maskkey is None and maskfull is None:
         def kernel(q_ref, k_ref, v_ref, o_ref):
             _packed_kernel(q_ref, k_ref, v_ref, o_ref, g=g, d=d, scale=scale,
                            fast_softmax=fast_softmax, mask_ref=None,
-                           quant_pv=quant_pv)
+                           quant_pv=quant_pv, mxu_denom=mxu_denom)
     else:
         shared_mask = mask2d is not None
 
@@ -268,7 +293,7 @@ def flash_attention_packed(
             mval = m_ref[:] if shared_mask else m_ref[0]
             _packed_kernel(q_ref, k_ref, v_ref, o_ref, g=g, d=d, scale=scale,
                            fast_softmax=fast_softmax, mask_ref=mval,
-                           quant_pv=quant_pv)
+                           quant_pv=quant_pv, mxu_denom=mxu_denom)
 
         if mask2d is not None:
             in_specs = in_specs + [

@@ -483,3 +483,64 @@ def test_packed_in_kernel_rope_matches_outside_apply():
     with pytest.raises(ValueError, match="rope tables"):
         flash_attention_packed(q, k, v, num_heads=h,
                                rope=(sin[:-1], cos), interpret=True)
+
+
+@pytest.mark.parametrize(
+    "b,h,s,d",
+    [
+        (2, 16, 61, 72),   # SO400M-like
+        (1, 16, 65, 96),   # PE-Core-bigG head dim (g=4)
+        (2, 8, 64, 64),    # g=2
+    ],
+)
+@pytest.mark.parametrize("fast", [False, True])
+def test_flash_packed_mxu_denom_matches(b, h, s, d, fast):
+    """The MXU-denominator variant (softmax row sums emitted by the p·v
+    matmul via a ones lane appended to each head's v slab) must match the
+    explicit-sum kernel and the XLA core; in f32 the ones-lane sum is the
+    same f32 accumulation, so the match is tight."""
+    from clip_embedder_tpu.ops.flash import flash_attention_packed
+
+    keys = jax.random.split(jax.random.key(11), 3)
+    q = jax.random.normal(keys[0], (b, s, h * d), jnp.float32)
+    k = jax.random.normal(keys[1], (b, s, h * d), jnp.float32)
+    v = jax.random.normal(keys[2], (b, s, h * d), jnp.float32)
+    got = flash_attention_packed(q, k, v, num_heads=h, fast_softmax=fast,
+                                 mxu_denom=True, interpret=True)
+    base = flash_attention_packed(q, k, v, num_heads=h, fast_softmax=fast,
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(base),
+                               atol=2e-5, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(_packed_ref(q, k, v, h)),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_flash_packed_mxu_denom_with_mask_and_rope():
+    """mxu_denom composes with the mask branch (text towers) and with
+    in-kernel rope (PE-Core/EVA02 vision)."""
+    from clip_embedder_tpu.ops.flash import flash_attention_packed
+    from clip_embedder_tpu.ops.rope import apply_rope
+
+    b, h, s, d = 2, 8, 77, 64
+    keys = jax.random.split(jax.random.key(12), 3)
+    q = jax.random.normal(keys[0], (b, s, h * d), jnp.float32)
+    k = jax.random.normal(keys[1], (b, s, h * d), jnp.float32)
+    v = jax.random.normal(keys[2], (b, s, h * d), jnp.float32)
+    mask = causal_mask(s)
+    got = flash_attention_packed(q, k, v, num_heads=h, mask=mask,
+                                 mxu_denom=True, interpret=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(_packed_ref(q, k, v, h, mask)),
+                               atol=2e-5, rtol=1e-5)
+
+    rng = np.random.default_rng(13)
+    ang = np.tile(rng.standard_normal((s, d)).astype(np.float32), (1, h))
+    sin, cos = jnp.sin(jnp.asarray(ang)), jnp.cos(jnp.asarray(ang))
+    inside = flash_attention_packed(q, k, v, num_heads=h, rope=(sin, cos),
+                                    mxu_denom=True, interpret=True)
+    outside = flash_attention_packed(
+        apply_rope(q, sin, cos), apply_rope(k, sin, cos), v, num_heads=h,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(inside), np.asarray(outside),
+                               atol=1e-5, rtol=1e-5)
