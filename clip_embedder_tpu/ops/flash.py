@@ -133,11 +133,14 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, g: int, d: int,
             # so the row-sum costs zero extra MXU time and removes one
             # [S, S] VPU reduction pass per head (the kernel is VPU-bound)
             dp = _round_up(d + 1, 128)
-            colp = jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], dp - d),
-                                            1)
-            extra = jnp.where(colp == 0, jnp.ones((), v.dtype),
-                              jnp.zeros((), v.dtype))
-            vpad = jnp.concatenate([vh, extra], axis=1)
+            # zero-pad to the lane width, then set lane d to 1 with a
+            # full-width iota compare — Mosaic rejects the relayout of an
+            # i1 vector at the narrow [S, dp-d] shape, so the compare must
+            # run at the 128-multiple width (same pattern as _attn_kernel)
+            vpad = jnp.concatenate(
+                [vh, jnp.zeros((vh.shape[0], dp - d), v.dtype)], axis=1)
+            colp = jax.lax.broadcasted_iota(jnp.int32, vpad.shape, 1)
+            vpad = jnp.where(colp == d, jnp.ones((), v.dtype), vpad)
             out = jax.lax.dot_general(
                 p.astype(v.dtype), vpad,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -199,7 +202,7 @@ def flash_attention_packed(
     fast_softmax: bool = False,
     interpret: bool = False,
     quant_pv: bool = False,
-    mxu_denom: bool = False,
+    mxu_denom: bool = True,
 ) -> jax.Array:
     """Fused attention consuming the projection layout directly.
 
