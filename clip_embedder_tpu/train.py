@@ -45,6 +45,10 @@ class TrainConfig:
     # rematerialize blocks on backward: activation memory of one layer
     # instead of all (jax.checkpoint — the HBM/FLOPs trade for big towers)
     remat: bool = False
+    # chunked SigLIP loss over the data-axis ring (siglip_ring_loss): the
+    # [B, B] global logit matrix never materializes — required at
+    # SigLIP-scale global batches. Only valid with loss="siglip".
+    ring_loss: bool = False
 
 
 def init_train_state(key: jax.Array, cfg: TrainConfig, *, dtype=jnp.float32):
@@ -118,7 +122,57 @@ def siglip_loss(img_emb: jax.Array, txt_emb: jax.Array, scale: jax.Array,
     return -jnp.mean(jax.nn.log_sigmoid(signs * logits)) * n
 
 
-def loss_fn(params, batch, cfg: TrainConfig):
+def siglip_ring_loss(img_emb: jax.Array, txt_emb: jax.Array,
+                     scale: jax.Array, bias: jax.Array, *, mesh: Mesh,
+                     axis: str = DATA_AXIS) -> jax.Array:
+    """Device-chunked sigmoid loss — the SigLIP recipe for giant global
+    batches, as an explicit ring over the mesh's data axis.
+
+    The dense ``siglip_loss`` under GSPMD all-gathers the full text-embedding
+    batch onto every chip and materializes the global ``[B, B]`` logit
+    matrix per chip; at SigLIP-scale batches (32k) that matrix alone is 4 GB
+    f32. Here each device keeps only its ``[b, D]`` shards: inside
+    ``shard_map`` the text shard rotates one neighbor around the data-axis
+    ring per hop (``lax.ppermute`` — on a TPU slice each hop is one
+    nearest-neighbor ICI transfer, overlapping the ``[b, b]`` logit-block
+    compute), every device accumulating its local rows' pairwise terms.
+    Peak per-device live memory is ``[b, b]``; the ``[B, B]`` matrix never
+    exists anywhere. Sum of all blocks is psum'd and normalized exactly like
+    the dense loss, so values and gradients match it to float tolerance
+    (tests/test_train_ring.py proves both on an 8-device mesh).
+    """
+    n = int(mesh.shape[axis])
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def per_device(img, txt, scale, bias):
+        b = img.shape[0]
+        diag = jnp.eye(b, dtype=img.dtype)
+
+        def hop(carry, k):
+            txt_k, acc = carry
+            logits = img @ txt_k.T * scale + bias
+            # positives live on the local diagonal only on hop 0, when the
+            # resident text chunk is the device's own
+            signs = jnp.where(k == 0, 2.0 * diag - 1.0, -jnp.ones_like(diag))
+            acc = acc - jnp.sum(jax.nn.log_sigmoid(signs * logits))
+            txt_k = jax.lax.ppermute(txt_k, axis, perm)
+            return (txt_k, acc), None
+
+        acc0 = jax.lax.pcast(jnp.zeros((), jnp.float32), axis, to="varying")
+        (_, acc), _ = jax.lax.scan(hop, (txt, acc0), jnp.arange(n))
+        # dense normalization: -sum(log_sigmoid)/B_global
+        return jax.lax.psum(acc, axis) / (n * b)
+
+    spec = P(axis)
+    # only the data axis goes manual: on a ('data','model') TP mesh the
+    # model axis stays under GSPMD, composing with Megatron-sharded towers
+    return jax.shard_map(
+        per_device, mesh=mesh, axis_names={axis},
+        in_specs=(spec, spec, P(), P()), out_specs=P(),
+    )(img_emb, txt_emb, scale, bias)
+
+
+def loss_fn(params, batch, cfg: TrainConfig, mesh: Mesh | None = None):
     img_emb = vit.apply(params["visual"], batch["pixels"], cfg.vision_cfg,
                         remat=cfg.remat)
     txt_emb = text_transformer.apply(params["text"], batch["input_ids"],
@@ -127,14 +181,24 @@ def loss_fn(params, batch, cfg: TrainConfig):
     bias = params["logit_bias"]
     img_emb = img_emb.astype(jnp.float32)
     txt_emb = txt_emb.astype(jnp.float32)
+    if cfg.ring_loss:
+        if cfg.loss != "siglip":
+            raise ValueError("ring_loss requires loss='siglip' (softmax CE "
+                             "needs the global logit row; the sigmoid loss "
+                             "is the one that chunks exactly)")
+        if mesh is None:
+            raise ValueError("ring_loss needs the mesh — use "
+                             "make_sharded_train_step")
+        return siglip_ring_loss(img_emb, txt_emb, scale, bias, mesh=mesh)
     if cfg.loss == "siglip":
         return siglip_loss(img_emb, txt_emb, scale, bias)
     return clip_loss(img_emb, txt_emb, scale, bias)
 
 
 def train_step(params, opt_state, batch, *, cfg: TrainConfig,
-               tx: optax.GradientTransformation):
-    loss, grads = jax.value_and_grad(partial(loss_fn, cfg=cfg))(params, batch)
+               tx: optax.GradientTransformation, mesh: Mesh | None = None):
+    loss, grads = jax.value_and_grad(
+        partial(loss_fn, cfg=cfg, mesh=mesh))(params, batch)
     updates, opt_state = tx.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss
@@ -176,7 +240,8 @@ def make_sharded_train_step(cfg: TrainConfig, mesh: Mesh, params):
         "input_ids": NamedSharding(mesh, P(DATA_AXIS)),
     }
     step = jax.jit(
-        partial(train_step, cfg=cfg, tx=tx),
+        partial(train_step, cfg=cfg, tx=tx,
+                mesh=mesh if cfg.ring_loss else None),
         in_shardings=(param_sh, None, batch_sh),
         out_shardings=(param_sh, None, NamedSharding(mesh, P())),
         donate_argnums=(0, 1),
