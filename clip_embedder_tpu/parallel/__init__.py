@@ -13,6 +13,7 @@ from .mesh import get_mesh, replicate, select_platform, shard_batch
 from .sharding import tp_param_specs
 from .embed import ShardedVisionEmbedder, ShardedTextEmbedder
 from .pipeline import EmbedPipeline
+from .search import CorpusIndex
 
 __all__ = [
     "get_mesh",
@@ -23,4 +24,5 @@ __all__ = [
     "ShardedVisionEmbedder",
     "ShardedTextEmbedder",
     "EmbedPipeline",
+    "CorpusIndex",
 ]
