@@ -32,3 +32,44 @@ def dispatch_rtt(*, refresh: bool = False) -> float:
             best = min(best, time.perf_counter() - t0)
         _RTT_CACHE.append(best)
     return _RTT_CACHE[0]
+
+
+def chained_timer(fn, *args, iters: int = 30):
+    """Build a ``once() -> seconds/iteration`` probe for ``fn(*args)``.
+
+    The shared chained-on-device methodology (see module docstring):
+    ``iters`` calls run inside ONE jitted ``fori_loop`` with a
+    cross-iteration data dependency threaded through the first argument
+    (``x + acc*1e-30`` — numerically invisible, but XLA cannot overlap or
+    elide iterations), reduced by a FULL sum — a ``[:1]`` slice can
+    propagate backward through non-custom-call stages and understate the
+    cost. Each ``once()`` call reads back one scalar and returns
+    per-iteration wall seconds minus the cached dispatch RTT.
+
+    Tuple-returning ``fn``s are timed on their first element. Used by the
+    ``tools/profile_*`` harnesses so the methodology cannot drift between
+    them (interleave ``once()`` calls across variants and take medians —
+    single-shot readings on this tunnel mislead by 10-20%).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(*a):
+        def body(_, acc):
+            first = a[0]
+            x_i = first + (acc * 1e-30).astype(first.dtype)
+            out = fn(x_i, *a[1:])
+            if isinstance(out, tuple):
+                out = out[0]
+            return acc + jnp.sum(out.astype(jnp.float32)) * 1e-20
+        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+
+    float(run(*args))  # compile outside the timed region
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        float(run(*args))
+        return max(time.perf_counter() - t0 - dispatch_rtt(), 1e-9) / iters
+
+    return once

@@ -23,7 +23,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..errors import InferenceError
-from .mesh import DATA_AXIS, pad_to_multiple
+from ..ops.preprocess import bucket_batch
+from .mesh import DATA_AXIS
 
 
 @partial(jax.jit, static_argnames=("k", "axis", "mesh", "precision"))
@@ -105,7 +106,10 @@ class CorpusIndex:
             new = np.concatenate([old, new], axis=0)
         n = new.shape[0]
         n_dev = self.mesh.shape[self.axis]
-        n_pad = max(pad_to_multiple(n, n_dev), n_dev)
+        # per-device rows bucket to powers of two: corpus growth compiles
+        # O(log N) programs, not one per add() (cold compiles on this
+        # runtime can stall minutes — same invariant as the embedders)
+        n_pad = bucket_batch(-(-n // n_dev)) * n_dev
         if n_pad != n:
             new = np.concatenate(
                 [new, np.zeros((n_pad - n, self.embed_dim), new.dtype)])
@@ -134,12 +138,23 @@ class CorpusIndex:
         k = int(k)
         if not 1 <= k <= self._n:
             raise InferenceError(f"k={k} must be in [1, {self._n}]")
+        # bucket Q and k to powers of two so repeat searches with varying
+        # shapes reuse a bounded compiled-program set (zero-padded query
+        # rows and the k..kb candidate tail are sliced off below; each
+        # device still contributes ≥ min(k, n_local) candidates, so the
+        # true global top-k survives the bucketing)
+        n_q = q.shape[0]
+        qb = bucket_batch(n_q)
+        if qb != n_q:
+            q = jnp.concatenate(
+                [q, jnp.zeros((qb - n_q, q.shape[1]), q.dtype)])
+        kb = min(bucket_batch(k), self._corpus.shape[0])
         q = jax.device_put(q, NamedSharding(self.mesh, P()))
         vals, idx = _sharded_topk(q, self._corpus, self._valid,
-                                  k=k, axis=self.axis, mesh=self.mesh,
+                                  k=kb, axis=self.axis, mesh=self.mesh,
                                   precision=self.precision)
-        vals = np.asarray(vals.astype(jnp.float32))
-        idx = np.asarray(idx)
+        vals = np.asarray(vals.astype(jnp.float32))[:n_q, :k]
+        idx = np.asarray(idx)[:n_q, :k]
         if single:
             return vals[0], idx[0]
         return vals, idx

@@ -105,6 +105,10 @@ class MicroBatcher:
         self._max_delay = float(max_delay_ms) / 1e3
         self._queue: queue.SimpleQueue = queue.SimpleQueue()
         self._closed = False
+        # makes the closed-check + put in submit() atomic vs close(): without
+        # it a submit can pass the check, lose the CPU, and enqueue behind a
+        # fully drained fence — its Future would never resolve
+        self._submit_lock = threading.Lock()
         self.batches = 0   # windows executed (observability + tests)
         self.items = 0     # items embedded
         self._worker = threading.Thread(
@@ -115,10 +119,11 @@ class MicroBatcher:
 
     def submit(self, item: Any) -> "Future[np.ndarray]":
         """Enqueue one item; resolves to its ``[D]`` embedding row."""
-        if self._closed:
-            raise InferenceError("MicroBatcher is closed")
         fut: Future = Future()
-        self._queue.put((item, fut))
+        with self._submit_lock:
+            if self._closed:
+                raise InferenceError("MicroBatcher is closed")
+            self._queue.put((item, fut))
         return fut
 
     def embed(self, item: Any) -> np.ndarray:
@@ -130,13 +135,14 @@ class MicroBatcher:
     def close(self) -> None:
         """Drain already-submitted items, then stop the collector thread.
         Subsequent :meth:`submit` calls raise ``InferenceError``."""
-        if self._closed:
-            return
-        self._closed = True          # reject new work first…
-        self._queue.put(_STOP)       # …then fence the queue (FIFO: earlier
+        with self._submit_lock:
+            if self._closed:
+                return
+            self._closed = True      # reject new work first…
+            self._queue.put(_STOP)   # …then fence the queue (FIFO: earlier
         self._worker.join()          # submissions drain before the fence)
-        # A submit() racing close() can slip an item behind the fence —
-        # fail it rather than leave the future unresolved forever.
+        # Belt and braces: the lock already prevents a submit slipping
+        # behind the fence, but fail any leftover rather than hang forever.
         while True:
             try:
                 leftover = self._queue.get_nowait()
@@ -244,6 +250,7 @@ class ClipServer:
         from .errors import ClipError
 
         self._clip = clip
+        self._closing = False
         self._vision_batcher = MicroBatcher(
             clip.vision.embed_images, max_batch=max_batch,
             max_delay_ms=max_delay_ms)
@@ -286,8 +293,13 @@ class ClipServer:
                                           self.headers.get("Content-Type",
                                                            ""))
                 except ClipError as e:
-                    self._send(400, {"error": type(e).__name__,
-                                     "message": str(e)})
+                    # A valid request racing a graceful shutdown is not a
+                    # client error: daemon handler threads outlive
+                    # shutdown(), so the batchers may already be closed.
+                    # 503 tells well-behaved clients to retry elsewhere.
+                    code = 503 if server._closing else 400
+                    self._send(code, {"error": type(e).__name__,
+                                      "message": str(e)})
                 except (ValueError, KeyError, TypeError) as e:
                     self._send(400, {"error": type(e).__name__,
                                      "message": str(e)})
@@ -345,6 +357,7 @@ class ClipServer:
         return self._httpd.server_address[:2]
 
     def close(self) -> None:
+        self._closing = True
         self._httpd.shutdown()
         self._httpd.server_close()
         self._thread.join()

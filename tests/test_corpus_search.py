@@ -130,3 +130,35 @@ def test_search_texts_through_clip(tmp_path):
     embs = clip.text.embed_texts(["a cat", "a dog"])
     dvals, _ = _dense_topk(corpus, np.asarray(embs, np.float32), 5)
     np.testing.assert_allclose(vals, dvals, rtol=1e-4, atol=1e-5)
+
+
+def test_search_shapes_bucket_to_bounded_program_set():
+    """Varying Q and k must reuse compiled programs via power-of-two
+    bucketing (CLAUDE.md invariant: cold compiles can stall minutes on the
+    real runtime), and corpus growth compiles O(log N) layouts."""
+    from clip_embedder_tpu.parallel.search import _sharded_topk
+
+    rng = np.random.default_rng(3)
+    mesh = get_mesh()
+    index = CorpusIndex.build(_unit_rows(rng, 200, 32), mesh)
+
+    qs = _unit_rows(rng, 7, 32)
+    base = _sharded_topk._cache_size()
+    vals, ids = index.search(qs, k=5)  # Q=7->8, k=5->8
+    dv, di = _dense_topk(np.asarray(index._corpus)[:200], qs, 5)
+    np.testing.assert_array_equal(ids, di)
+    np.testing.assert_allclose(vals, dv, rtol=0, atol=1e-5)
+    grew = _sharded_topk._cache_size() - base
+    assert grew <= 1
+
+    # same buckets, different raw shapes: zero new compiles
+    before = _sharded_topk._cache_size()
+    index.search(_unit_rows(rng, 5, 32), k=6)   # 5->8, 6->8
+    index.search(_unit_rows(rng, 8, 32), k=8)   # exact bucket
+    assert _sharded_topk._cache_size() == before
+
+    # adds within the same per-device power-of-two row bucket keep the
+    # corpus shape (no restage-triggered recompile)
+    shape_before = index._corpus.shape
+    index.add(_unit_rows(rng, 10, 32))  # 210 rows -> still 32/dev bucket
+    assert index._corpus.shape == shape_before

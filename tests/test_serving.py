@@ -120,3 +120,34 @@ def test_end_to_end_with_real_embedder(tmp_path):
     for got, want in zip(rows, direct):
         np.testing.assert_allclose(got, want, atol=2e-6)
     assert batches <= 4
+
+
+def test_submit_close_race_never_hangs_a_future():
+    """A submit racing close() must either complete or raise — never leave
+    its Future unresolved (the closed-check + enqueue are atomic vs the
+    close fence)."""
+    for _ in range(20):
+        mb = MicroBatcher(ident_embed, max_batch=4, max_delay_ms=1)
+        results = []
+
+        def submitter():
+            try:
+                results.append(mb.submit(7))
+            except InferenceError:
+                results.append(None)
+
+        threads = [threading.Thread(target=submitter) for _ in range(8)]
+        for t in threads:
+            t.start()
+        mb.close()
+        for t in threads:
+            t.join()
+        for fut in results:
+            if fut is None:
+                continue  # rejected cleanly
+            # accepted submissions must resolve (value or exception), fast
+            try:
+                np.testing.assert_array_equal(
+                    fut.result(timeout=5), np.full(4, 7.0, np.float32))
+            except InferenceError:
+                pass  # failed by the close-drain: resolved, acceptable

@@ -159,3 +159,18 @@ def test_submit_after_close_rejected():
     server.close()
     with pytest.raises(urllib.error.URLError):
         _post(server, "/v1/embed/text", {"texts": "x"})
+
+
+def test_shutdown_race_maps_clip_errors_to_503(served):
+    """A valid request racing graceful shutdown must read as
+    server-unavailable (retry), not a 400 client error: daemon handler
+    threads can outlive shutdown() and hit already-closed batchers."""
+    _, server = served
+    server._closing = True  # simulate the close() window, listener still up
+    try:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server, "/v1/embed/text", {"texts": []},
+                  ctype="application/json")
+        assert ei.value.code == 503
+    finally:
+        server._closing = False

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -26,7 +25,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:
-    import jax
     import jax.numpy as jnp
 
     from clip_embedder_tpu.utils.compilation_cache import (
@@ -35,28 +33,14 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    from benches.timing import dispatch_rtt
+    from benches.timing import chained_timer
     from clip_embedder_tpu.ops.flash import flash_attention_packed
 
     iters = int(os.environ.get("PROF_ITERS", "30"))
     rounds = int(os.environ.get("PROF_ROUNDS", "7"))
 
     def chain(fn, *args, it=iters):
-        @jax.jit
-        def run(*a):
-            def body(_, acc):
-                first = a[0]
-                x_i = first + (acc * 1e-30).astype(first.dtype)
-                out = fn(x_i, *a[1:])
-                return acc + jnp.sum(out.astype(jnp.float32)) * 1e-20
-            return jax.lax.fori_loop(0, it, body, jnp.float32(0))
-
-        float(run(*args))  # compile
-        def once():
-            t0 = time.perf_counter()
-            float(run(*args))
-            return max(time.perf_counter() - t0 - dispatch_rtt(), 1e-9) / it
-        return once
+        return chained_timer(fn, *args, iters=it)
 
     cases = {
         "SO400M b32": (32, 16, 576, 72, False),
@@ -81,6 +65,12 @@ def main() -> None:
                     lambda qq, kk, vv, f=fast, m=mxu: flash_attention_packed(
                         qq, kk, vv, num_heads=h, fast_softmax=f,
                         rope=rope, mxu_denom=m), q, k, v)
+        # bf16 softmax pipeline (logits land bf16, exp on half-width
+        # vectors, no cast pass before p·v) on the production config
+        variants["fast=1 mxu_denom=1 bf16_p"] = chain(
+            lambda qq, kk, vv: flash_attention_packed(
+                qq, kk, vv, num_heads=h, fast_softmax=True,
+                rope=rope, mxu_denom=True, bf16_p=True), q, k, v)
         samples = {kk: [] for kk in variants}
         for _ in range(rounds):
             for kk, once in variants.items():

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -42,30 +41,11 @@ def main() -> None:
     batch = int(os.environ.get("PROF_BATCH", "8"))
     iters = int(os.environ.get("PROF_ITERS", "30"))
 
-    from benches.timing import dispatch_rtt
+    from benches.timing import chained_timer
 
     def timed(label, fn, *args, it=iters, flops=None):
-        @jax.jit
-        def chain(*a):
-            def body(_, acc):
-                first = a[0]
-                x_i = first + (acc * 1e-30).astype(first.dtype)
-                out = fn(x_i, *a[1:])
-                if isinstance(out, tuple):
-                    out = out[0]
-                # full-sum reduction: a [:1] slice can propagate backward
-                # through non-custom-call stages and understate the cost
-                # (see bench.py / benches/timing.py methodology)
-                return acc + jnp.sum(out.astype(jnp.float32)) * 1e-20
-            return jax.lax.fori_loop(0, it, body, jnp.float32(0))
-
-        float(chain(*args))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(chain(*args))
-            best = min(best, time.perf_counter() - t0)
-        dt = max(best - dispatch_rtt(), 1e-9) / it
+        once = chained_timer(fn, *args, iters=it)
+        dt = min(once() for _ in range(3))
         eff = f"  ({flops / dt / 1e12:.0f} TF/s-equiv)" if flops else ""
         print(f"{label:44s} {dt * 1e3:7.3f} ms{eff}", flush=True)
         return dt

@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -32,7 +31,7 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    from benches.timing import dispatch_rtt
+    from benches.timing import chained_timer
     from clip_embedder_tpu.ops import int8_mlp
     from clip_embedder_tpu.ops.flash import flash_attention_packed
     from clip_embedder_tpu.ops.qkv import (fits_fused_qkv_int8, ln_qkv,
@@ -44,24 +43,8 @@ def main() -> None:
     iters = int(os.environ.get("PROF_ITERS", "20"))
 
     def timed(label, fn, *args, it=iters, flops=None):
-        @jax.jit
-        def chain(*a):
-            def body(_, acc):
-                first = a[0]
-                x_i = first + (acc * 1e-30).astype(first.dtype)
-                out = fn(x_i, *a[1:])
-                if isinstance(out, tuple):
-                    out = out[0]
-                return acc + jnp.sum(out.astype(jnp.float32)) * 1e-20
-            return jax.lax.fori_loop(0, it, body, jnp.float32(0))
-
-        float(chain(*args))
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(chain(*args))
-            best = min(best, time.perf_counter() - t0)
-        dt = max(best - dispatch_rtt(), 1e-9) / it
+        once = chained_timer(fn, *args, iters=it)
+        dt = min(once() for _ in range(3))
         eff = f"  ({flops / dt / 1e12:.0f} TF/s-equiv)" if flops else ""
         print(f"{label:46s} {dt * 1e3:7.3f} ms{eff}", flush=True)
         return dt

@@ -18,7 +18,6 @@ from __future__ import annotations
 
 import os
 import sys
-import time
 
 import numpy as np
 
@@ -35,7 +34,7 @@ def main() -> None:
 
     enable_compilation_cache()
 
-    from benches.timing import dispatch_rtt
+    from benches.timing import chained_timer
     from clip_embedder_tpu.ops import int8_mlp as m
     from clip_embedder_tpu.ops.layers import layer_norm
     from clip_embedder_tpu.ops.quant import int8_linear, quantize_weight
@@ -45,21 +44,7 @@ def main() -> None:
     rounds = int(os.environ.get("PROF_ROUNDS", "7"))
 
     def chain(fn, *args, it=iters):
-        @jax.jit
-        def run(*a):
-            def body(_, acc):
-                first = a[0]
-                x_i = first + (acc * 1e-30).astype(first.dtype)
-                out = fn(x_i, *a[1:])
-                return acc + jnp.sum(out.astype(jnp.float32)) * 1e-20
-            return jax.lax.fori_loop(0, it, body, jnp.float32(0))
-
-        float(run(*args))  # compile
-        def once():
-            t0 = time.perf_counter()
-            float(run(*args))
-            return max(time.perf_counter() - t0 - dispatch_rtt(), 1e-9) / it
-        return once
+        return chained_timer(fn, *args, iters=it)
 
     for label, (W, H, S, act) in {
         "PE-bigG": (1536, 8960, 1025, "gelu_tanh"),
