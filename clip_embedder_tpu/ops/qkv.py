@@ -170,6 +170,10 @@ def ln_qkv_int8(params: Params, pre_ln: Params, x: jax.Array, *,
         x2 = jnp.pad(x2, ((0, rp - rows), (0, 0)))
 
     nc = _pick_chunks(w, 1)
+    if nc is None:
+        raise ValueError(
+            f"ln_qkv_int8: width {w} has no single-slab chunking within the "
+            "VMEM budget — gate callers on fits_fused_qkv_int8()")
     wc = w // nc
     # chunk dim outer, row tiles inner: each weight slab loads once and
     # stays resident while the row tiles stream past it

@@ -69,6 +69,20 @@ def _sharded_vision_forward(spec, attn_impl: str, mesh: Mesh,
             out_dtype=out_dtype, layout=preprocess_layout(spec.family))
         return _jitted_vision_forward(spec, attn_impl)(params, pixels)
 
+    if not tensor_parallel:
+        # Pure DP is embarrassingly parallel: run the whole forward
+        # per-shard under shard_map so the Pallas kernels keep working on
+        # local blocks with zero collectives. Under plain GSPMD a Pallas
+        # kernel is an opaque custom call with no partitioning rule — the
+        # partitioner would all-gather the batch-sharded activations every
+        # layer (the same mechanism docs/DEPLOYMENT.md describes for the
+        # model axis), erasing the DP speedup.
+        forward = jax.shard_map(
+            forward, mesh=mesh, check_vma=False,
+            in_specs=(P(), P(DATA_AXIS), P(), P(), P(DATA_AXIS)),
+            out_specs=P(DATA_AXIS),
+        )
+
     return jax.jit(
         forward,
         # unique weight tables replicate; the batch and its index shard
@@ -88,6 +102,15 @@ def _sharded_text_forward(spec, attn_impl: str, mesh: Mesh):
         # dropping it here would let hf_bert towers re-derive a mask from
         # cfg.pad_id, which can differ from the resolved tokenizer pad id
         return _jitted_text_forward(spec, attn_impl)(params, ids, mask)
+
+    # per-shard execution (DP only — no TP for text): Pallas attention runs
+    # on local batch blocks instead of forcing GSPMD to gather the batch
+    # around an unpartitionable custom call (see _sharded_vision_forward)
+    forward = jax.shard_map(
+        forward, mesh=mesh, check_vma=False,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+    )
 
     return jax.jit(
         forward,

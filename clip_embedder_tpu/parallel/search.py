@@ -81,6 +81,11 @@ class CorpusIndex:
         self._n = 0
         self._corpus = None   # [N_pad, D] sharded P(axis)
         self._valid = None    # [N_pad] bool sharded P(axis)
+        # host mirror of the unpadded rows: append-heavy workloads restage
+        # from host memory instead of reading the whole corpus back over
+        # the device link on every add (host RAM >> HBM, so the mirror is
+        # the cheap side of the trade)
+        self._host = None     # [N, D] numpy
 
     @classmethod
     def build(cls, embeddings, mesh: Mesh, **kw) -> "CorpusIndex":
@@ -101,9 +106,9 @@ class CorpusIndex:
         if new.ndim != 2 or new.shape[1] != self.embed_dim:
             raise InferenceError(
                 f"corpus rows must be [*, {self.embed_dim}], got {new.shape}")
-        if self._corpus is not None:
-            old = np.asarray(self._corpus)[: self._n]
-            new = np.concatenate([old, new], axis=0)
+        if self._host is not None:
+            new = np.concatenate([self._host, new], axis=0)
+        self._host = new
         n = new.shape[0]
         n_dev = self.mesh.shape[self.axis]
         # per-device rows bucket to powers of two: corpus growth compiles
@@ -115,8 +120,11 @@ class CorpusIndex:
                 [new, np.zeros((n_pad - n, self.embed_dim), new.dtype)])
         valid = np.arange(n_pad) < n
         sh = NamedSharding(self.mesh, P(self.axis))
-        self._corpus = jax.device_put(jnp.asarray(new), sh)
-        self._valid = jax.device_put(jnp.asarray(valid), sh)
+        # device_put straight from numpy: each device receives only its own
+        # rows — the padded corpus is never resident on a single device, so
+        # corpora sized for the slice's *aggregate* HBM stage correctly
+        self._corpus = jax.device_put(new, sh)
+        self._valid = jax.device_put(valid, sh)
         self._n = n
 
     def search(self, queries, k: int):

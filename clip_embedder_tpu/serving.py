@@ -69,6 +69,11 @@ def warmup(
 _STOP = object()
 
 
+class _NoSuchEndpoint(Exception):
+    """Unknown route — mapped to HTTP 404 (a wrong URL is not a 400-class
+    malformed request; clients and proxies key on the distinction)."""
+
+
 class MicroBatcher:
     """Coalesce single-item embed requests from concurrent callers into
     batched device steps.
@@ -184,7 +189,7 @@ class MicroBatcher:
             items = [item for item, _ in window]
             try:
                 rows = self._embed_fn(items)
-            except BaseException as e:  # propagate to THIS window's callers
+            except Exception as e:  # propagate to THIS window's callers
                 for _, fut in window:
                     fut.set_exception(e)
             else:
@@ -300,6 +305,9 @@ class ClipServer:
                     code = 503 if server._closing else 400
                     self._send(code, {"error": type(e).__name__,
                                       "message": str(e)})
+                except _NoSuchEndpoint as e:
+                    self._send(404, {"error": "NotFound",
+                                     "message": str(e)})
                 except (ValueError, KeyError, TypeError) as e:
                     self._send(400, {"error": type(e).__name__,
                                      "message": str(e)})
@@ -344,7 +352,7 @@ class ClipServer:
                     imgs = [base64.b64decode(b) for b in req["images_b64"]]
                     return {"results":
                             server._clip.rank_images(imgs, req["text"])}
-                raise KeyError(f"no such endpoint: {path}")
+                raise _NoSuchEndpoint(f"no such endpoint: {path}")
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread = threading.Thread(

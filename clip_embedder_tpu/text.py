@@ -14,6 +14,7 @@ instead of HF `tokenizers` + an ONNX Runtime session.
 from __future__ import annotations
 
 import json
+import os
 from functools import lru_cache
 from pathlib import Path
 from typing import Any, Sequence
@@ -65,7 +66,13 @@ def _maybe_derive_hf_config(model_dir: Path, config: OpenClipConfig) -> None:
         raw = json.loads(cfg_path.read_text())
         raw.setdefault("model_cfg", {}).setdefault("text_cfg", {})[
             "hf_config"] = hf_cfg
-        cfg_path.write_text(json.dumps(raw, indent=2))
+        # write-temp + atomic rename: concurrent loaders of the same dir
+        # (a normal multi-process serving pattern) must never observe a
+        # half-written config — both writers derive identical content from
+        # the same graph, so last-replace-wins is safe
+        tmp = cfg_path.with_name(f".{cfg_path.name}.{os.getpid()}.tmp")
+        tmp.write_text(json.dumps(raw, indent=2))
+        os.replace(tmp, cfg_path)
     except OSError:
         pass  # read-only dir: in-memory config still carries it
 

@@ -141,7 +141,6 @@ def test_concurrent_singles_coalesce(served):
         ("/v1/embed/text", b"{bad json", "application/json",
          "JSONDecodeError"),
         ("/v1/classify", {"labels": ["x"]}, "application/json", "KeyError"),
-        ("/v1/nope", {}, "application/json", "KeyError"),
     ],
 )
 def test_client_errors_are_400(served, path, payload, ctype, expect_error):
@@ -151,6 +150,15 @@ def test_client_errors_are_400(served, path, payload, ctype, expect_error):
     assert ei.value.code == 400
     body = json.loads(ei.value.read())
     assert expect_error in body["error"], body
+
+
+def test_unknown_post_route_is_404(served):
+    # wrong URL != malformed request: POST routing matches GET's semantics
+    _, server = served
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server, "/v1/nope", {}, ctype="application/json")
+    assert ei.value.code == 404
+    assert json.loads(ei.value.read())["error"] == "NotFound"
 
 
 def test_submit_after_close_rejected():
