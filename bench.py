@@ -65,10 +65,11 @@ def main() -> None:
     iters = int(os.environ.get("BENCH_ITERS", "100"))
     target = 384
 
-    # one-call dispatch floor, subtracted from the chained wall time — with
-    # the default 100 chained iters the leftover bias would otherwise be
-    # ~0.3 ms/step, several percent of a step (shared impl: benches/timing.py)
-    from benches.timing import dispatch_rtt
+    # shared chained-on-device harness (benches/timing.py): fori_loop with
+    # a cross-iteration data dependency, full-sum reduction, and the
+    # single-dispatch RTT subtracted — with the default 100 chained iters
+    # the leftover bias would otherwise be ~0.3 ms/step
+    from benches.timing import chained_timer
 
     cfg = so400m_siglip2_384()
     assert cfg.image_size == target
@@ -95,22 +96,16 @@ def main() -> None:
         return vit.apply(params, pixels, cfg, attn_impl=attn_impl,
                          channels_first=True)
 
-    @jax.jit
-    def embed_chain(params, images_u8, wh, ww):
-        # each iteration perturbs the resize weights by the running scalar
-        # (a true data dependency at zero cost) so XLA executes every step
-        def body(_, acc):
-            wh_i = wh + (acc * 1e-30).astype(wh.dtype)
-            pixels = resize_normalize(images_u8, wh_i, ww, mean, std,
-                                      out_dtype=dtype, layout="nchw")
-            emb = vit.apply(params, pixels, cfg, attn_impl=attn_impl,
-                            channels_first=True)
-            # FULL reduction: a [:1] slice invites XLA slice-propagation
-            # into the bench body (observed computing one row of a bare
-            # matmul chain); real towers measured immune, but the full
-            # sum removes the hazard for ~nothing ([B, D] reduce)
-            return acc + jnp.sum(emb.astype(jnp.float32))
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
+    def tower_probe(params, images_u8, wh, ww):
+        # the harness perturbs its FIRST argument for the cross-iteration
+        # dependency, so the (float) resize weights lead the signature —
+        # a true data dependency at zero cost
+        return chained_timer(
+            lambda wh_i, p, img, ww_: vit.apply(
+                p, resize_normalize(img, wh_i, ww_, mean, std,
+                                    out_dtype=dtype, layout="nchw"),
+                cfg, attn_impl=attn_impl, channels_first=True),
+            wh, params, images_u8, ww, iters=iters)
 
     wh_np, ww_np = preprocess_weights_for(src, src, target)
 
@@ -126,10 +121,7 @@ def main() -> None:
         wh = jnp.broadcast_to(jnp.asarray(wh_np), (batch, target, src))
         ww = jnp.broadcast_to(jnp.asarray(ww_np), (batch, target, src))
         try:
-            float(embed_chain(params, images, wh, ww))  # compile + warmup
-            t0 = time.perf_counter()
-            float(embed_chain(params, images, wh, ww))
-            dt = max(time.perf_counter() - t0 - dispatch_rtt(), 1e-9) / iters
+            dt = tower_probe(params, images, wh, ww)()
         except Exception as e:  # noqa: BLE001 — OOM at large batch: skip
             print(f"batch {batch} failed: {type(e).__name__}", file=sys.stderr)
             continue
@@ -167,11 +159,7 @@ def main() -> None:
             try:
                 qparams = jax.tree.map(
                     jnp.asarray, quantize_tree(np_params, paths=qpaths))
-                float(embed_chain(qparams, images, wh, ww))
-                t0 = time.perf_counter()
-                float(embed_chain(qparams, images, wh, ww))
-                dtq = max(time.perf_counter() - t0 - dispatch_rtt(),
-                          1e-9) / iters
+                dtq = tower_probe(qparams, images, wh, ww)()
                 int8_ips[qmode] = round(best_batch / dtq, 2)
                 print(f"{qmode} alternate (batch {best_batch}): "
                       f"{int8_ips[qmode]} img/s", file=sys.stderr)

@@ -15,7 +15,6 @@ from __future__ import annotations
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
@@ -87,38 +86,16 @@ MODELS: dict[str, dict] = {
 }
 
 
-from benches.timing import dispatch_rtt as _dispatch_rtt  # noqa: E402 — shared methodology
+from benches.timing import chained_timer  # noqa: E402 — shared methodology
 
 
 def _time(fn, params, x, *, iters=20):
-    """Per-step time of ``fn(params, x)`` measured by chaining ``iters``
-    executions on-device in one jitted fori_loop with a cross-iteration
-    data dependency (so XLA can't hoist the loop body), then subtracting
-    the single dispatch RTT. See bench.py's methodology note."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def chain(params, x):
-        def body(_, acc):
-            if jnp.issubdtype(x.dtype, jnp.floating):
-                x_i = x + (acc * 1e-30).astype(x.dtype)
-            else:
-                # integer inputs: a never-true data-dependent select keeps
-                # the dependency without touching the values
-                x_i = jnp.where(acc > jnp.float32(1e30), x + 1, x)
-            out = fn(params, x_i)
-            # FULL reduction: a [:1] slice invites XLA slice-propagation
-            # into the bench body (observed computing one row of a bare
-            # matmul chain); real towers measured immune, but the full
-            # sum removes the hazard for ~nothing ([B, D] reduce)
-            return acc + jnp.sum(out.astype(jnp.float32))
-        return jax.lax.fori_loop(0, iters, body, jnp.float32(0))
-
-    float(chain(params, x))  # compile + warmup
-    t0 = time.perf_counter()
-    float(chain(params, x))
-    return max(time.perf_counter() - t0 - _dispatch_rtt(), 1e-9) / iters
+    """Per-step time of ``fn(params, x)``, one chained-on-device reading
+    through the shared ``benches.timing.chained_timer`` harness (fori_loop
+    with a cross-iteration data dependency, full-sum reduction, dispatch
+    RTT subtracted — see its docstring for why each piece exists)."""
+    return chained_timer(lambda x_i, p: fn(p, x_i), x, params,
+                         iters=iters)()
 
 
 def bench_model(name: str, spec: dict, batch: int, attn_impl: str,

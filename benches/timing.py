@@ -46,10 +46,14 @@ def chained_timer(fn, *args, iters: int = 30):
     cost. Each ``once()`` call reads back one scalar and returns
     per-iteration wall seconds minus the cached dispatch RTT.
 
-    Tuple-returning ``fn``s are timed on their first element. Used by the
-    ``tools/profile_*`` harnesses so the methodology cannot drift between
-    them (interleave ``once()`` calls across variants and take medians —
-    single-shot readings on this tunnel mislead by 10-20%).
+    Integer first arguments (tokenized ids, u8 images) carry the
+    dependency through a never-true data-dependent select instead of the
+    additive perturbation (whose int cast would be a foldable no-op).
+    Tuple-returning ``fn``s are timed on their first element. Used by
+    ``bench.py``, ``benches/bench_suite.py`` and the ``tools/profile_*``
+    harnesses so the methodology cannot drift between them (interleave
+    ``once()`` calls across variants and take medians — single-shot
+    readings on this tunnel mislead by 10-20%).
     """
     import jax
     import jax.numpy as jnp
@@ -58,7 +62,10 @@ def chained_timer(fn, *args, iters: int = 30):
     def run(*a):
         def body(_, acc):
             first = a[0]
-            x_i = first + (acc * 1e-30).astype(first.dtype)
+            if jnp.issubdtype(first.dtype, jnp.floating):
+                x_i = first + (acc * 1e-30).astype(first.dtype)
+            else:
+                x_i = jnp.where(acc > jnp.float32(1e30), first + 1, first)
             out = fn(x_i, *a[1:])
             if isinstance(out, tuple):
                 out = out[0]

@@ -51,19 +51,8 @@ def main() -> None:
     ww = jnp.broadcast_to(jnp.asarray(ww_np), (batch, target, src))
 
 
-    _rtt = []
-
-    def dispatch_rtt() -> float:
-        if not _rtt:
-            nop = jax.jit(lambda v: v + 1)
-            float(nop(jnp.float32(1)))
-            best = float("inf")
-            for _ in range(5):
-                t0 = time.perf_counter()
-                float(nop(jnp.float32(2)))
-                best = min(best, time.perf_counter() - t0)
-            _rtt.append(best)
-        return _rtt[0]
+    # shared single-dispatch RTT probe (benches/timing.py)
+    from benches.timing import dispatch_rtt
 
     def timeit(name, fn, *args):
         try:
