@@ -151,7 +151,7 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, g: int, d: int,
             continue
         denom = jnp.sum(p, axis=-1, keepdims=True)
         if quant_pv:
-            # p ≥ 0 with rowmax = 1 (exact softmax) / ≤ e^120 (clamped):
+            # p ≥ 0 with rowmax = 1 (exact softmax) / ≤ e^60 (clamped):
             # per-row scale from the row max, per-column scale for v
             pmax = jnp.max(p, axis=-1, keepdims=True)
             ps = jnp.where(pmax == 0, 1.0, pmax / 127.0)
@@ -222,6 +222,12 @@ def flash_attention_packed(
     round-tripping padded operands through HBM.
     """
     b, s, hd = q.shape
+    if k.shape != q.shape or v.shape != q.shape:
+        # the packed layout is self-attention only: one [S, g·D] block spec
+        # serves q/k/v alike, so a differing k/v would be silently truncated
+        raise ValueError(
+            f"packed kernel requires q/k/v of one shape, got {q.shape}/"
+            f"{k.shape}/{v.shape}")
     d = hd // num_heads
     scale = 1.0 / (d ** 0.5)
     g = _head_group(num_heads, d)
@@ -238,7 +244,7 @@ def flash_attention_packed(
     if mask is not None:
         m = jnp.asarray(mask)
         if m.ndim == 4 and m.shape[0] == b and b > 1 and m.shape[1] == 1 \
-                and m.shape[2] == 1:
+                and m.shape[2] == 1 and m.shape[3] == s:
             maskkey = m[:, 0, :, :].astype(jnp.float32)  # [B, 1, S]
         elif m.ndim == 2 and m.shape == (s, s):
             mask2d = m.astype(jnp.float32)
@@ -400,6 +406,14 @@ def flash_attention(
     """
     b, h, s, d = q.shape
     scale = 1.0 / (d ** 0.5)
+
+    if k.shape[2] != s:
+        # cross-attention (Sq != Sk): this kernel pads/handles one square
+        # [S, S] logits block, so mismatched sequence lengths would die in
+        # the k reshape below — route to the shape-general XLA core
+        from .attention import attention_core
+
+        return attention_core(q, k, v, mask=mask, impl="xla")
 
     if mask is not None:
         m = jnp.asarray(mask)

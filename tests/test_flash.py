@@ -350,6 +350,53 @@ def test_packed_rejects_per_head_mask_with_clear_error():
                                interpret=True)
 
 
+def test_packed_rejects_wrong_width_key_mask():
+    """A [B,1,1,S_mask] key-padding mask whose S_mask != S must raise, not
+    silently truncate to the first S columns (review finding)."""
+    from clip_embedder_tpu.ops.flash import flash_attention_packed
+
+    b, h, s, d = 2, 2, 8, 64
+    keys = jax.random.split(jax.random.key(10), 3)
+    q, k, v = (jax.random.normal(kk, (b, s, h * d), jnp.float32)
+               for kk in keys)
+    mask = jnp.zeros((b, 1, 1, s + 8), jnp.float32)
+    with pytest.raises(ValueError, match="unsupported mask shape"):
+        flash_attention_packed(q, k, v, num_heads=h, mask=mask,
+                               interpret=True)
+
+
+def test_packed_rejects_mismatched_kv():
+    """k/v shaped differently from q would be silently truncated by the
+    shared block spec; the kernel must refuse them (review finding)."""
+    from clip_embedder_tpu.ops.flash import flash_attention_packed
+
+    b, h, s, d = 2, 2, 8, 64
+    keys = jax.random.split(jax.random.key(11), 3)
+    q = jax.random.normal(keys[0], (b, s, h * d), jnp.float32)
+    k = jax.random.normal(keys[1], (b, s + 8, h * d), jnp.float32)
+    v = jax.random.normal(keys[2], (b, s + 8, h * d), jnp.float32)
+    with pytest.raises(ValueError, match="one shape"):
+        flash_attention_packed(q, k, v, num_heads=h, interpret=True)
+
+
+def test_flash_cross_attention_falls_back_to_xla():
+    """flash_attention with Sq != Sk (a pooling-head cross-attention) must
+    return the XLA-core result instead of dying in the k reshape
+    (review finding)."""
+    from clip_embedder_tpu.ops.attention import attention_core
+    from clip_embedder_tpu.ops.flash import flash_attention
+
+    b, h, sq, sk, d = 2, 4, 1, 16, 32
+    keys = jax.random.split(jax.random.key(12), 3)
+    q = jax.random.normal(keys[0], (b, h, sq, d), jnp.float32)
+    k = jax.random.normal(keys[1], (b, h, sk, d), jnp.float32)
+    v = jax.random.normal(keys[2], (b, h, sk, d), jnp.float32)
+    got = flash_attention(q, k, v, interpret=True)
+    expect = attention_core(q, k, v, impl="xla")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               atol=1e-6)
+
+
 def test_select_platform_strict():
     """strict=True raises DeviceError when no preference initializes — the
     error_on_failure analog (reference: examples/debug_local.rs:57) — and
