@@ -66,6 +66,32 @@ def _act(h: jax.Array, name: str) -> jax.Array:
     raise ValueError(f"unsupported in-kernel activation '{name}'")
 
 
+def _unpack_qlinear(p: Params, n: int):
+    """ops.quant weight layout → (w_q [K, N] int8, scale [1, N] f32,
+    bias [1, N] f32). Scales/biases become rows because TPU VMEM refs want
+    ≥2D layouts; a missing bias defaults to zeros."""
+    w, s = p["w_q"], p["w_scale"].astype(jnp.float32)
+    b = p.get("b")
+    b = jnp.zeros((n,), jnp.float32) if b is None else b.astype(jnp.float32)
+    return w, s.reshape(1, n), b.reshape(1, n)
+
+
+def _flatten_rows(x: jax.Array, k_in: int, tiles: tuple[int, ...]):
+    """Flatten leading dims to rows and zero-pad to the first tile in
+    ``tiles`` that divides the row count (last tile pads up otherwise).
+    Returns (x2 [rp, k_in], orig_shape, rows, rp, tile)."""
+    orig_shape = x.shape
+    rows = 1
+    for dim in orig_shape[:-1]:
+        rows *= dim
+    x2 = x.reshape(rows, k_in)
+    tile = next((t for t in tiles if rows % t == 0), tiles[-1])
+    rp = (rows + tile - 1) // tile * tile
+    if rp != rows:
+        x2 = jnp.pad(x2, ((0, rp - rows), (0, 0)))
+    return x2, orig_shape, rows, rp, tile
+
+
 def _chunk_bounds(hidden: int, chunks: int) -> list[tuple[int, int]]:
     """Split ``hidden`` into ``chunks`` slabs with 128-aligned offsets
     (the last slab may be ragged — Mosaic pads it internally, exactly as
@@ -173,30 +199,11 @@ def int8_mlp(params: Params, x: jax.Array, *,
         raise ValueError("add_residual requires the fused pre_ln (the raw "
                          "kernel input must be the residual stream)")
     fc, pr = params["fc"], params["proj"]
-    w1, s1 = fc["w_q"], fc["w_scale"].astype(jnp.float32)
-    w2, s2 = pr["w_q"], pr["w_scale"].astype(jnp.float32)
-    k_in, hidden = w1.shape
-    k_out = w2.shape[1]
-    b1 = fc.get("b")
-    b1 = (jnp.zeros((hidden,), jnp.float32) if b1 is None
-          else b1.astype(jnp.float32))
-    b2 = pr.get("b")
-    b2 = (jnp.zeros((k_out,), jnp.float32) if b2 is None
-          else b2.astype(jnp.float32))
-    # scales/biases as [1, N] rows — TPU VMEM refs want ≥2D layouts
-    s1, b1 = s1.reshape(1, hidden), b1.reshape(1, hidden)
-    s2, b2 = s2.reshape(1, k_out), b2.reshape(1, k_out)
-
-    orig_shape = x.shape
-    rows = 1
-    for dim in orig_shape[:-1]:
-        rows *= dim
-    x2 = x.reshape(rows, k_in)
-
-    tile = 256 if rows % 256 == 0 else 128
-    rp = (rows + tile - 1) // tile * tile
-    if rp != rows:
-        x2 = jnp.pad(x2, ((0, rp - rows), (0, 0)))
+    k_in, hidden = fc["w_q"].shape
+    k_out = pr["w_q"].shape[1]
+    w1, s1, b1 = _unpack_qlinear(fc, hidden)
+    w2, s2, b2 = _unpack_qlinear(pr, k_out)
+    x2, orig_shape, rows, rp, tile = _flatten_rows(x, k_in, (256, 128))
 
     in_specs = [
         pl.BlockSpec((tile, k_in), lambda i: (i, 0),
@@ -357,28 +364,13 @@ def int8_mlp_streamed(params: Params, x: jax.Array, *,
     if add_residual and pre_ln is None:
         raise ValueError("add_residual requires the fused pre_ln")
     fc, pr = params["fc"], params["proj"]
-    w1, s1 = fc["w_q"], fc["w_scale"].astype(jnp.float32)
-    w2, s2 = pr["w_q"], pr["w_scale"].astype(jnp.float32)
-    k_in, hidden = w1.shape
-    k_out = w2.shape[1]
-    b1 = fc.get("b")
-    b1 = (jnp.zeros((hidden,), jnp.float32) if b1 is None
-          else b1.astype(jnp.float32))
-    b2 = pr.get("b")
-    b2 = (jnp.zeros((k_out,), jnp.float32) if b2 is None
-          else b2.astype(jnp.float32))
-    s1, b1 = s1.reshape(1, hidden), b1.reshape(1, hidden)
-    s2, b2 = s2.reshape(1, k_out), b2.reshape(1, k_out)
-
-    orig_shape = x.shape
-    rows = 1
-    for dim in orig_shape[:-1]:
-        rows *= dim
-    x2 = x.reshape(rows, k_in)
-    tile = 512 if rows % 512 == 0 else (256 if rows % 256 == 0 else 128)
-    rp = (rows + tile - 1) // tile * tile
-    if rp != rows:
-        x2 = jnp.pad(x2, ((0, rp - rows), (0, 0)))
+    k_in, hidden = fc["w_q"].shape
+    k_out = pr["w_q"].shape[1]
+    w1, s1, b1 = _unpack_qlinear(fc, hidden)
+    w2, s2, b2 = _unpack_qlinear(pr, k_out)
+    # larger row tiles than the resident kernel: the streamed weights make
+    # per-tile fixed costs (input quant into scratch) relatively pricier
+    x2, orig_shape, rows, rp, tile = _flatten_rows(x, k_in, (512, 256, 128))
 
     n_chunks = (hidden + chunk - 1) // chunk
     # BlockSpec pads the trailing ragged slab with zeros: h = act(0 + 0) =
@@ -525,21 +517,9 @@ def int8_linear_fused(params: Params, x: jax.Array, *,
     ``quantize="int8_all"``. ``residual`` ([..., k_out], same leading
     shape as x) adds in-kernel — the transformer-block residual stream
     riding the epilogue instead of a separate XLA pass."""
-    w, s = params["w_q"], params["w_scale"].astype(jnp.float32)
-    k_in, k_out = w.shape
-    b = params.get("b")
-    b = jnp.zeros((k_out,), jnp.float32) if b is None else b.astype(jnp.float32)
-    s, b = s.reshape(1, k_out), b.reshape(1, k_out)
-
-    orig_shape = x.shape
-    rows = 1
-    for dim in orig_shape[:-1]:
-        rows *= dim
-    x2 = x.reshape(rows, k_in)
-    tile = 256 if rows % 256 == 0 else 128
-    rp = (rows + tile - 1) // tile * tile
-    if rp != rows:
-        x2 = jnp.pad(x2, ((0, rp - rows), (0, 0)))
+    k_in, k_out = params["w_q"].shape
+    w, s, b = _unpack_qlinear(params, k_out)
+    x2, orig_shape, rows, rp, tile = _flatten_rows(x, k_in, (256, 128))
 
     in_specs = [
         pl.BlockSpec((tile, k_in), lambda i: (i, 0),
