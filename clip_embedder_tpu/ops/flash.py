@@ -407,10 +407,12 @@ def flash_attention(
     b, h, s, d = q.shape
     scale = 1.0 / (d ** 0.5)
 
-    if k.shape[2] != s:
-        # cross-attention (Sq != Sk): this kernel pads/handles one square
-        # [S, S] logits block, so mismatched sequence lengths would die in
-        # the k reshape below — route to the shape-general XLA core
+    if k.shape[2] != s or v.shape != k.shape:
+        # cross-attention (Sq != Sk), or a v that disagrees with k: this
+        # kernel pads/handles one square [S, S] logits block, so mismatched
+        # operand shapes would die in an opaque pad/reshape below — route to
+        # the shape-general XLA core (mirrors flash_attention_packed's
+        # three-operand validation)
         from .attention import attention_core
 
         return attention_core(q, k, v, mask=mask, impl="xla")

@@ -192,6 +192,26 @@ class MicroBatcher:
             except Exception as e:  # propagate to THIS window's callers
                 for _, fut in window:
                     fut.set_exception(e)
+            except BaseException as e:
+                # KeyboardInterrupt/SystemExit in embed_fn: resolve this
+                # window's (and any already-queued) futures so blocked
+                # callers fail instead of hanging on a dead daemon thread,
+                # then let it kill the collector (later submits fail via
+                # the closed check).
+                err = InferenceError(
+                    f"embed_fn raised {type(e).__name__}; batcher closed")
+                with self._submit_lock:
+                    self._closed = True
+                    for _, fut in window:
+                        fut.set_exception(err)
+                    while True:
+                        try:
+                            queued = self._queue.get_nowait()
+                        except queue.Empty:
+                            break
+                        if queued is not _STOP:
+                            queued[1].set_exception(err)
+                raise
             else:
                 if len(rows) != len(window):
                     err = InferenceError(

@@ -71,8 +71,14 @@ def _maybe_derive_hf_config(model_dir: Path, config: OpenClipConfig) -> None:
         # half-written config — both writers derive identical content from
         # the same graph, so last-replace-wins is safe
         tmp = cfg_path.with_name(f".{cfg_path.name}.{os.getpid()}.tmp")
-        tmp.write_text(json.dumps(raw, indent=2))
-        os.replace(tmp, cfg_path)
+        replaced = False
+        try:
+            tmp.write_text(json.dumps(raw, indent=2))
+            os.replace(tmp, cfg_path)
+            replaced = True
+        finally:
+            if not replaced:
+                tmp.unlink(missing_ok=True)  # never leak the temp file
     except OSError:
         pass  # read-only dir: in-memory config still carries it
 

@@ -87,6 +87,26 @@ def test_row_count_mismatch_is_an_inference_error():
             fut.result(timeout=10)
 
 
+@pytest.mark.filterwarnings(
+    "ignore::pytest.PytestUnhandledThreadExceptionWarning")
+def test_base_exception_fails_callers_instead_of_hanging():
+    """A BaseException (KeyboardInterrupt-class) in embed_fn must resolve
+    the window's futures and close the batcher — silently killing the daemon
+    collector would hang every blocked caller forever."""
+    def interrupted(items):
+        raise KeyboardInterrupt
+
+    mb = MicroBatcher(interrupted, max_batch=4, max_delay_ms=5)
+    fut = mb.submit(1)
+    with pytest.raises(InferenceError, match="KeyboardInterrupt"):
+        fut.result(timeout=10)
+    # collector is dead and the batcher marked closed: new submits fail fast
+    mb._worker.join(timeout=10)
+    assert not mb._worker.is_alive()
+    with pytest.raises(InferenceError, match="closed"):
+        mb.submit(2)
+
+
 def test_close_drains_then_rejects():
     mb = MicroBatcher(ident_embed, max_batch=4, max_delay_ms=5)
     futs = [mb.submit(i) for i in range(10)]
