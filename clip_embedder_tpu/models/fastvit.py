@@ -156,6 +156,9 @@ def resolve_fastvit(name: str, vcfg, embed_dim: int, model_cfg) -> FastViTCfg:
         mlp_ratios=tuple(merged["mlp_ratios"]),
         mixers=tuple(merged["mixers"]),
         pos_embs=tuple(merged["pos_embs"]),
+        head_dim=int(merged.get("head_dim", 32)),
+        final_conv_ratio=float(merged.get("final_conv_ratio", 2.0)),
+        use_head_proj=bool(merged.get("use_head_proj", True)),
         lkc_act=bool(merged.get("lkc_act", False)),
     )
 

@@ -525,6 +525,10 @@ def _pull_linear(p: _Puller, d_in: int, d_out: int, *, what: str,
         if op == "Gemm":
             transposed = bool(attrs.get("transB", 0))
             mapped = np.ascontiguousarray(w.T if transposed else w)
+        elif op == "Transpose":
+            # unfolded export: the Linear's [out, in] weight feeds an
+            # explicit Transpose node before the MatMul
+            mapped = np.ascontiguousarray(w.T)
         else:
             # MatMul (or unknown consumer, e.g. fused exports with no node
             # skeleton): folded constants are [in, out]; keep as-is.
@@ -781,6 +785,147 @@ def _structural_eva02(g: OnnxGraph, cfg) -> dict:
     return params
 
 
+def _pull_conv(p: _Puller, cout: int, cin: int, k: int, *,
+               groups: int = 1, what: str = "") -> dict:
+    """Pull a Conv2d (ONNX OIHW [cout, cin/g, k, k]) → HWIO pytree, with its
+    bias when the Conv node consumes one. When the conv is immediately
+    followed by a BatchNormalization over the same channel count (the
+    unfolded-export form of timm's ConvNormAct — torch.onnx with
+    do_constant_folding=True fuses the pair into one Conv, without folding
+    it stays split), fold the BN into the conv weights here, matching
+    models.fastvit.map_fastvit_visual's checkpoint-side fold."""
+    w = p.pull((cout, cin // groups, k, k), what=what or "conv")
+    out = {"w": np.ascontiguousarray(np.asarray(w).transpose(2, 3, 1, 0))}
+    b = p.maybe((cout,), consumer_ops=("Conv",), lookahead=1)
+    out["b"] = b if b is not None else np.zeros(cout, np.float32)
+    # Only a BIAS-FREE conv may own a trailing BN (ConvNormAct's conv has
+    # bias=False; every reparameterized conv carries a bias) — without the
+    # gate, a biased conv sitting right before a standalone BN (FastViT's
+    # RepCPE before an attention block's norm) would absorb that BN.
+    # Strictly-next probe: the owned BN's scale is the immediately
+    # following initializer.
+    bn_scale = None if b is not None else p.maybe(
+        (cout,), consumer_ops=("BatchNormalization",), lookahead=1)
+    if bn_scale is not None:
+        from .weights import fold_bn_affine
+
+        eps = float(p.consumers.get(p.last_name or "",
+                                    ("", {}))[1].get("epsilon", 1e-5))
+        bn_b = p.pull((cout,), what=f"{what} bn bias",
+                      consumer_ops=("BatchNormalization",), lookahead=1)
+        mean = p.pull((cout,), what=f"{what} bn mean",
+                      consumer_ops=("BatchNormalization",), lookahead=1)
+        var = p.pull((cout,), what=f"{what} bn var",
+                     consumer_ops=("BatchNormalization",), lookahead=1)
+        scale, bias = fold_bn_affine(bn_scale, bn_b, mean, var, eps=eps)
+        out["w"] = (out["w"] * scale[None, None, None, :]).astype(np.float32)
+        out["b"] = (np.asarray(out["b"], np.float64) * scale
+                    + bias).astype(np.float32)
+    return out
+
+
+# layer-scale gammas arrive as [dim] (unfolded: consumed by the view's
+# Reshape), or constant-folded to the broadcast shape the Mul consumes
+def _pull_layer_scale(p: _Puller, dim: int, *, what: str) -> np.ndarray:
+    ls = p.pull((dim,), (dim, 1, 1), (1, dim, 1, 1), what=what,
+                consumer_ops=("Mul", "Reshape"))
+    return np.asarray(ls).reshape(-1)
+
+
+def _structural_fastvit(g: OnnxGraph, cfg) -> dict:
+    """FastViT / MobileCLIP MCi structural recovery (reference's published
+    MobileCLIP2 dirs — README.md:106-113 — ship this family as ONNX).
+
+    torch.onnx exports of the reparameterized tower are the canonical
+    partially-folded case: plain convs keep their state-dict names, but
+    (a) ConvFFN's bias-free dw conv + BatchNorm folds into ONE anonymous
+    ``onnx::Conv_*`` pair, (b) attention qkv/proj Linears fold to anonymous
+    pre-transposed ``onnx::MatMul_*`` constants, and (c) layer-scale gammas
+    fold to ``[1, dim, 1, 1]`` Mul constants. Consumption order against the
+    config-promised architecture recovers all of them; the unfolded export
+    (named weights, live BatchNormalization nodes, Transpose-consumed
+    Linears) rides the same pulls.
+
+    Per-stage consumption order (mirrors timm's reparameterized forward):
+    stem conv ×3 → [downsample dw+pw] → [RepCPE conv] → blocks, where a
+    RepMixer block consumes mixer-conv → ffn(dw[+bn] → fc1 → fc2) → ls and
+    an attention block consumes norm-BN ×4 → qkv → proj → ls1 → ffn → ls2;
+    then final_conv → head."""
+    from .weights import _split_qkv, _stack_blocks, fold_bn_affine
+
+    p = _Puller(g)
+    c0 = cfg.dims[0]
+    params: dict = {
+        "stem": [
+            _pull_conv(p, c0, 3, 3, what="stem conv"),
+            _pull_conv(p, c0, c0, 3, groups=c0, what="stem dw"),
+            _pull_conv(p, c0, c0, 1, what="stem pw"),
+        ],
+        "stages": [],
+    }
+
+    for i, (depth, dim) in enumerate(zip(cfg.depths, cfg.dims)):
+        stage: dict = {}
+        if i > 0:
+            prev = cfg.dims[i - 1]
+            stage["downsample"] = {
+                "dw": _pull_conv(p, prev, prev, 7, groups=prev,
+                                 what=f"stage{i} downsample dw"),
+                "pw": _pull_conv(p, dim, prev, 1,
+                                 what=f"stage{i} downsample pw"),
+            }
+        if cfg.pos_embs[i]:
+            stage["cpe"] = _pull_conv(p, dim, dim, 7, groups=dim,
+                                      what=f"stage{i} cpe")
+        hidden = int(dim * cfg.mlp_ratios[i])
+        blocks = []
+        for j in range(depth):
+            block: dict = {}
+            if cfg.mixers[i] == "repmixer":
+                block["mixer"] = _pull_conv(p, dim, dim, 3, groups=dim,
+                                            what=f"s{i}b{j} mixer")
+            else:
+                # standalone pre-attention BatchNorm → per-channel affine
+                bn = [p.pull((dim,), what=f"s{i}b{j} norm",
+                             consumer_ops=("BatchNormalization",))
+                      for _ in range(4)]
+                eps = float(p.consumers.get(
+                    p.last_name or "", ("", {}))[1].get("epsilon", 1e-5))
+                scale, bias = fold_bn_affine(bn[0], bn[1], bn[2], bn[3],
+                                             eps=eps)
+                qkv = p.pull((3 * dim, dim), (dim, 3 * dim),
+                             what=f"s{i}b{j} qkv")
+                w = qkv if qkv.shape == (3 * dim, dim) else qkv.T
+                attn = _split_qkv(np.ascontiguousarray(w),
+                                  p.maybe((3 * dim,), lookahead=4))
+                attn["out"] = _pull_linear(p, dim, dim, what=f"s{i}b{j} proj")
+                block["mixer"] = {
+                    "affine": {"scale": scale.astype(np.float32),
+                               "bias": bias.astype(np.float32)},
+                    "attn": attn,
+                    "ls": _pull_layer_scale(p, dim, what=f"s{i}b{j} ls1"),
+                }
+            block["ffn"] = {
+                "dw": _pull_conv(p, dim, dim, 7, groups=dim,
+                                 what=f"s{i}b{j} ffn dw"),
+                "fc1": _pull_conv(p, hidden, dim, 1, what=f"s{i}b{j} fc1"),
+                "fc2": _pull_conv(p, dim, hidden, 1, what=f"s{i}b{j} fc2"),
+                "ls": _pull_layer_scale(p, dim, what=f"s{i}b{j} ffn ls"),
+            }
+            blocks.append(block)
+        stage["blocks"] = _stack_blocks(blocks)
+        params["stages"].append(stage)
+
+    c_last = cfg.dims[-1]
+    c_final = int(c_last * cfg.final_conv_ratio)
+    params["final_conv"] = _pull_conv(p, c_final, c_last, 3, groups=c_last,
+                                      what="final conv")
+    if cfg.use_head_proj:
+        params["head"] = _pull_linear(p, c_final, cfg.embed_dim,
+                                      what="head")
+    return params
+
+
 def _structural_bert(g: OnnxGraph, cfg) -> dict:
     """HF BERT/RoBERTa text-tower structural recovery (BiomedCLIP class,
     reference README.md:143). torch exports of transformers towers are the
@@ -862,12 +1007,13 @@ def _structural_extract(g: OnnxGraph, spec, *, tower: str) -> dict:
     consumption order against the architecture the config promises.
 
     Covers the transformer families (classic/timm ViT, EVA02, text
-    transformer, HF BERT/RoBERTa). Conv-hybrid FastViT towers with folded
-    names are not recoverable this way — convert the original checkpoint
-    with pull_weights.py for those.
+    transformer, HF BERT/RoBERTa) and the conv-hybrid FastViT/MobileCLIP
+    family (both the constant-folded and unfolded torch.onnx forms).
     """
     if tower == "visual" and spec.family == "vit":
         return _structural_vit(g, spec.cfg)
+    if tower == "visual" and spec.family == "fastvit":
+        return _structural_fastvit(g, spec.cfg)
     if tower == "visual" and spec.family == "eva02":
         return _structural_eva02(g, spec.cfg)
     if tower == "text" and spec.family == "text_transformer":

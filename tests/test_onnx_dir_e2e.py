@@ -26,6 +26,7 @@ sys.path.insert(0, str(Path(__file__).parent))
 from test_onnx_exec import export  # noqa: E402  (installs the export shim)
 from test_tokenizer import make_clip_style_spec  # noqa: E402
 from torch_ref import TextTransformer, VisionTransformer  # noqa: E402
+from torch_ref_fastvit import TorchFastViT  # noqa: E402
 
 IMG, PATCH, W, LAYERS, HEADS, MLP, EMBED, CTX = 32, 8, 64, 2, 4, 256, 32, 12
 MEAN = [0.48145466, 0.4578275, 0.40821073]
@@ -141,6 +142,171 @@ def test_clip_from_onnx_dir_classifies_like_torch(onnx_model_dir):
     np.testing.assert_allclose([p for _, p in got],
                                [p for _, p in ref_ranked], atol=1e-3)
     assert abs(sum(p for _, p in got) - 1.0) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# FastViT / MobileCLIP2 ONNX dirs (the family dominating the reference's
+# published table, README.md:106-113). torch.onnx exports of the
+# reparameterized tower are the canonical partially-folded case: convs keep
+# names, ConvFFN's conv+BN folds into anonymous onnx::Conv_* pairs, and the
+# attention Linears fold to anonymous onnx::MatMul_* constants — exactly the
+# graphs _structural_fastvit exists to recover.
+# ---------------------------------------------------------------------------
+
+FV_DEPTHS, FV_DIMS = (1, 2, 2), (8, 16, 32)
+FV_MIXERS = ("repmixer", "repmixer", "attention")
+FV_POS = (False, False, True)
+FV_IMG, FV_EMBED, FV_HEAD_DIM = 64, 32, 16
+
+
+def _make_fastvit_mirror():
+    torch.manual_seed(1)
+    m = TorchFastViT(FV_DEPTHS, FV_DIMS, (3, 3, 3), FV_MIXERS, FV_POS,
+                     embed_dim=FV_EMBED, head_dim=FV_HEAD_DIM).eval()
+    # value-distinct params/buffers: torch.onnx dedups identical
+    # initializers (fresh BN weights are all-ones, stats all-zeros/ones),
+    # which no trained checkpoint exhibits and which aliases the exported
+    # graph's BN inputs through Identity nodes
+    with torch.no_grad():
+        for _, p in m.named_parameters():
+            if (p == p.flatten()[0]).all():
+                p.add_(0.02 * torch.randn_like(p))
+        for name, b in m.named_buffers():
+            if "running_var" in name:
+                b.add_(0.3 * torch.rand_like(b))
+            elif "running_mean" in name:
+                b.add_(0.1 * torch.randn_like(b))
+    return m
+
+
+@pytest.fixture(scope="module")
+def fastvit_onnx_dir(tmp_path_factory):
+    """A MobileCLIP2-mirror ONNX model dir: reparameterized FastViT visual
+    + CLIP text, exported with constant folding on (the reference exporter's
+    configuration, pull_onnx.py:159-181)."""
+    d = tmp_path_factory.mktemp("onnx_dir") / "mini-MobileCLIP2-ONNX"
+    d.mkdir()
+    fv = _make_fastvit_mirror()
+    torch.manual_seed(2)
+    tt = TextTransformer(CTX, 512, W, HEADS, LAYERS, MLP, FV_EMBED,
+                         quick_gelu=False).eval()
+    with torch.no_grad():
+        for name, p in tt.named_parameters():
+            if "ln" in name and name.endswith("weight"):
+                p.add_(0.05 * torch.randn_like(p))
+            elif p.abs().sum() == 0 or (p == p.flatten()[0]).all():
+                p.add_(0.02 * torch.randn_like(p))
+
+    export(_NormalizedVisual(fv), torch.randn(2, 3, FV_IMG, FV_IMG),
+           d / "visual.onnx", input_name="pixel_values",
+           output_name="image_embeds")
+    export(_NormalizedText(tt), torch.randint(0, 512, (2, CTX)),
+           d / "text.onnx", input_name="input_ids",
+           output_name="text_embeds")
+
+    occ = {
+        "model_cfg": {
+            "embed_dim": FV_EMBED,
+            "vision_cfg": {
+                "image_size": FV_IMG,
+                "timm_model_name": "fastvit_mci2",
+                # miniature dims override (same hook real configs use)
+                "fastvit_cfg": {
+                    "depths": FV_DEPTHS, "dims": FV_DIMS,
+                    "mlp_ratios": (3, 3, 3), "mixers": FV_MIXERS,
+                    "pos_embs": FV_POS, "head_dim": FV_HEAD_DIM,
+                    # mci downsample behavior: act after the dw conv
+                    # (matches the mirror's ReparamConv act=True)
+                    "lkc_act": True,
+                },
+            },
+            "text_cfg": {"context_length": CTX, "vocab_size": 512,
+                         "width": W, "heads": HEADS, "layers": LAYERS},
+        },
+        "preprocess_cfg": {"mean": MEAN, "std": STD},
+    }
+    mcfg = {"tokenizer_needs_lowercase": True,
+            "activation_function": "softmax", "logit_scale": LOGIT_SCALE,
+            "logit_bias": 0.0, "pad_id": 0}
+    (d / "open_clip_config.json").write_text(json.dumps(occ))
+    (d / "model_config.json").write_text(json.dumps(mcfg))
+    (d / "tokenizer.json").write_text(json.dumps(make_clip_style_spec()))
+
+    jpg = d.parent / "photo.jpg"
+    rng = np.random.default_rng(7)
+    Image.fromarray(rng.integers(0, 255, (FV_IMG, FV_IMG, 3),
+                                 np.uint8)).save(jpg, "JPEG", quality=95)
+    return d, fv, tt, jpg
+
+
+def test_fastvit_onnx_dir_classifies_like_torch(fastvit_onnx_dir):
+    d, fv, tt, jpg = fastvit_onnx_dir
+    from clip_embedder_tpu import Clip
+
+    clip = Clip.from_local_dir(d)
+    assert (d / "visual.npz").is_file()  # in-place conversion happened
+
+    labels = ["a photo of a cat", "a photo of a dog", "the beignet!"]
+    got = clip.classify(jpg, labels)
+
+    ids, _ = clip.text.tokenize(labels)
+    ref = _torch_pipeline(fv, tt, jpg, np.asarray(ids))
+    ref_ranked = sorted(zip(labels, ref.tolist()), key=lambda t: -t[1])
+
+    assert [l for l, _ in got] == [l for l, _ in ref_ranked]
+    np.testing.assert_allclose([p for _, p in got],
+                               [p for _, p in ref_ranked], atol=1e-3)
+
+
+def test_fastvit_onnx_dir_embeddings_match_torch(fastvit_onnx_dir):
+    d, fv, _, jpg = fastvit_onnx_dir
+    from clip_embedder_tpu import Clip
+
+    clip = Clip.from_local_dir(d)
+    ve = clip.vision.embed_images([jpg])
+    arr = np.asarray(Image.open(jpg).convert("RGB"), np.float32) / 255.0
+    arr = (arr - np.asarray(MEAN, np.float32)) / np.asarray(STD, np.float32)
+    with torch.no_grad():
+        vref = F.normalize(
+            fv(torch.from_numpy(arr).permute(2, 0, 1)[None]), dim=-1).numpy()
+    assert float(ve[0] @ vref[0]) > 1 - 1e-5
+
+
+def test_fastvit_unfolded_export_extracts_identically(fastvit_onnx_dir,
+                                                      tmp_path):
+    """The same tower exported WITHOUT constant folding (named weights,
+    live BatchNormalization nodes, Transpose-consumed Linears) must recover
+    to the same embeddings — both torch.onnx forms are in the wild."""
+    _, fv, _, _ = fastvit_onnx_dir
+    import torch.onnx as tonnx
+
+    path = tmp_path / "visual_unfolded.onnx"
+    tonnx.export(_NormalizedVisual(fv), torch.randn(2, 3, FV_IMG, FV_IMG),
+                 str(path), input_names=["pixel_values"],
+                 output_names=["image_embeds"],
+                 dynamic_axes={"pixel_values": {0: "batch"}},
+                 opset_version=18, do_constant_folding=False, dynamo=False)
+
+    import jax
+    import jax.numpy as jnp
+
+    from clip_embedder_tpu.models.build import TowerSpec
+    from clip_embedder_tpu.models.fastvit import FastViTCfg, apply
+    from clip_embedder_tpu.onnx_reader import extract_tower_params
+
+    cfg = FastViTCfg(image_size=FV_IMG, embed_dim=FV_EMBED,
+                     depths=FV_DEPTHS, dims=FV_DIMS, mlp_ratios=(3, 3, 3),
+                     mixers=FV_MIXERS, pos_embs=FV_POS,
+                     head_dim=FV_HEAD_DIM, lkc_act=True)
+    params = extract_tower_params(path, TowerSpec("fastvit", cfg),
+                                  tower="visual")
+    params = jax.tree.map(jnp.asarray, params)
+    x = torch.randn(2, 3, FV_IMG, FV_IMG)
+    with torch.no_grad():
+        ref = F.normalize(fv(x), dim=-1).numpy()
+    got = np.asarray(apply(params, jnp.asarray(
+        x.numpy().transpose(0, 2, 3, 1)), cfg))
+    assert ((got * ref).sum(-1) > 1 - 1e-5).all()
 
 
 def test_onnx_dir_embeddings_match_torch(onnx_model_dir):
