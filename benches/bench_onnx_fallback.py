@@ -122,6 +122,18 @@ def main() -> None:
                     "value": round(dt_onnx / b * 1e3, 3), "unit": "ms",
                     "vs_baseline": round(dt / dt_onnx, 2)})
 
+        # --- executor TPU modes on the ViT graph: bf16 autocast / int8 ---
+        for mode_kw, tag in (({"compute_dtype": "bfloat16"}, "bf16"),
+                             ({"quantize": True}, "int8")):
+            mtower = OnnxTower(vis_path, **mode_kw)
+            mparams = {k: jnp.asarray(v) for k, v in mtower.params.items()}
+            mfn = jax.jit(lambda p, x, t=mtower: t(p, {"pixel_values": x}))
+            dt_m = _time(mfn, mparams, pixels)
+            results.append({
+                "metric": f"onnx_fallback/vitb32_executor_{tag}_ms_per_image",
+                "value": round(dt_m / b * 1e3, 3), "unit": "ms",
+                "vs_baseline": round(dt_onnx / dt_m, 2)})  # vs f32 executor
+
         # --- text: MCT-hybrid executor vs native text tower, S0 dims ---
         tower_t = OnnxTower(txt_path)
         tparams_o = {k: jnp.asarray(v) for k, v in tower_t.params.items()}
@@ -131,6 +143,17 @@ def main() -> None:
         results.append({
             "metric": "onnx_fallback/mct_s0_executor_ms_per_text",
             "value": round(dt_onnx_t / b * 1e3, 3), "unit": "ms"})
+
+        for mode_kw, tag in (({"compute_dtype": "bfloat16"}, "bf16"),
+                             ({"quantize": True}, "int8")):
+            mtower = OnnxTower(txt_path, **mode_kw)
+            mparams = {k: jnp.asarray(v) for k, v in mtower.params.items()}
+            mfn = jax.jit(lambda p, i, t=mtower: t(p, {"input_ids": i}))
+            dt_m = _time(mfn, mparams, ids)
+            results.append({
+                "metric": f"onnx_fallback/mct_s0_executor_{tag}_ms_per_text",
+                "value": round(dt_m / b * 1e3, 3), "unit": "ms",
+                "vs_baseline": round(dt_onnx_t / dt_m, 2)})
 
         tcfg = TextCfgResolved(
             context_length=77, vocab_size=49408, width=512, heads=8,

@@ -618,13 +618,62 @@ _NP_FOLD: dict[str, Callable] = {
 }
 
 
+def _int8_matmul(env: dict, inputs: list[str]) -> Value:
+    """Quantized MatMul against a pre-quantized initializer rhs: dynamic
+    per-row activation quant → int8 MXU matmul → fused dequant (the same
+    W8A8 scheme as ops.quant.int8_linear, generalized to any-rank lhs)."""
+    x = jnp.asarray(env[inputs[0]])
+    w_q = jnp.asarray(env[inputs[1] + "#q"])
+    w_scale = jnp.asarray(env[inputs[1] + "#scale"])
+    orig_shape, orig_dtype = x.shape, x.dtype
+    x2 = x.reshape(-1, orig_shape[-1]).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
+    x_scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    x_q = jnp.clip(jnp.round(x2 / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(x_q, w_q, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * x_scale * w_scale
+    return y.reshape(*orig_shape[:-1], -1).astype(orig_dtype)
+
+
+# FLOPs-heavy ops eligible for compute-dtype autocasting. Only the first
+# two inputs (data × weight) are cast — biases and everything around the
+# op stay in the graph's exported dtype, so host-folded f32 constants
+# can't silently re-promote the whole graph.
+_AUTOCAST_OPS = frozenset({"MatMul", "Gemm", "Conv"})
+
+
+def _autocast(env: dict, op_type: str, inputs: list[str], attrs,
+              compute_dtype) -> Value:
+    x = jnp.asarray(env[inputs[0]])
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        return _OPS[op_type](env, inputs, attrs)
+    local = dict(env)
+    for n in inputs[:2]:
+        a = jnp.asarray(env[n])
+        if jnp.issubdtype(a.dtype, jnp.floating):
+            local[n] = a.astype(compute_dtype)
+    out = _OPS[op_type](local, inputs, attrs)
+    # results re-enter the graph in the exported dtype: accumulation was
+    # f32 (preferred_element_type) and only the MXU operands were narrowed
+    return jnp.asarray(out).astype(x.dtype)
+
+
 def execute_graph(g: OnnxGraph, feeds: dict[str, Value],
-                  params: dict[str, Value] | None = None) -> list[Value]:
+                  params: dict[str, Value] | None = None, *,
+                  compute_dtype=None,
+                  quant: frozenset = frozenset()) -> list[Value]:
     """Run the graph on the given input feeds; returns graph outputs.
 
     ``params`` overrides the initializer values (pass device arrays here so
     weights are jit arguments instead of baked constants); defaults to the
     graph's own initializers.
+
+    ``compute_dtype`` (e.g. ``jnp.bfloat16``) autocasts the MatMul/Gemm/Conv
+    operands onto the narrow MXU path with f32 accumulation — the TPU-first
+    execution mode for exported-f32 graphs. ``quant`` names initializers
+    pre-quantized by :class:`OnnxTower` (their ``<name>#q``/``<name>#scale``
+    tensors must be in ``params``); MatMuls against them run W8A8.
     """
     env: dict[str, Value] = {}
     env.update(g.initializers)
@@ -633,6 +682,14 @@ def execute_graph(g: OnnxGraph, feeds: dict[str, Value],
     env.update(feeds)
 
     for op_type, inputs, outputs, attrs in g.nodes:
+        if op_type == "MatMul" and inputs[1] in quant \
+                and not _is_static(env.get(inputs[0])):
+            env[outputs[0]] = _int8_matmul(env, inputs)
+            continue
+        if compute_dtype is not None and op_type in _AUTOCAST_OPS:
+            env[outputs[0]] = _autocast(env, op_type, inputs, attrs,
+                                        compute_dtype)
+            continue
         if op_type == "Constant":
             val = attrs.get("value")
             if val is None:
@@ -682,13 +739,18 @@ def execute_graph(g: OnnxGraph, feeds: dict[str, Value],
 
 class OnnxCfg:
     """Hashable tower-spec payload for the ONNX-fallback family: identifies
-    the graph by path + (mtime, size) so the per-spec jit cache can't serve
-    a stale compile after the file changes."""
+    the graph by path + (mtime, size) + execution mode so the per-spec jit
+    cache can't serve a stale compile after the file changes or a different
+    compute mode is requested."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, *, compute_dtype: str | None = None,
+                 quantize: bool = False):
         self.path = str(path)
+        self.compute_dtype = compute_dtype  # dtype NAME ("bfloat16") or None
+        self.quantize = bool(quantize)
         st = Path(path).stat()
-        self._key = (self.path, st.st_mtime_ns, st.st_size)
+        self._key = (self.path, st.st_mtime_ns, st.st_size,
+                     compute_dtype, self.quantize)
 
     def __hash__(self):
         return hash(self._key)
@@ -697,7 +759,26 @@ class OnnxCfg:
         return isinstance(other, OnnxCfg) and self._key == other._key
 
     def __repr__(self):
-        return f"OnnxCfg({self.path!r})"
+        return (f"OnnxCfg({self.path!r}, "
+                f"compute_dtype={self.compute_dtype!r}, "
+                f"quantize={self.quantize})")
+
+
+def fallback_cfg(path, *, dtype=None, quantize: str | None = None) -> OnnxCfg:
+    """Map the embedder-level ``dtype``/``quantize`` knobs onto the executor
+    spec: a sub-f32 float dtype becomes the MatMul/Gemm/Conv autocast dtype
+    (the graph itself stays in its exported dtype), and ``"int8"`` /
+    ``"int8_all"`` turn on W8A8 MatMuls (the executor has no MLP-vs-attention
+    path split — every eligible MatMul weight quantizes in both modes)."""
+    name = None
+    if dtype is not None:
+        d = np.dtype(dtype)
+        # jnp.issubdtype, not np: ml_dtypes extension floats (bfloat16)
+        # register with numpy kind 'V', invisible to np.issubdtype
+        if jnp.issubdtype(d, jnp.floating) and d.itemsize < 4:
+            name = d.name
+    return OnnxCfg(str(path), compute_dtype=name,
+                   quantize=quantize in ("int8", "int8_all"))
 
 
 _TOWER_CACHE: dict[tuple, "OnnxTower"] = {}
@@ -708,14 +789,20 @@ _TOWER_CACHE_MAX = 8  # parsed graphs hold all initializer arrays — evict
 
 def get_tower(cfg: OnnxCfg) -> "OnnxTower":
     """Parse-once LRU cache of OnnxTower instances keyed by OnnxCfg
-    identity (path, mtime, size)."""
+    identity (path, mtime, size, execution mode)."""
     tower = _TOWER_CACHE.pop(cfg._key, None)
     if tower is None:
-        tower = OnnxTower(cfg.path)
+        tower = OnnxTower(cfg.path, compute_dtype=cfg.compute_dtype,
+                          quantize=cfg.quantize)
     _TOWER_CACHE[cfg._key] = tower  # (re-)insert as most recent
     while len(_TOWER_CACHE) > _TOWER_CACHE_MAX:
         _TOWER_CACHE.pop(next(iter(_TOWER_CACHE)))
     return tower
+
+
+# a MatMul rhs must be at least this wide/deep before W8A8 pays for the
+# activation quant passes (tiny projections are VPU-bound either way)
+_QUANT_MIN_DIM = 64
 
 
 class OnnxTower:
@@ -723,9 +810,18 @@ class OnnxTower:
 
     Loads the graph once; ``__call__`` is jit-friendly (trace it inside
     jax.jit with the initializers passed as the params pytree).
+
+    TPU-first execution modes (the reference's fallback — ORT — runs the
+    exported f32 graph as-is; here the fallback rides the same MXU levers
+    as the native towers): ``compute_dtype`` autocasts MatMul/Gemm/Conv to
+    bf16 operands with f32 accumulation; ``quantize`` pre-quantizes every
+    2-D float initializer consumed exclusively as a MatMul rhs to
+    per-output-channel int8 (W8A8 with dynamic activation scales, the
+    ops.quant scheme).
     """
 
-    def __init__(self, path: Path | str):
+    def __init__(self, path: Path | str, *,
+                 compute_dtype: str | None = None, quantize: bool = False):
         self.path = Path(path)
         self.graph = read_onnx(self.path)
         if not self.graph.inputs:
@@ -735,8 +831,40 @@ class OnnxTower:
         self.input_names = [n for n in self.graph.inputs
                             if n not in self.graph.initializers]
         self.params = {k: v for k, v in self.graph.initializers.items()}
+        self.compute_dtype = (None if compute_dtype is None
+                              else jnp.dtype(compute_dtype))
+        self.quant_names: frozenset[str] = frozenset()
+        if quantize:
+            self.quant_names = self._quantize_params()
+
+    def _quantize_params(self) -> frozenset:
+        from .ops.quant import quantize_weight
+
+        # eligible = consumed ONLY as a MatMul rhs (a weight shared with a
+        # Gemm/Transpose/etc. must stay float for those consumers)
+        usage: dict[str, bool] = {}
+        for op_type, inputs, _, _ in self.graph.nodes:
+            for idx, n in enumerate(inputs):
+                if n in self.graph.initializers:
+                    ok = op_type == "MatMul" and idx == 1
+                    usage[n] = usage.get(n, True) and ok
+        quantized = []
+        for name, ok in usage.items():
+            w = self.graph.initializers[name]
+            if not (ok and w.ndim == 2
+                    and np.issubdtype(w.dtype, np.floating)
+                    and min(w.shape) >= _QUANT_MIN_DIM):
+                continue
+            q = quantize_weight(w)
+            self.params[name + "#q"] = q["w_q"]
+            self.params[name + "#scale"] = q["w_scale"]
+            del self.params[name]
+            quantized.append(name)
+        return frozenset(quantized)
 
     def __call__(self, params: dict[str, Value],
                  feeds: dict[str, Value]) -> Value:
-        outs = execute_graph(self.graph, feeds, params=params)
+        outs = execute_graph(self.graph, feeds, params=params,
+                             compute_dtype=self.compute_dtype,
+                             quant=self.quant_names)
         return outs[0]

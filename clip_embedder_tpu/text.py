@@ -89,7 +89,12 @@ def _load_or_convert_text(model_dir: Path, spec: TowerSpec, dtype) -> dict:
     if spec.family == "onnx":
         from .onnx_exec import get_tower
 
-        return {k: jnp.asarray(v) for k, v in get_tower(spec.cfg).params.items()}
+        tower = get_tower(spec.cfg)
+        if spec.cfg.quantize and not tower.quant_names:
+            raise ConfigError(
+                "int8 quantization found no quantizable (MatMul) "
+                f"initializers in {spec.cfg.path}")
+        return {k: jnp.asarray(v) for k, v in tower.params.items()}
 
     native = model_dir / NATIVE_TEXT
     if native.is_file():
@@ -223,18 +228,22 @@ class TextEmbedder:
             onnx_path = model_dir / "text.onnx"
             if (model_dir / NATIVE_TEXT).is_file() or not onnx_path.is_file():
                 raise
-            from .onnx_exec import OnnxCfg
+            from .onnx_exec import fallback_cfg
 
-            spec = TowerSpec("onnx", OnnxCfg(str(onnx_path)))
+            # executor graphs ride the same TPU levers: dtype → bf16
+            # matmul/conv autocast, quantize → W8A8 MatMuls
+            spec = TowerSpec("onnx", fallback_cfg(onnx_path, dtype=dtype,
+                                                  quantize=quantize))
             params = _load_or_convert_text(model_dir, spec, dtype)
         if quantize in ("int8", "int8_all"):
-            # same no-quantizable-layers contract as VisionEmbedder
-            from .ops.quant import quantize_tree_checked
-            from .vision import to_device_tree
+            if spec.family != "onnx":  # executor graphs quantize at load
+                # same no-quantizable-layers contract as VisionEmbedder
+                from .ops.quant import quantize_tree_checked
+                from .vision import to_device_tree
 
-            params = to_device_tree(
-                quantize_tree_checked(params, spec.family, mode=quantize),
-                dtype)
+                params = to_device_tree(
+                    quantize_tree_checked(params, spec.family, mode=quantize),
+                    dtype)
         elif quantize is not None:
             raise ConfigError(f"Unknown quantize mode '{quantize}'")
         return cls(

@@ -57,11 +57,17 @@ def _load_or_convert_visual(model_dir: Path, spec: TowerSpec, dtype) -> dict:
     role the reference's model dir plays for ORT — SURVEY.md §5
     checkpoint/resume)."""
     if spec.family == "onnx":
-        # fallback family: the graph initializers ARE the params; keep f32
-        # (the graph's own numerics), no npz caching needed
+        # fallback family: the graph initializers ARE the params; kept in
+        # the graph's exported dtype (compute_dtype autocasts the hot ops
+        # in-graph), no npz caching needed
         from .onnx_exec import get_tower
 
-        return {k: jnp.asarray(v) for k, v in get_tower(spec.cfg).params.items()}
+        tower = get_tower(spec.cfg)
+        if spec.cfg.quantize and not tower.quant_names:
+            raise ConfigError(
+                "int8 quantization found no quantizable (MatMul) "
+                f"initializers in {spec.cfg.path}")
+        return {k: jnp.asarray(v) for k, v in tower.params.items()}
     native = model_dir / NATIVE_VISUAL
     if native.is_file():
         return load_pytree(native, dtype=dtype)
@@ -229,19 +235,23 @@ class VisionEmbedder:
             if ((model_dir / NATIVE_VISUAL).is_file()
                     or not onnx_path.is_file()):
                 raise
-            from .onnx_exec import OnnxCfg
+            from .onnx_exec import fallback_cfg
 
-            spec = TowerSpec("onnx", OnnxCfg(str(onnx_path)))
+            # the executor fallback rides the same TPU levers: dtype maps
+            # to matmul/conv bf16 autocast, quantize to W8A8 MatMuls
+            spec = TowerSpec("onnx", fallback_cfg(onnx_path, dtype=dtype,
+                                                  quantize=quantize))
             params = _load_or_convert_visual(model_dir, spec, dtype)
         if quantize in ("int8", "int8_all"):
-            # opt-in W8A8: "int8" = MLP blocks, "int8_all" = MLP + attention
-            # projections (see ops.quant for the accuracy tradeoffs);
-            # incompatible with tensor-parallel sharding.
-            from .ops.quant import quantize_tree_checked
+            if spec.family != "onnx":  # executor graphs quantize at load
+                # opt-in W8A8: "int8" = MLP blocks, "int8_all" = MLP +
+                # attention projections (see ops.quant for the accuracy
+                # tradeoffs); incompatible with tensor-parallel sharding.
+                from .ops.quant import quantize_tree_checked
 
-            params = to_device_tree(
-                quantize_tree_checked(params, spec.family, mode=quantize),
-                dtype)
+                params = to_device_tree(
+                    quantize_tree_checked(params, spec.family, mode=quantize),
+                    dtype)
         elif quantize is not None:
             raise ConfigError(f"Unknown quantize mode '{quantize}'")
         return cls(

@@ -245,6 +245,65 @@ def test_clip_end_to_end_with_onnx_fallback_towers(tmp_path):
     assert all(abs(a[1] - b[1]) < 1e-5 for a, b in zip(results, r2))
 
 
+def test_executor_tpu_modes_bf16_and_int8(tmp_path):
+    """The fallback family rides the same TPU levers as the native towers:
+    ``dtype=bfloat16`` autocasts the MatMul/Gemm/Conv operands (f32
+    accumulation), ``quantize="int8"`` runs W8A8 MatMuls against
+    pre-quantized initializers. Both must stay within quantization
+    tolerance of the exported-f32 executor on an MCT-like hybrid dir."""
+    from clip_embedder_tpu import TextEmbedder
+
+    d = _write_model_dir(tmp_path)
+    torch.manual_seed(9)
+    # dim 64: MatMul weights reach the executor's quantization floor
+    model = MctLikeTextTower(vocab=64, ctx=12, dim=64).eval()
+    export(model, torch.randint(0, 64, (2, 12)), d / "text.onnx",
+           input_name="input_ids", output_name="text_embeddings")
+    export(TinyConvTower(embed_dim=16).eval(), torch.randn(2, 3, 16, 16),
+           d / "visual.onnx", input_name="pixel_values",
+           output_name="image_embeddings")  # dir contract needs both towers
+
+    texts = ["a cat", "the dog!", "a beignet of dogs"]
+    base = TextEmbedder.from_local_dir(d)
+    assert base.spec.family == "onnx"
+    ref = base.embed_texts(texts)
+
+    bf16 = TextEmbedder.from_local_dir(d, dtype=jnp.bfloat16)
+    assert bf16.spec.cfg.compute_dtype == "bfloat16"
+    got = bf16.embed_texts(texts)
+    cos = (got * ref).sum(-1)
+    assert (cos > 1 - 5e-3).all(), cos
+
+    q = TextEmbedder.from_local_dir(d, quantize="int8")
+    assert q.spec.cfg.quantize
+    from clip_embedder_tpu.onnx_exec import get_tower
+
+    assert get_tower(q.spec.cfg).quant_names  # something actually quantized
+    qgot = q.embed_texts(texts)
+    qcos = (qgot * ref).sum(-1)
+    assert (qcos > 1 - 5e-3).all(), qcos
+    np.testing.assert_allclose(np.linalg.norm(qgot, axis=-1), 1.0, atol=1e-3)
+
+
+def test_executor_int8_raises_when_nothing_quantizes(tmp_path):
+    """quantize="int8" on a graph with no eligible MatMul weights must fail
+    loudly (the embedders' no-silent-noop contract), not serve f32."""
+    from clip_embedder_tpu import TextEmbedder
+    from clip_embedder_tpu.errors import ConfigError
+
+    d = _write_model_dir(tmp_path)
+    torch.manual_seed(10)
+    # dim 32 < the 64-wide quantization floor → nothing eligible
+    export(MctLikeTextTower(vocab=64, ctx=12, dim=32).eval(),
+           torch.randint(0, 64, (2, 12)), d / "text.onnx",
+           input_name="input_ids", output_name="text_embeddings")
+    export(TinyConvTower(embed_dim=16).eval(), torch.randn(2, 3, 16, 16),
+           d / "visual.onnx", input_name="pixel_values",
+           output_name="image_embeddings")
+    with pytest.raises(ConfigError, match="quantiz"):
+        TextEmbedder.from_local_dir(d, quantize="int8")
+
+
 def test_slice_reverse_and_overclamp_semantics(tmp_path):
     """ONNX Slice edge cases the review flagged: reverse slices (torch Flip
     exports start=-1, end=INT_MIN, step=-1) and ends far below zero on a
