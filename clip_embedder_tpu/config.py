@@ -27,6 +27,31 @@ from typing import Any
 from .errors import ConfigError, IoError, JsonError
 
 
+def update_config_json(cfg_path: Path, updater) -> None:
+    """Atomically apply ``updater(raw_dict)`` (mutating in place) to a
+    config JSON on disk via write-temp + rename, so concurrent loaders of
+    the same dir never observe a half-written file; swallow OSError
+    (read-only dirs stay functional — the in-memory config already carries
+    the update). The temp file is unlinked when the replace didn't happen,
+    so failed rewrites can't accumulate stray files."""
+    import os
+
+    try:
+        raw = json.loads(cfg_path.read_text())
+        updater(raw)
+        tmp = cfg_path.with_name(f".{cfg_path.name}.{os.getpid()}.tmp")
+        replaced = False
+        try:
+            tmp.write_text(json.dumps(raw, indent=2))
+            os.replace(tmp, cfg_path)
+            replaced = True
+        finally:
+            if not replaced:
+                tmp.unlink(missing_ok=True)
+    except OSError:
+        pass
+
+
 def _load_json(path: Path | str) -> dict[str, Any]:
     path = Path(path)
     try:

@@ -150,19 +150,23 @@ def _parse_pe_core(name: str, vcfg, embed_dim: int) -> ViTCfg:
     if not m:
         raise ConfigError(f"No patch size in timm model name '{name}'")
     o = vcfg.extra.get("pe_cfg", {})
-    from ..utils.logging import warn_once
+    if not all(k in o for k in ("width", "layers", "heads", "mlp_hidden")):
+        # dims are coming from the paper-reconstructed table — warn; when a
+        # pe_cfg carries all four (hand-set, or self-derived from the
+        # exported graph by onnx_reader.derive_pe_cfg) the table is unused
+        from ..utils.logging import warn_once
 
-    warn_once(
-        name,
-        "PE-Core tower '%s': structure reconstructed from the published "
-        "Perception Encoder architecture; dims/pool/rope conventions "
-        "have no independent in-env anchor (validate against a real "
-        "checkpoint when network is available; overrides via "
-        "vision_cfg.extra['pe_cfg']). See COMPONENTS.md.", name)
+        warn_once(
+            name,
+            "PE-Core tower '%s': structure reconstructed from the published "
+            "Perception Encoder architecture; dims/pool/rope conventions "
+            "have no independent in-env anchor (validate against a real "
+            "checkpoint when network is available; overrides via "
+            "vision_cfg.extra['pe_cfg']). See COMPONENTS.md.", name)
     width = o.get("width", width)
     return ViTCfg(
         image_size=vcfg.image_size,
-        patch_size=int(m.group(1)),
+        patch_size=int(o.get("patch_size", m.group(1))),
         width=width,
         layers=o.get("layers", layers),
         heads=o.get("heads", heads),

@@ -105,6 +105,7 @@ def resolve_eva02(name: str, vcfg, embed_dim: int) -> Eva02Cfg:
         use_proj=(vcfg.timm_proj or "linear") not in ("none", ""),
         rope_temperature=override.get("rope_temperature", 10000.0),
         rope_ref_grid=override.get("rope_ref_grid", 16),
+        ln_eps=override.get("ln_eps", 1e-6),
     )
 
 

@@ -1029,8 +1029,225 @@ def _structural_extract(g: OnnxGraph, spec, *, tower: str) -> dict:
 
 
 # --------------------------------------------------------------------------
-# hf_config recovery for BERT/RoBERTa text graphs
+# architecture-dim recovery from exported graphs
 # --------------------------------------------------------------------------
+
+
+def _head_votes(g: OnnxGraph, hidden: int) -> list[int]:
+    """Attention head-count votes from the graph's reshape constants.
+
+    Multi-head attention reshapes activations to [..., heads, head_dim];
+    torch.onnx builds that shape either as one int64 constant or as a
+    Concat of scalar constants (dynamic batch/seq Gathers + a [heads] and
+    a [head_dim] Constant node) — scan adjacent value pairs in both forms
+    for (h, d) with h·d == hidden."""
+    inits = g.initializers
+    scalar_const: dict[str, int] = {}
+    for op_type, _, outputs, attrs in g.nodes:
+        v = attrs.get("value")
+        if op_type == "Constant" and outputs \
+                and isinstance(v, np.ndarray) and v.dtype.kind in "iu" \
+                and v.size == 1:
+            scalar_const[outputs[0]] = int(v.reshape(-1)[0])
+    votes: list[int] = []
+
+    def scan_pairs(values) -> None:
+        for a, b in zip(values[:-1], values[1:]):
+            if a is not None and b is not None and a > 0 and b > 0 \
+                    and a * b == hidden and a <= 256:
+                votes.append(a)
+
+    def scan_shape_const(arr) -> None:
+        if not isinstance(arr, np.ndarray) or arr.dtype.kind not in "iu":
+            return
+        flat = arr.reshape(-1)
+        if 2 <= flat.size <= 6:
+            scan_pairs([int(x) for x in flat])
+
+    for v in inits.values():
+        scan_shape_const(v)
+    for op_type, inputs, _, attrs in g.nodes:
+        if op_type == "Constant":
+            scan_shape_const(attrs.get("value"))
+        elif op_type == "Concat" and 2 <= len(inputs) <= 6:
+            vals = [scalar_const.get(name) if name not in inits
+                    else (int(inits[name].reshape(-1)[0])
+                          if inits[name].size == 1 else None)
+                    for name in inputs]
+            scan_pairs(vals)
+    return votes
+
+
+def _rope_head_votes(g: OnnxGraph, width: int) -> list[int]:
+    """Head-count votes from baked rope tables: a rope-family export
+    carries per-position sin/cos constants whose last dim is head_dim
+    ([n_pos, head_dim], values in [-1, 1]) — heads = width / head_dim.
+    Catches exports whose attention reshape puts the head count next to a
+    DYNAMIC head_dim (e.g. ``view(B, S, h, -1)``), invisible to the
+    adjacent-pair scan of _head_votes."""
+    votes: list[int] = []
+
+    def check(arr) -> None:
+        if not (isinstance(arr, np.ndarray) and arr.ndim == 2
+                and arr.dtype.kind == "f"):
+            return
+        d = int(arr.shape[1])
+        # n_pos (rows) can be smaller than head_dim at toy scales — the
+        # discriminators are the bound (sin/cos ∈ [-1, 1]; weight matrices
+        # of trained models exceed it) and the head-divisor last dim
+        if (16 <= d < width and width % d == 0 and arr.shape[0] >= 2
+                and float(np.abs(arr).max()) <= 1.0 + 1e-4):
+            votes.append(width // d)
+
+    for v in g.initializers.values():
+        check(v)
+    for op_type, _, _, attrs in g.nodes:
+        if op_type == "Constant":
+            check(attrs.get("value"))
+    return votes
+
+
+def _patch_conv_dims(g: OnnxGraph, onnx_path) -> tuple[int, int]:
+    """(width, patch_size) from the [width, 3, p, p] patch conv — the only
+    conv in a ViT-class graph consuming 3 input channels."""
+    convs = [v for v in g.initializers.values()
+             if v.ndim == 4 and v.shape[1] == 3 and v.shape[2] == v.shape[3]
+             and v.shape[2] > 1]
+    if not convs:
+        raise WeightError(
+            f"{onnx_path}: cannot locate the [width, 3, p, p] patch conv; "
+            "tower dims are not derivable from this graph")
+    return int(convs[0].shape[0]), int(convs[0].shape[2])
+
+
+def _named_layer_count(g: OnnxGraph) -> int:
+    layer_ids = {
+        int(m.group(1))
+        for k in g.initializers
+        for m in (re.search(r"(?:blocks|resblocks|layers)\.(\d+)\.", k),)
+        if m
+    }
+    return max(layer_ids) + 1 if layer_ids else 0
+
+
+def derive_eva02_cfg(onnx_path: Path | str) -> dict:
+    """Recover EVA02 per-size dims from the exported visual graph — the
+    same self-derivation as :func:`derive_pe_cfg` for the other
+    paper-reconstructed size table (models.eva02._EVA02_VARIANTS).
+
+    width/patch from the patch conv; SwiGLU hidden + depth from the 2-D
+    shape histogram (each block carries exactly three [width, hidden]-class
+    matrices: w_gate, w_x, w_out); heads from the baked rope sin/cos
+    constants (head_dim-wide, the family's defining feature); LN epsilon
+    from LayerNormalization attributes."""
+    g = read_onnx(onnx_path)
+    width, patch = _patch_conv_dims(g, onnx_path)
+
+    pair_counts: dict[int, int] = {}
+    for v in g.initializers.values():
+        if v.ndim == 2 and width in v.shape:
+            other = int(v.shape[0] if int(v.shape[1]) == width
+                        else v.shape[1])
+            if other > width:
+                pair_counts[other] = pair_counts.get(other, 0) + 1
+    if not pair_counts:
+        raise WeightError(
+            f"{onnx_path}: no SwiGLU matrices found (is this an EVA02 "
+            "graph?)")
+    mlp_hidden = max(pair_counts, key=lambda d: pair_counts[d])
+    layers = _named_layer_count(g) or pair_counts[mlp_hidden] // 3
+
+    votes = _rope_head_votes(g, width)
+    if not votes:
+        raise WeightError(
+            f"{onnx_path}: no rope tables found to derive the head count "
+            "(EVA02 exports bake per-position sin/cos constants)")
+    heads = max(set(votes), key=votes.count)
+
+    eps_votes = [float(attrs["epsilon"]) for op, _, _, attrs in g.nodes
+                 if op == "LayerNormalization"
+                 and isinstance(attrs.get("epsilon"), float)]
+    cfg = {
+        "width": width,
+        "layers": layers,
+        "heads": heads,
+        "mlp_hidden": mlp_hidden,
+    }
+    if eps_votes:
+        cfg["ln_eps"] = max(set(eps_votes), key=eps_votes.count)
+    return cfg
+
+
+def derive_pe_cfg(onnx_path: Path | str) -> dict:
+    """Recover PE-Core per-size dims from the exported visual graph itself
+    — the ``derive_bert_hf_config`` pattern for the vision tower whose
+    paper-reconstructed size table has no independent in-env anchor
+    (models.build._PE_CORE_SIZES). A real exported dir thus loads with
+    self-derived dims; the table only seeds models that never came through
+    a graph.
+
+    Derivable from any torch export of the tower: width + patch size from
+    the [width, 3, p, p] patch conv (the only conv consuming 3 channels),
+    MLP width + depth from the 2-D initializer shape histogram (each block
+    carries exactly two [width, mlp_hidden]-class matrices; the packed
+    [3·width, width] qkv is excluded by shape), the MAP pool's MLP width
+    from the remaining once-per-graph pair, the head count from the
+    attention reshape constants, and the LN epsilon from
+    LayerNormalization attributes. Raises WeightError when the patch conv
+    can't be located."""
+    g = read_onnx(onnx_path)
+    width, patch = _patch_conv_dims(g, onnx_path)
+
+    # depth + MLP width from the 2-D shape histogram. Excluded pair dims:
+    # width (square projections), 3·width (packed qkv in_proj), and the
+    # embed dim (projection) — what remains is block fc/proj (2 per layer)
+    # and the MAP pool's fc/proj (2 per graph).
+    pair_counts: dict[int, int] = {}
+    for v in g.initializers.values():
+        if v.ndim == 2 and width in v.shape:
+            other = int(v.shape[0] if int(v.shape[1]) == width
+                        else v.shape[1])
+            if other > width and other != 3 * width:
+                pair_counts[other] = pair_counts.get(other, 0) + 1
+    if not pair_counts:
+        raise WeightError(
+            f"{onnx_path}: no MLP matrices found (is this a ViT graph?)")
+    mlp_hidden = max(pair_counts, key=lambda d: pair_counts[d])
+    # named per-layer parameters beat shape counting when names survive
+    layers = _named_layer_count(g) or pair_counts[mlp_hidden] // 2
+    pool_pairs = [d for d, c in pair_counts.items()
+                  if d != mlp_hidden and c == 2]
+    pool_mlp_hidden = pool_pairs[0] if len(pool_pairs) == 1 else None
+
+    # rope tables are the primary evidence (exact head_dim); reshape-pair
+    # votes cover non-rope exports
+    votes = _rope_head_votes(g, width) \
+        or [h for h in _head_votes(g, width) if h > 1]
+    if votes:
+        heads = max(set(votes), key=votes.count)
+    elif width % 64 == 0:
+        heads = width // 64
+    else:
+        raise WeightError(
+            f"{onnx_path}: cannot derive the attention head count "
+            f"(no reshape or rope constants, width={width} not "
+            "64-divisible)")
+
+    eps_votes = [float(attrs["epsilon"]) for op, _, _, attrs in g.nodes
+                 if op == "LayerNormalization"
+                 and isinstance(attrs.get("epsilon"), float)]
+    cfg = {
+        "width": width,
+        "patch_size": patch,
+        "layers": layers,
+        "heads": heads,
+        "mlp_hidden": mlp_hidden,
+    }
+    if pool_mlp_hidden is not None:
+        cfg["pool_mlp_hidden"] = pool_mlp_hidden
+    if eps_votes:
+        cfg["ln_eps"] = max(set(eps_votes), key=eps_votes.count)
+    return cfg
 
 
 def derive_bert_hf_config(onnx_path: Path | str) -> dict:
@@ -1102,43 +1319,8 @@ def derive_bert_hf_config(onnx_path: Path | str) -> dict:
         layers = inter_candidates.count(intermediate) // 2
 
     # head count: transformers' transpose_for_scores reshapes to
-    # [..., heads, head_dim]. torch.onnx builds that shape either as one
-    # int64 constant or as a Concat of scalar constants (dynamic batch/seq
-    # Gathers + a [heads] and a [head_dim] Constant node) — scan adjacent
-    # value pairs in both forms for (h, d) with h·d == hidden
-    scalar_const: dict[str, int] = {}
-    for op_type, _, outputs, attrs in g.nodes:
-        v = attrs.get("value")
-        if op_type == "Constant" and outputs \
-                and isinstance(v, np.ndarray) and v.dtype.kind in "iu" \
-                and v.size == 1:
-            scalar_const[outputs[0]] = int(v.reshape(-1)[0])
-    head_votes: list[int] = []
-
-    def scan_pairs(values) -> None:
-        for a, b in zip(values[:-1], values[1:]):
-            if a is not None and b is not None and a > 0 and b > 0 \
-                    and a * b == hidden and a <= 256:
-                head_votes.append(a)
-
-    def scan_shape_const(arr) -> None:
-        if not isinstance(arr, np.ndarray) or arr.dtype.kind not in "iu":
-            return
-        flat = arr.reshape(-1)
-        if 2 <= flat.size <= 6:
-            scan_pairs([int(x) for x in flat])
-
-    for v in inits.values():
-        scan_shape_const(v)
-    for op_type, inputs, _, attrs in g.nodes:
-        if op_type == "Constant":
-            scan_shape_const(attrs.get("value"))
-        elif op_type == "Concat" and 2 <= len(inputs) <= 6:
-            vals = [scalar_const.get(name) if name not in inits
-                    else (int(inits[name].reshape(-1)[0])
-                          if inits[name].size == 1 else None)
-                    for name in inputs]
-            scan_pairs(vals)
+    # [..., heads, head_dim] — scan the graph's reshape constants
+    head_votes = _head_votes(g, hidden)
     # [1, 1, hidden]-style mask/broadcast reshapes also yield a (1, hidden)
     # pair — prefer multi-head votes (the transpose-for-scores constants
     # recur 2×/layer and dominate any genuine single-head graph anyway)

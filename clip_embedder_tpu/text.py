@@ -13,8 +13,6 @@ instead of HF `tokenizers` + an ONNX Runtime session.
 
 from __future__ import annotations
 
-import json
-import os
 from functools import lru_cache
 from pathlib import Path
 from typing import Any, Sequence
@@ -60,27 +58,15 @@ def _maybe_derive_hf_config(model_dir: Path, config: OpenClipConfig) -> None:
         return
     tcfg.extra["hf_config"] = hf_cfg
     # persist, so later loads (and the .npz fast path, whose spec still
-    # resolves from this config) never re-read the ONNX
-    cfg_path = model_dir / "open_clip_config.json"
-    try:
-        raw = json.loads(cfg_path.read_text())
-        raw.setdefault("model_cfg", {}).setdefault("text_cfg", {})[
-            "hf_config"] = hf_cfg
-        # write-temp + atomic rename: concurrent loaders of the same dir
-        # (a normal multi-process serving pattern) must never observe a
-        # half-written config — both writers derive identical content from
-        # the same graph, so last-replace-wins is safe
-        tmp = cfg_path.with_name(f".{cfg_path.name}.{os.getpid()}.tmp")
-        replaced = False
-        try:
-            tmp.write_text(json.dumps(raw, indent=2))
-            os.replace(tmp, cfg_path)
-            replaced = True
-        finally:
-            if not replaced:
-                tmp.unlink(missing_ok=True)  # never leak the temp file
-    except OSError:
-        pass  # read-only dir: in-memory config still carries it
+    # resolves from this config) never re-read the ONNX; both writers
+    # derive identical content from the same graph, so the helper's
+    # last-replace-wins atomicity is safe
+    from .config import update_config_json
+
+    update_config_json(
+        model_dir / "open_clip_config.json",
+        lambda raw: raw.setdefault("model_cfg", {}).setdefault(
+            "text_cfg", {}).__setitem__("hf_config", hf_cfg))
 
 
 def _load_or_convert_text(model_dir: Path, spec: TowerSpec, dtype) -> dict:

@@ -52,6 +52,46 @@ def to_device_tree(params: dict, dtype) -> dict:
     return tree_map_with_path(conv, params)
 
 
+def _maybe_derive_vision_dims(model_dir: Path,
+                              config: OpenClipConfig) -> None:
+    """For the families whose per-size dim tables are paper-reconstructed
+    with no independent in-env anchor (PE-Core: models.build._PE_CORE_SIZES;
+    EVA02: models.eva02._EVA02_VARIANTS), dirs that arrived as reference
+    ONNX exports carry the ground truth IN the graph — recover the dims
+    from it and persist them into ``vision_cfg.{pe_cfg,eva02_cfg}``, so a
+    real exported dir loads with self-derived dims and wrong table entries
+    can't silently load. Leaves the config untouched (table + loud
+    weight-load failure) when derivation fails."""
+    v = config.model_cfg.vision_cfg
+    name = (v.timm_model_name or "").lower()
+    if "pe_core" in name:
+        from .onnx_reader import derive_pe_cfg as derive
+        key = "pe_cfg"
+    elif name.startswith("eva02_"):
+        from .onnx_reader import derive_eva02_cfg as derive
+        key = "eva02_cfg"
+    else:
+        return
+    if v.extra.get(key):
+        return
+    onnx_path = model_dir / "visual.onnx"
+    if not onnx_path.is_file():
+        return
+    try:
+        derived = derive(onnx_path)
+    except WeightError:
+        return
+    v.extra[key] = derived
+    # persist, so later loads (incl. the .npz fast path, whose spec still
+    # resolves from this config) never re-read the ONNX
+    from .config import update_config_json
+
+    update_config_json(
+        model_dir / "open_clip_config.json",
+        lambda raw: raw.setdefault("model_cfg", {}).setdefault(
+            "vision_cfg", {}).__setitem__(key, derived))
+
+
 def _load_or_convert_visual(model_dir: Path, spec: TowerSpec, dtype) -> dict:
     """Load native weights, converting from ONNX once if needed (the cache
     role the reference's model dir plays for ORT — SURVEY.md §5
@@ -225,6 +265,7 @@ class VisionEmbedder:
         verify_model_dir(model_dir)
         config = OpenClipConfig.from_file(model_dir / "open_clip_config.json")
         model_config = ModelConfig.from_file(model_dir / "model_config.json")
+        _maybe_derive_vision_dims(model_dir, config)
         try:
             spec = resolve_vision(config.model_cfg)
             params = _load_or_convert_visual(model_dir, spec, dtype)

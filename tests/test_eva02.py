@@ -237,12 +237,19 @@ def test_eva02_packed_attn_matches_xla():
     np.testing.assert_allclose(a, b, atol=2e-5)
 
 
-def test_eva02_from_onnx_dir(tmp_path):
+@pytest.mark.parametrize("with_cfg", [True, False])
+def test_eva02_from_onnx_dir(tmp_path, with_cfg):
     """A torch-exported EVA02 ``visual.onnx`` (reference dir format,
     normalize baked in — reference: pull_onnx.py:53-59) converts to the
     NATIVE eva02 tower via structural extraction (the Linear weights
     constant-fold to anonymous names; the baked rope tables are skipped
-    and recomputed), then matches the torch pipeline on a real JPEG."""
+    and recomputed), then matches the torch pipeline on a real JPEG.
+
+    with_cfg=False is the real-world dir shape (no eva02_cfg dims in the
+    config): the dims must be self-derived from the graph itself
+    (onnx_reader.derive_eva02_cfg) — the mirror's dims differ from the
+    paper table's 'base' entry in every field, so a silent table fallback
+    would fail the weight load — and persisted for the .npz fast path."""
     import json
 
     from PIL import Image
@@ -276,8 +283,9 @@ def test_eva02_from_onnx_dir(tmp_path):
             "vision_cfg": {
                 "image_size": IMG,
                 "timm_model_name": f"eva02_base_patch{PATCH}_clip",
-                "eva02_cfg": {"width": W, "layers": LAYERS, "heads": HEADS,
-                              "mlp_hidden": HIDDEN},
+                **({"eva02_cfg": {"width": W, "layers": LAYERS,
+                                  "heads": HEADS, "mlp_hidden": HIDDEN}}
+                   if with_cfg else {}),
             },
             "text_cfg": {"context_length": 12, "vocab_size": 49408,
                          "width": W, "heads": HEADS, "layers": 1,
@@ -318,3 +326,12 @@ def test_eva02_from_onnx_dir(tmp_path):
     with torch.no_grad():
         ref = mirror(torch.from_numpy(arr).permute(2, 0, 1)[None]).numpy()
     assert float(np.asarray(got)[0] @ ref[0]) > 1 - 1e-5
+
+    if not with_cfg:
+        c = ve.spec.cfg
+        assert (c.width, c.layers, c.heads, c.mlp_hidden) == (
+            W, LAYERS, HEADS, HIDDEN)
+        persisted = json.loads((d / "open_clip_config.json").read_text())
+        ec = persisted["model_cfg"]["vision_cfg"]["eva02_cfg"]
+        assert ec["width"] == W and ec["layers"] == LAYERS
+        assert ec["heads"] == HEADS and ec["mlp_hidden"] == HIDDEN

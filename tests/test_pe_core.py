@@ -117,16 +117,12 @@ def test_pe_core_tower_parity(layer_scale, attn_impl):
     np.testing.assert_allclose(ours, theirs, atol=2e-5)
 
 
-def test_pe_core_from_onnx_dir(tmp_path):
-    """A torch-exported PE-Core ``visual.onnx`` (reference dir format,
-    normalize baked in — reference: pull_onnx.py:53-59) flows through
-    ``VisionEmbedder.from_local_dir``: in-place ONNX→npz conversion via
-    the name-based extractor (the rope constants in the graph are ignored;
-    parameters map through weights.map_pe_visual), then embedding parity
-    with torch on a real JPEG."""
+def _build_pe_onnx_dir(tmp_path, *, with_pe_cfg: bool):
+    """Torch-exported PE-Core model dir (reference format); optionally
+    WITHOUT the pe_cfg dims override — the real-world shape, where the dims
+    must be self-derived from the graph (onnx_reader.derive_pe_cfg)."""
     import json
 
-    import torch.nn.functional as F
     from PIL import Image
     from torch import nn
 
@@ -163,15 +159,17 @@ def test_pe_core_from_onnx_dir(tmp_path):
            d / "visual.onnx", input_name="pixel_values",
            output_name="image_embeds")
     mean = [0.5, 0.5, 0.5]
+    vision_cfg = {
+        "image_size": IMG,
+        "timm_model_name": f"vit_pe_core_gigantic_patch{PATCH}_448",
+    }
+    if with_pe_cfg:
+        vision_cfg["pe_cfg"] = {"width": W, "layers": LAYERS,
+                                "heads": HEADS, "mlp_hidden": MLP}
     occ = {
         "model_cfg": {
             "embed_dim": EMBED,
-            "vision_cfg": {
-                "image_size": IMG,
-                "timm_model_name": f"vit_pe_core_gigantic_patch{PATCH}_448",
-                "pe_cfg": {"width": W, "layers": LAYERS, "heads": HEADS,
-                           "mlp_hidden": MLP},
-            },
+            "vision_cfg": vision_cfg,
             "text_cfg": {"context_length": 16, "vocab_size": 64,
                          "width": W, "heads": HEADS, "layers": 1},
         },
@@ -200,6 +198,12 @@ def test_pe_core_from_onnx_dir(tmp_path):
     rng = np.random.default_rng(5)
     Image.fromarray(rng.integers(0, 255, (IMG, IMG, 3), np.uint8)).save(
         jpg, "JPEG", quality=95)
+    return d, mirror, jpg
+
+
+def _check_pe_dir_parity(d, mirror, jpg):
+    import torch.nn.functional as F
+    from PIL import Image
 
     from clip_embedder_tpu import VisionEmbedder
 
@@ -214,6 +218,44 @@ def test_pe_core_from_onnx_dir(tmp_path):
             mirror(torch.from_numpy(arr).permute(2, 0, 1)[None]),
             dim=-1).numpy()
     assert float(got[0] @ ref[0]) > 1 - 1e-5
+    return ve
+
+
+def test_pe_core_from_onnx_dir(tmp_path):
+    """A torch-exported PE-Core ``visual.onnx`` (reference dir format,
+    normalize baked in — reference: pull_onnx.py:53-59) flows through
+    ``VisionEmbedder.from_local_dir``: in-place ONNX→npz conversion via
+    the name-based extractor (the rope constants in the graph are ignored;
+    parameters map through weights.map_pe_visual), then embedding parity
+    with torch on a real JPEG."""
+    d, mirror, jpg = _build_pe_onnx_dir(tmp_path, with_pe_cfg=True)
+    _check_pe_dir_parity(d, mirror, jpg)
+
+
+def test_pe_core_dims_self_derived_from_graph(tmp_path):
+    """The real-world dir shape: NO pe_cfg in the config. The dims must be
+    derived from the exported graph itself (onnx_reader.derive_pe_cfg) —
+    the mirror's dims differ from the paper table's 'gigantic' entry in
+    every field, so a silent table fallback would fail the weight load.
+    The derivation must also persist into open_clip_config.json so the
+    .npz fast path resolves identically on later loads."""
+    import json
+
+    d, mirror, jpg = _build_pe_onnx_dir(tmp_path, with_pe_cfg=False)
+    ve = _check_pe_dir_parity(d, mirror, jpg)
+    c = ve.spec.cfg
+    assert (c.width, c.layers, c.heads, c.mlp_hidden) == (W, LAYERS, HEADS,
+                                                          MLP)
+    assert c.patch_size == PATCH
+    assert c.pool_mlp_hidden == 4 * W  # the mirror's MAP-pool MLP width
+    persisted = json.loads((d / "open_clip_config.json").read_text())
+    pe = persisted["model_cfg"]["vision_cfg"]["pe_cfg"]
+    assert pe["width"] == W and pe["layers"] == LAYERS
+    assert pe["heads"] == HEADS and pe["mlp_hidden"] == MLP
+
+    # later loads (npz fast path) resolve from the persisted dims
+    ve2 = _check_pe_dir_parity(d, mirror, jpg)
+    assert ve2.spec.cfg.width == W
 
 
 def test_pe_core_resolution():
