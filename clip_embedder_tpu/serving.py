@@ -257,6 +257,15 @@ class ClipServer:
     400 with ``{"error": <ClipError class>, "message": ...}``; unexpected
     failures to 500. Binds loopback by default — put a real ingress in
     front for anything public.
+
+    Pass ``mesh=`` (a ``jax.sharding.Mesh``) for a multi-chip deployment:
+    every forward — bulk requests and the coalesced micro-batches alike —
+    runs through the DP (optionally ``tensor_parallel=True``) sharded
+    embedders over the whole slice (parallel.embed), so one server scales
+    past a single chip instead of replicating per-thread sessions the way
+    the reference does (src/clip.rs:69-73). classify/rank ride the same
+    sharded paths, with the single-item side coalescing through the
+    MicroBatcher.
     """
 
     def __init__(
@@ -267,6 +276,8 @@ class ClipServer:
         port: int = 0,
         max_batch: int = 32,
         max_delay_ms: float = 2.0,
+        mesh=None,
+        tensor_parallel: bool = False,
     ) -> None:
         import base64
         import json as _json
@@ -276,11 +287,29 @@ class ClipServer:
 
         self._clip = clip
         self._closing = False
+        self.mesh = mesh
+        if mesh is not None:
+            # mesh-backed deployment: every forward (bulk requests AND the
+            # coalesced micro-batches) runs through the DP(+TP) sharded
+            # embedders over the whole slice — the scale-past-one-chip
+            # answer to the reference's per-thread duplicate() replicas
+            # (src/clip.rs:69-73)
+            from .parallel.embed import (ShardedTextEmbedder,
+                                         ShardedVisionEmbedder)
+
+            self._sharded_vision = ShardedVisionEmbedder(
+                clip.vision, mesh, tensor_parallel=tensor_parallel)
+            self._sharded_text = ShardedTextEmbedder(clip.text, mesh)
+            self._embed_images = self._sharded_vision.embed_images
+            self._embed_texts = self._sharded_text.embed_texts
+        else:
+            self._embed_images = clip.vision.embed_images
+            self._embed_texts = clip.text.embed_texts
         self._vision_batcher = MicroBatcher(
-            clip.vision.embed_images, max_batch=max_batch,
+            self._embed_images, max_batch=max_batch,
             max_delay_ms=max_delay_ms)
         self._text_batcher = MicroBatcher(
-            clip.text.embed_texts, max_batch=max_batch,
+            self._embed_texts, max_batch=max_batch,
             max_delay_ms=max_delay_ms)
         server = self
 
@@ -347,7 +376,7 @@ class ClipServer:
                             from .errors import InferenceError
 
                             raise InferenceError("Empty batch")
-                        emb = server._clip.vision.embed_images(imgs)
+                        emb = server._embed_images(imgs)
                         return {"embeddings": np.asarray(emb).tolist()}
                     row = server._vision_batcher.embed(body)
                     return {"embeddings": [row.tolist()]}
@@ -360,24 +389,44 @@ class ClipServer:
                         return {"embeddings":
                                 [server._text_batcher.embed(texts[0])
                                  .tolist()]}
-                    emb = server._clip.text.embed_texts(texts)
+                    emb = server._embed_texts(texts)
                     return {"embeddings": np.asarray(emb).tolist()}
                 if path == "/v1/classify":
                     req = _json.loads(body)
                     img = base64.b64decode(req["image_b64"])
                     return {"results":
-                            server._clip.classify(img, req["labels"])}
+                            server._classify(img, req["labels"])}
                 if path == "/v1/rank":
                     req = _json.loads(body)
                     imgs = [base64.b64decode(b) for b in req["images_b64"]]
-                    return {"results":
-                            server._clip.rank_images(imgs, req["text"])}
+                    return {"results": server._rank(imgs, req["text"])}
                 raise _NoSuchEndpoint(f"no such endpoint: {path}")
 
         self._httpd = ThreadingHTTPServer((host, port), Handler)
         self._thread = threading.Thread(
             target=self._httpd.serve_forever, name="clip-http", daemon=True)
         self._thread.start()
+
+    # classify/rank on the server's own embed paths (sharded when a mesh
+    # is configured), with the single image riding the vision MicroBatcher
+    # so concurrent classify callers coalesce. Scoring semantics are
+    # Clip.classify/rank_images' exactly (reference: src/clip.rs:94-170).
+
+    def _classify(self, image, labels) -> list[tuple[str, float]]:
+        v = self._vision_batcher.embed(image)
+        t = np.asarray(self._embed_texts([str(l) for l in labels]))
+        scale, bias = self._clip._scale_bias()
+        probs = self._clip._activate(t @ v * scale + bias)
+        return sorted(zip([str(l) for l in labels], probs.tolist()),
+                      key=lambda kv: kv[1], reverse=True)
+
+    def _rank(self, images, text: str) -> list[tuple[int, float]]:
+        embs = np.asarray(self._embed_images(images))
+        t = self._text_batcher.embed(text)
+        scale, bias = self._clip._scale_bias()
+        probs = self._clip._activate(embs @ t * scale + bias)
+        return sorted(enumerate(probs.tolist()),
+                      key=lambda kv: kv[1], reverse=True)
 
     @property
     def address(self) -> tuple[str, int]:

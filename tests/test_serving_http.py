@@ -161,6 +161,78 @@ def test_unknown_post_route_is_404(served):
     assert json.loads(ei.value.read())["error"] == "NotFound"
 
 
+# ---------------------------------------------------------------------------
+# mesh-backed deployment: the same HTTP surface over the sharded embedders
+# (the scale-past-one-chip answer to the reference's per-thread duplicate(),
+# src/clip.rs:69-73) — every path must agree with the single-device Clip
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def served_mesh():
+    from clip_embedder_tpu.parallel.mesh import get_mesh
+
+    clip = Clip.from_local_dir(make_model_dir())
+    mesh = get_mesh()  # the 8-virtual-CPU-device test mesh (conftest)
+    with ClipServer(clip, max_delay_ms=5.0, mesh=mesh) as server:
+        yield clip, server
+
+
+def test_mesh_server_embeds_match_single_device(served_mesh):
+    clip, server = served_mesh
+    assert server.mesh is not None
+    jpgs = [_jpeg(10), _jpeg(11), _jpeg(12)]
+    got = _post(server, "/v1/embed/image",
+                {"images_b64": [base64.b64encode(j).decode() for j in jpgs]})
+    np.testing.assert_allclose(
+        np.asarray(got["embeddings"], np.float32),
+        clip.vision.embed_images(jpgs), atol=1e-4)
+
+    texts = ["a cat", "a dog", "a beignet", "x"]
+    got = _post(server, "/v1/embed/text", {"texts": texts})
+    np.testing.assert_allclose(
+        np.asarray(got["embeddings"], np.float32),
+        clip.text.embed_texts(texts), atol=1e-4)
+
+
+def test_mesh_server_classify_and_rank_parity(served_mesh):
+    clip, server = served_mesh
+    jpg = _jpeg(13)
+    labels = ["a photo of a cat", "a photo of a dog"]
+    got = _post(server, "/v1/classify",
+                {"image_b64": base64.b64encode(jpg).decode(),
+                 "labels": labels})
+    expect = clip.classify(jpg, labels)
+    assert [r[0] for r in got["results"]] == [e[0] for e in expect]
+    np.testing.assert_allclose([r[1] for r in got["results"]],
+                               [e[1] for e in expect], atol=1e-4)
+
+    jpgs = [_jpeg(14), _jpeg(15)]
+    got = _post(server, "/v1/rank",
+                {"images_b64": [base64.b64encode(j).decode() for j in jpgs],
+                 "text": "the cat"})
+    expect = clip.rank_images(jpgs, "the cat")
+    assert [r[0] for r in got["results"]] == [e[0] for e in expect]
+
+
+def test_mesh_server_concurrent_singles_coalesce(served_mesh):
+    clip, server = served_mesh
+    jpg = _jpeg(16)
+    expect = clip.vision.embed_image(jpg)
+    before = server._vision_batcher.batches
+
+    def one(_):
+        return _post(server, "/v1/embed/image", jpg, ctype="image/jpeg")
+
+    with cf.ThreadPoolExecutor(max_workers=8) as pool:
+        results = list(pool.map(one, range(16)))
+    for got in results:
+        np.testing.assert_allclose(
+            np.asarray(got["embeddings"][0], np.float32), expect, atol=1e-4)
+    # concurrent singles share sharded device steps, same as single-chip
+    assert server._vision_batcher.batches - before < 16
+
+
 def test_submit_after_close_rejected():
     clip = Clip.from_local_dir(make_model_dir())
     server = ClipServer(clip)
