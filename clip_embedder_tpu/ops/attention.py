@@ -142,9 +142,16 @@ def multi_head_attention(
             # v3). rope applies IN-KERNEL on the VMEM-resident blocks
             # (bit-identical to the outside apply_rope, minus its q/k HBM
             # round-trip).
+            # pallas_fast additionally runs the [S, S] softmax-weight
+            # pipeline in bf16 at head dims below 96 (exp_bf16): measured
+            # round 4 on v5e, interleaved medians — +18%/+7% at d=72
+            # (SO400M), +7% at d=80 (H14), but −6% at d=96 (gopt) and
+            # neutral at PE's d=96, hence the gate. Numerics ~3e-5 cosine,
+            # inside the pallas_fast budget (BENCH_RESULTS round 4).
             out = flash_attention_packed(
                 q, k, v, num_heads=num_heads, mask=mask, rope=rope,
-                fast_softmax=impl == "pallas_fast")
+                fast_softmax=impl == "pallas_fast",
+                exp_bf16=impl == "pallas_fast" and d < 96)
             return out_proj(out)
 
     if rope is not None:

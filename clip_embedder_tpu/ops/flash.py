@@ -79,7 +79,9 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, g: int, d: int,
                    scale: float, fast_softmax: bool, mask_ref,
                    rope_refs=None,
                    quant_pv: bool = False,
-                   mxu_denom: bool = False):
+                   mxu_denom: bool = False,
+                   quant_qk: bool = False,
+                   exp_bf16: bool = False):
     """One (batch, head-group) block in packed [S, g·D] layout.
 
     ``quant_pv`` routes the p·v matmul through int8 (per-row dynamic quant
@@ -93,6 +95,20 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, g: int, d: int,
     [S, S] VPU passes (row max + round/clip) that dwarf the int8 MXU
     saving, so it is OFF in every preset and kept as the executable
     record of that experiment (BENCH_RESULTS.md round 3).
+
+    ``quant_qk`` routes the q·kᵀ score matmul through int8: per-row
+    dynamic quant of the scale-folded q and per-head-tensor quant of k —
+    both [S, D] passes, unlike the [S, S] passes that sank quant_pv. With
+    a positive per-row dequant scale the softmax row max can be taken on
+    the raw int32 accumulator (monotonic), so the dequant multiply fuses
+    into the exp argument and the int8 path adds only the cheap [S, D]
+    quant work. See BENCH_RESULTS.md round 4 for the measured verdict.
+
+    ``exp_bf16`` computes the softmax weights in bf16 after the f32
+    max-subtract (the [S, S] exp pass and everything downstream of it run
+    at bf16 width; the denominator still accumulates in f32 via the MXU
+    spare-lane or an f32 row-sum). Probes whether Mosaic's packed bf16
+    VPU lanes cut the kernel's [S, S] floor.
     """
     q = q_ref[0]
     k = k_ref[0]
@@ -112,19 +128,57 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, g: int, d: int,
         qh = qs[:, h * d:(h + 1) * d]
         kh = k[:, h * d:(h + 1) * d]
         vh = v[:, h * d:(h + 1) * d]
-        logits = jax.lax.dot_general(
-            qh, kh,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        if mask_ref is not None:
-            logits = logits + mask_ref[:]
-        if fast_softmax:
-            p = jnp.exp(jnp.clip(logits, -60.0, 60.0))
+        if quant_qk:
+            # [S, D] quant passes only; the [S, S] dequant multiply fuses
+            # into the exp argument below (per-row scale is positive, so
+            # int32 row max == logit row max position).
+            qh32 = qh.astype(jnp.float32)
+            qmax = jnp.max(jnp.abs(qh32), axis=-1, keepdims=True)
+            qsc = jnp.where(qmax == 0, 1.0, qmax / 127.0)
+            qq = jnp.clip(jnp.round(qh32 / qsc), -127, 127).astype(jnp.int8)
+            kh32 = kh.astype(jnp.float32)
+            kmax = jnp.max(jnp.abs(kh32))
+            ksc = jnp.where(kmax == 0, 1.0, kmax / 127.0)
+            kq = jnp.clip(jnp.round(kh32 / ksc), -127, 127).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                qq, kq,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            rowsc = qsc * ksc  # [S, 1] > 0
+            if mask_ref is None and not fast_softmax:
+                m32 = jnp.max(acc, axis=-1, keepdims=True)
+                diff = ((acc - m32).astype(jnp.float32) * rowsc)
+                p = jnp.exp(diff.astype(jnp.bfloat16) if exp_bf16 else diff)
+            else:
+                logits = acc.astype(jnp.float32) * rowsc
+                if mask_ref is not None:
+                    logits = logits + mask_ref[:]
+                if fast_softmax:
+                    cl = jnp.clip(logits, -60.0, 60.0)
+                    p = jnp.exp(cl.astype(jnp.bfloat16) if exp_bf16 else cl)
+                else:
+                    m = jnp.maximum(
+                        jnp.max(logits, axis=-1, keepdims=True), -1e30)
+                    diff = logits - m
+                    p = jnp.exp(
+                        diff.astype(jnp.bfloat16) if exp_bf16 else diff)
         else:
-            m = jnp.max(logits, axis=-1, keepdims=True)
-            m = jnp.maximum(m, -1e30)
-            p = jnp.exp(logits - m)
+            logits = jax.lax.dot_general(
+                qh, kh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            if mask_ref is not None:
+                logits = logits + mask_ref[:]
+            if fast_softmax:
+                cl = jnp.clip(logits, -60.0, 60.0)
+                p = jnp.exp(cl.astype(jnp.bfloat16) if exp_bf16 else cl)
+            else:
+                m = jnp.max(logits, axis=-1, keepdims=True)
+                m = jnp.maximum(m, -1e30)
+                diff = logits - m
+                p = jnp.exp(diff.astype(jnp.bfloat16) if exp_bf16 else diff)
         if mxu_denom and not quant_pv and d % 128:
             # v2's spare-lane trick ported to the packed layout: pad the
             # head's v slab to the lane width with a ones column at lane d,
@@ -149,7 +203,9 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, g: int, d: int,
             denom = out[:, d:d + 1]
             outs.append((out[:, :d] * (1.0 / denom)).astype(o_ref.dtype))
             continue
-        denom = jnp.sum(p, axis=-1, keepdims=True)
+        # f32 accumulation for the row sum even when p is bf16 (exp_bf16):
+        # 576-730 bf16 addends would lose ~1% of the denominator
+        denom = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
         if quant_pv:
             # p ≥ 0 with rowmax = 1 (exact softmax) / ≤ e^60 (clamped):
             # per-row scale from the row max, per-column scale for v
@@ -190,7 +246,7 @@ def _head_group(num_heads: int, d: int) -> int | None:
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "fast_softmax", "interpret", "quant_pv",
-                     "mxu_denom"))
+                     "mxu_denom", "quant_qk", "exp_bf16"))
 def flash_attention_packed(
     q: jax.Array,  # [B, S, H·D] head-major packed (projection layout)
     k: jax.Array,
@@ -203,6 +259,8 @@ def flash_attention_packed(
     interpret: bool = False,
     quant_pv: bool = False,
     mxu_denom: bool = True,
+    quant_qk: bool = False,
+    exp_bf16: bool = False,
 ) -> jax.Array:
     """Fused attention consuming the projection layout directly.
 
@@ -287,12 +345,14 @@ def flash_attention_packed(
             _packed_kernel(q_ref, k_ref, v_ref, o_ref, g=g, d=d, scale=scale,
                            fast_softmax=fast_softmax, mask_ref=None,
                            rope_refs=(sin_ref, cos_ref), quant_pv=quant_pv,
-                           mxu_denom=mxu_denom)
+                           mxu_denom=mxu_denom, quant_qk=quant_qk,
+                           exp_bf16=exp_bf16)
     elif mask2d is None and maskkey is None and maskfull is None:
         def kernel(q_ref, k_ref, v_ref, o_ref):
             _packed_kernel(q_ref, k_ref, v_ref, o_ref, g=g, d=d, scale=scale,
                            fast_softmax=fast_softmax, mask_ref=None,
-                           quant_pv=quant_pv, mxu_denom=mxu_denom)
+                           quant_pv=quant_pv, mxu_denom=mxu_denom,
+                           quant_qk=quant_qk, exp_bf16=exp_bf16)
     else:
         shared_mask = mask2d is not None
 
@@ -302,7 +362,8 @@ def flash_attention_packed(
             mval = m_ref[:] if shared_mask else m_ref[0]
             _packed_kernel(q_ref, k_ref, v_ref, o_ref, g=g, d=d, scale=scale,
                            fast_softmax=fast_softmax, mask_ref=mval,
-                           quant_pv=quant_pv, mxu_denom=mxu_denom)
+                           quant_pv=quant_pv, mxu_denom=mxu_denom,
+                           quant_qk=quant_qk, exp_bf16=exp_bf16)
 
         if mask2d is not None:
             in_specs = in_specs + [

@@ -483,6 +483,40 @@ def test_packed_quant_pv_close_to_exact():
     np.testing.assert_allclose(g, e, atol=0.1)
 
 
+@pytest.mark.parametrize(
+    "flags,min_cos,atol",
+    [
+        ({"quant_qk": True}, 1 - 2e-3, 0.08),
+        ({"exp_bf16": True}, 1 - 1e-3, 0.02),
+        ({"quant_qk": True, "exp_bf16": True}, 1 - 3e-3, 0.08),
+        ({"quant_qk": True, "fast_softmax": True}, 1 - 2e-3, 0.08),
+    ],
+)
+def test_packed_quant_qk_and_exp_bf16_close_to_exact(flags, min_cos, atol):
+    """Round-4 VPU-floor variants: int8 q·kᵀ (per-row q / per-head k quant,
+    int32 row max) and the bf16 softmax-weight pipeline must stay within
+    their quantization noise of the exact kernel, with and without a
+    mask (the mask path dequantizes to f32 logits before the add)."""
+    from clip_embedder_tpu.ops.attention import causal_mask
+    from clip_embedder_tpu.ops.flash import flash_attention_packed
+
+    b, h, s, d = 2, 2, 64, 64
+    keys = jax.random.split(jax.random.key(23), 3)
+    q, k, v = (jax.random.normal(kk, (b, s, h * d), jnp.float32)
+               for kk in keys)
+    for mask in (None, causal_mask(s)):
+        exact = flash_attention_packed(q, k, v, num_heads=h, mask=mask,
+                                       interpret=True)
+        got = flash_attention_packed(q, k, v, num_heads=h, mask=mask,
+                                     interpret=True, **flags)
+        e = np.asarray(exact, np.float32).reshape(-1, d)
+        g = np.asarray(got, np.float32).reshape(-1, d)
+        cos = (e * g).sum(-1) / (np.linalg.norm(e, axis=-1)
+                                 * np.linalg.norm(g, axis=-1) + 1e-9)
+        assert (cos > min_cos).all(), (flags, mask is not None)
+        np.testing.assert_allclose(g, e, atol=atol)
+
+
 def test_ln_qkv_rejects_unchunkable_width():
     """A direct ln_qkv call on a width with no valid VMEM chunking must
     raise a descriptive error, not a TypeError from nc=None arithmetic

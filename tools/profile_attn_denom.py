@@ -65,12 +65,13 @@ def main() -> None:
                     lambda qq, kk, vv, f=fast, m=mxu: flash_attention_packed(
                         qq, kk, vv, num_heads=h, fast_softmax=f,
                         rope=rope, mxu_denom=m), q, k, v)
-        # bf16 softmax pipeline (logits land bf16, exp on half-width
-        # vectors, no cast pass before p·v) on the production config
-        variants["fast=1 mxu_denom=1 bf16_p"] = chain(
+        # bf16 softmax pipeline (exp and everything downstream on
+        # half-width vectors, no cast pass before p·v) on the production
+        # config — see flash.py exp_bf16
+        variants["fast=1 mxu_denom=1 exp_bf16"] = chain(
             lambda qq, kk, vv: flash_attention_packed(
                 qq, kk, vv, num_heads=h, fast_softmax=True,
-                rope=rope, mxu_denom=True, bf16_p=True), q, k, v)
+                rope=rope, mxu_denom=True, exp_bf16=True), q, k, v)
         samples = {kk: [] for kk in variants}
         for _ in range(rounds):
             for kk, once in variants.items():
