@@ -184,12 +184,20 @@ def resize_normalize(
 def _resize_body(images_u8, wh, ww, mean, std, out_dtype, layout):
     x = images_u8.astype(jnp.float32)
     whs = wh * (1.0 / 255.0)
+    # precision=HIGHEST: TPU default truncates f32 matmul inputs to bf16
+    # passes (preferred_element_type only sets accumulation), which costs
+    # ~2 u8 pixel steps after /std — the PIL pixel-parity the CPU suite
+    # proves would not survive the chip. Full f32 passes keep it, and
+    # preprocess is ~0.01 ms/img of a 2-8 ms/img step (caught by
+    # tests/test_tpu_kernels.py::test_preprocess_resize_on_chip).
     # rows: Σ_h img[h, (w,c)] · Wh[s, h]  -> [B, Wp, C, S]   (lanes = S)
     x = jnp.einsum("bhwc,bsh->bwcs", x, whs,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     # cols: Σ_w x1[w, (c,s)] · Ww[t, w]  -> [B, C, S, T]     (lanes = T)
     x = jnp.einsum("bwcs,btw->bcst", x, ww,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     x = (x - mean[None, :, None, None]) / std[None, :, None, None]
     if layout == "nchw":
         return x.astype(out_dtype)
