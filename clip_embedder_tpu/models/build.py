@@ -291,6 +291,17 @@ def resolve_text(model_cfg: ModelCfg) -> TowerSpec:
 
         return TowerSpec("hf_bert", resolve_hf_text(model_cfg))
 
+    mct_raw = t.extra.get("mct_cfg")
+    if mct_raw:
+        # MCT-class hybrid text (MobileCLIP-S0): the cfg dict was derived
+        # from the exported graph itself and persisted by text.py after a
+        # successful conversion self-check (onnx_reader.derive_mct_cfg)
+        from .mct import MctCfg
+
+        mc = dict(mct_raw)
+        mc["conv_blocks"] = tuple(tuple(b) for b in mc["conv_blocks"])
+        return TowerSpec("mct", MctCfg(**mc))
+
     width = t.width or 512
     heads = t.heads or width // 64
     layers = t.layers or 12

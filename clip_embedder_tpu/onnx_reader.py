@@ -692,6 +692,14 @@ def _structural_vit(g: OnnxGraph, cfg) -> dict:
 def _structural_text(g: OnnxGraph, cfg) -> dict:
     from .weights import _split_qkv, _stack_blocks
 
+    if any(op_type == "Conv" for op_type, _, _, _ in g.nodes):
+        # a plain text transformer has no convs; without this guard the
+        # shape-matching puller could mis-assemble a conv-hybrid (MCT-class)
+        # graph into plausible-looking transformer weights instead of
+        # failing over to the hybrid lift / executor
+        raise WeightError(
+            "text graph contains Conv nodes — not a plain text transformer "
+            "(MCT-class hybrids route via derive_mct_cfg)")
     p = _Puller(g)
     d = cfg.width
     params: dict = {
@@ -1020,6 +1028,8 @@ def _structural_extract(g: OnnxGraph, spec, *, tower: str) -> dict:
         return _structural_text(g, spec.cfg)
     if tower == "text" and spec.family == "hf_bert":
         return _structural_bert(g, spec.cfg)
+    if tower == "text" and spec.family == "mct":
+        return _structural_mct(g, spec.cfg)
     raise WeightError(
         f"This ONNX graph carries constant-folded (anonymous) weight names; "
         f"structural extraction is not supported for family '{spec.family}'. "
@@ -1075,6 +1085,42 @@ def _head_votes(g: OnnxGraph, hidden: int) -> list[int]:
                           if inits[name].size == 1 else None)
                     for name in inputs]
             scan_pairs(vals)
+    return votes
+
+
+def _mha_head_votes(g: OnnxGraph, hidden: int) -> list[int]:
+    """Head-count votes from torch ``nn.MultiheadAttention`` exports, whose
+    attention reshape computes B·H *dynamically* — no static (heads,
+    head_dim) pair exists for the adjacent-pair scan. The ``num_heads``
+    Python int is the ONLY static scalar in that shape arithmetic,
+    appearing as ``Mul(dynamic_batch, H)`` (building B·H) and
+    ``Div(dynamic_width, H)`` (building head_dim). Vote any scalar int
+    constant H with 1 < H ≤ 256, hidden % H == 0, that multiplies or
+    divides a dynamic (non-constant) operand. head_dim itself can never be
+    the static side of these ops in a torch export — torch derives it BY
+    dividing by num_heads."""
+    inits = g.initializers
+    scalar_const: dict[str, int] = {}
+    for name, arr in inits.items():
+        if arr.dtype.kind in "iu" and arr.size == 1:
+            scalar_const[name] = int(arr.reshape(-1)[0])
+    for op_type, _, outputs, attrs in g.nodes:
+        v = attrs.get("value")
+        if op_type == "Constant" and outputs \
+                and isinstance(v, np.ndarray) and v.dtype.kind in "iu" \
+                and v.size == 1:
+            scalar_const[outputs[0]] = int(v.reshape(-1)[0])
+    votes: list[int] = []
+    for op_type, inputs, _, _ in g.nodes:
+        if op_type not in ("Mul", "Div") or len(inputs) != 2:
+            continue
+        a, b = inputs
+        static = [scalar_const.get(a), scalar_const.get(b)]
+        if (static[0] is None) == (static[1] is None):
+            continue  # both dynamic or both static — not the MHA pattern
+        c = static[0] if static[0] is not None else static[1]
+        if 1 < c <= 256 and c != hidden and hidden % c == 0:
+            votes.append(c)
     return votes
 
 
@@ -1385,3 +1431,286 @@ def derive_bert_hf_config(onnx_path: Path | str) -> dict:
         "model_type": "xlm-roberta" if roberta else "bert",
         "max_position_embeddings": max_pos,
     }
+
+
+def derive_mct_cfg(onnx_path: Path | str) -> dict:
+    """Recover the hybrid-text (MobileCLIP ``mct``-class) architecture from
+    the exported text.onnx itself.
+
+    The family has no in-env source of truth (COMPONENTS.md honesty note),
+    so — like ``derive_bert_hf_config`` — every structural parameter comes
+    from the graph: embedding tables give vocab/width/context, depthwise
+    1-D Conv nodes give the token-mixer count and kernel sizes, the 2-D
+    initializers consumed between mixers give each block's ConvFFN hidden
+    dim, Softmax nodes give the transformer depth, reshape constants give
+    the head count, a square big-negative mask constant (or Trilu) gives
+    causality, and an ArgMax node distinguishes CLIP argmax-EOT pooling
+    from last-token pooling. The converted tower is additionally
+    SELF-VERIFIED against the generic ONNX executor on the same graph at
+    load time (text.py), so a graph this derivation misreads falls back to
+    the executor instead of producing wrong embeddings.
+
+    Raises WeightError when the graph is not a conv+attention hybrid text
+    tower of the supported prefix form (all conv mixers before the first
+    attention block).
+    """
+    g = read_onnx(onnx_path)
+    inits = g.initializers
+    const_outputs: dict[str, np.ndarray] = {}
+    for op_type, _, outputs, attrs in g.nodes:
+        if op_type == "Constant" and outputs \
+                and isinstance(attrs.get("value"), np.ndarray):
+            const_outputs[outputs[0]] = attrs["value"]
+
+    def lookup(name: str) -> np.ndarray | None:
+        arr = inits.get(name)
+        return arr if arr is not None else const_outputs.get(name)
+
+    # token embedding: the first 2-D tensor a Gather indexes into
+    emb = None
+    for op_type, inputs, _, _ in g.nodes:
+        if op_type == "Gather" and inputs:
+            cand = lookup(inputs[0])
+            if cand is not None and cand.ndim == 2:
+                emb = cand
+                break
+    if emb is None:
+        raise WeightError(
+            f"{onnx_path}: no token-embedding Gather — not a text tower")
+    vocab, width = int(emb.shape[0]), int(emb.shape[1])
+
+    # positional table: an Add operand with trailing dim == width and a
+    # leading product that is neither 1 nor the vocab size
+    ctx = None
+    for op_type, inputs, _, _ in g.nodes:
+        if op_type != "Add":
+            continue
+        for name in inputs:
+            c = lookup(name)
+            if c is not None and c.ndim >= 2 and int(c.shape[-1]) == width:
+                t = int(np.prod(c.shape[:-1]))
+                if 1 < t != vocab:
+                    ctx = t
+                    break
+        if ctx:
+            break
+    if ctx is None:
+        raise WeightError(f"{onnx_path}: no positional-embedding Add")
+
+    # node-order events
+    dw_events: list[tuple[int, int]] = []   # (node idx, kernel)
+    softmax_idx: list[int] = []
+    has_argmax = False
+    ops_seen: set[str] = set()
+    first_consumer: dict[str, int] = {}
+    ln_eps_votes: list[float] = []
+    for idx, (op_type, inputs, _, attrs) in enumerate(g.nodes):
+        ops_seen.add(op_type)
+        for name in inputs:
+            if name in inits and name not in first_consumer:
+                first_consumer[name] = idx
+        if op_type == "Conv" and len(inputs) > 1:
+            w = inits.get(inputs[1])
+            if w is not None and w.ndim == 3 and int(w.shape[1]) == 1 \
+                    and int(w.shape[0]) == width \
+                    and int(attrs.get("group", 1)) == width:
+                dw_events.append((idx, int(w.shape[2])))
+        elif op_type == "Softmax":
+            softmax_idx.append(idx)
+        elif op_type == "ArgMax":
+            has_argmax = True
+        elif op_type == "LayerNormalization" \
+                and isinstance(attrs.get("epsilon"), float):
+            ln_eps_votes.append(float(attrs["epsilon"]))
+    if not dw_events:
+        raise WeightError(
+            f"{onnx_path}: no depthwise 1-D conv mixers — not an MCT-class "
+            "hybrid (plain transformers take the native text_transformer "
+            "path)")
+    if not softmax_idx:
+        raise WeightError(f"{onnx_path}: no attention layers")
+    first_sm = softmax_idx[0]
+    if any(i > first_sm for i, _ in dw_events):
+        raise WeightError(
+            f"{onnx_path}: conv mixers interleaved with attention blocks — "
+            "only the conv-prefix hybrid form is supported natively")
+
+    # 2-D linear initializers by (consumer idx, non-width pair dim)
+    banned = {width, 3 * width}
+    pair_at: list[tuple[int, int]] = []
+    for name, arr in inits.items():
+        if arr.ndim != 2 or name not in first_consumer:
+            continue
+        dims = (int(arr.shape[0]), int(arr.shape[1]))
+        if width not in dims:
+            continue
+        other = dims[0] if dims[1] == width else dims[1]
+        if arr.shape == emb.shape and np.shares_memory(arr, emb):
+            continue
+        pair_at.append((first_consumer[name], other))
+
+    # ConvFFN hidden per mixer block: linears consumed between this dw conv
+    # and the next (last block: up to the first Softmax), excluding
+    # attention-shaped (width/3·width) weights
+    conv_blocks: list[tuple[int, int]] = []
+    bounds = [i for i, _ in dw_events] + [first_sm]
+    for b, (idx, kernel) in enumerate(dw_events):
+        hs = [other for at, other in pair_at
+              if bounds[b] < at < bounds[b + 1] and other not in banned
+              and other != vocab]
+        ffn_hidden = max(set(hs), key=hs.count) if hs else 0
+        conv_blocks.append((kernel, ffn_hidden))
+
+    # transformer MLP hidden: most common non-attention pair dim consumed
+    # after the first Softmax (each layer contributes fc + proj = 2 votes)
+    mlp_votes = [other for at, other in pair_at
+                 if at > first_sm and other not in banned and other != vocab]
+    layers = len(softmax_idx)
+    if not mlp_votes:
+        raise WeightError(f"{onnx_path}: no transformer MLP weights found")
+    mlp_hidden = max(set(mlp_votes), key=mlp_votes.count)
+
+    head_votes = [h for h in _head_votes(g, width) if h > 1]
+    if not head_votes:
+        # nn.MultiheadAttention exports build B·H dynamically — fall back
+        # to the Mul/Div-by-num_heads signature
+        head_votes = [h for h in _mha_head_votes(g, width) if h > 1]
+    if head_votes:
+        heads = max(set(head_votes), key=head_votes.count)
+    elif width % 64 == 0:
+        heads = width // 64
+    else:
+        raise WeightError(f"{onnx_path}: cannot derive the head count")
+
+    # causality: an explicit [S, S] additive mask constant with -inf/-1e4
+    # rows, or a Trilu node building one
+    causal = "Trilu" in ops_seen
+    if not causal:
+        for arr in list(inits.values()) + list(const_outputs.values()):
+            if arr.ndim >= 2 and arr.shape[-1] == arr.shape[-2] \
+                    and arr.shape[-1] > 1 and arr.dtype.kind == "f" \
+                    and np.isfinite(arr).any() \
+                    and float(np.nanmin(arr)) <= -1e4:
+                causal = True
+                break
+
+    # projection: the LAST-consumed 2-D initializer with a width dim is the
+    # text projection; its other dim is the embed dim
+    last_at, embed_dim = max(pair_at, key=lambda t: t[0])
+    if embed_dim in (vocab,):
+        raise WeightError(f"{onnx_path}: trailing projection not found")
+
+    if "Erf" in ops_seen:
+        activation = "gelu"
+    elif "Tanh" in ops_seen:
+        activation = "gelu_tanh"
+    elif "Sigmoid" in ops_seen:
+        activation = "quick_gelu"
+    elif "Relu" in ops_seen:
+        activation = "relu"
+    else:
+        activation = "gelu"
+
+    eps = (max(set(ln_eps_votes), key=ln_eps_votes.count)
+           if ln_eps_votes else 1e-5)
+
+    return {
+        "context_length": ctx,
+        "vocab_size": vocab,
+        "width": width,
+        "heads": heads,
+        "layers": layers,
+        "mlp_hidden": mlp_hidden,
+        "embed_dim": embed_dim,
+        "conv_blocks": tuple(conv_blocks),
+        "activation": activation,
+        "causal": causal,
+        "pool": "argmax" if has_argmax else "last",
+        "ln_eps": eps,
+    }
+
+
+def _pull_conv1d(p: _Puller, c: int, k: int, *, what: str) -> dict:
+    """Pull a depthwise Conv1d (ONNX [C, 1, k]) → {"w": [k, C], "b": [C]},
+    folding an immediately-following live BatchNormalization when the conv
+    is bias-free (same gate as _pull_conv's 2-D variant)."""
+    w = p.pull((c, 1, k), what=what or "conv1d")
+    out = {"w": np.ascontiguousarray(
+        np.asarray(w)[:, 0, :].T)}                       # [k, C]
+    b = p.maybe((c,), consumer_ops=("Conv",), lookahead=1)
+    out["b"] = b if b is not None else np.zeros(c, np.float32)
+    bn_scale = None if b is not None else p.maybe(
+        (c,), consumer_ops=("BatchNormalization",), lookahead=1)
+    if bn_scale is not None:
+        from .weights import fold_bn_affine
+
+        eps = float(p.consumers.get(p.last_name or "",
+                                    ("", {}))[1].get("epsilon", 1e-5))
+        bn_b = p.pull((c,), what=f"{what} bn bias",
+                      consumer_ops=("BatchNormalization",), lookahead=1)
+        mean = p.pull((c,), what=f"{what} bn mean",
+                      consumer_ops=("BatchNormalization",), lookahead=1)
+        var = p.pull((c,), what=f"{what} bn var",
+                     consumer_ops=("BatchNormalization",), lookahead=1)
+        scale, bias = fold_bn_affine(bn_scale, bn_b, mean, var, eps=eps)
+        out["w"] = (out["w"] * scale[None, :]).astype(np.float32)
+        out["b"] = (np.asarray(out["b"], np.float64) * scale
+                    + bias).astype(np.float32)
+    return out
+
+
+def _structural_mct(g: OnnxGraph, cfg) -> dict:
+    """MCT-class hybrid text recovery by consumption order: token/pos
+    embeddings → per conv block (dw conv [+bn] → [ln → fc → proj]) →
+    text-transformer blocks (same pulls as _structural_text) → ln_final →
+    projection. The load path self-verifies the result against the ONNX
+    executor (text.py), so a consumption-order misread cannot ship."""
+    from .weights import _split_qkv, _stack_blocks
+
+    p = _Puller(g)
+    d = cfg.width
+    params: dict = {
+        "token_embed": p.pull((cfg.vocab_size, d), what="token embedding"),
+        "pos_embed": np.asarray(
+            p.pull((cfg.context_length, d), (1, cfg.context_length, d),
+                   what="pos embed")).reshape(cfg.context_length, d),
+    }
+    conv_blocks = []
+    for i, (k, ffn_hidden) in enumerate(cfg.conv_blocks):
+        block: dict = {"mixer": _pull_conv1d(p, d, k, what=f"conv{i} dw")}
+        if ffn_hidden:
+            block["ffn"] = {
+                "ln": _pull_ln(p, d),
+                "fc": _pull_linear(p, d, ffn_hidden, what=f"conv{i} fc"),
+                "proj": _pull_linear(p, ffn_hidden, d, what=f"conv{i} proj"),
+            }
+        conv_blocks.append(block)
+    params["conv_blocks"] = conv_blocks
+
+    blocks = []
+    for i in range(cfg.layers):
+        block = {"ln1": _pull_ln(p, d)}
+        attn: dict = {}
+        qkv = _maybe_packed(p, (3 * d, d), (d, 3 * d))
+        if qkv is not None:
+            w = qkv if qkv.shape == (3 * d, d) else qkv.T
+            attn = _split_qkv(np.ascontiguousarray(w),
+                              p.maybe((3 * d,), lookahead=4))
+        else:
+            attn["q"] = _pull_linear(p, d, d, what=f"block{i} q")
+            attn["k"] = _pull_linear(p, d, d, what=f"block{i} k")
+            attn["v"] = _pull_linear(p, d, d, what=f"block{i} v")
+        attn["out"] = _pull_linear(p, d, d, what=f"block{i} attn out")
+        block["attn"] = attn
+        block["ln2"] = _pull_ln(p, d)
+        block["mlp"] = {
+            "fc": _pull_linear(p, d, cfg.mlp_hidden, what=f"block{i} fc"),
+            "proj": _pull_linear(p, cfg.mlp_hidden, d,
+                                 what=f"block{i} proj"),
+        }
+        blocks.append(block)
+    params["blocks"] = _stack_blocks(blocks)
+    params["ln_final"] = _pull_ln(p, d)
+    params["proj"] = _pull_linear(p, d, cfg.embed_dim, what="text proj",
+                                  bias=cfg.proj_bias)
+    return params

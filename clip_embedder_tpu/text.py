@@ -69,6 +69,75 @@ def _maybe_derive_hf_config(model_dir: Path, config: OpenClipConfig) -> None:
             "text_cfg", {}).__setitem__("hf_config", hf_cfg))
 
 
+def _maybe_native_hybrid(model_dir: Path, onnx_path: Path) -> TowerSpec | None:
+    """MCT-class hybrid text (MobileCLIP-S0): when the standard families
+    fail, try to lift the exported graph into the native hybrid tower
+    (models.mct) instead of the generic executor, so the family rides the
+    bf16/int8/Pallas stack like every other text tower.
+
+    Honesty contract (COMPONENTS.md unanchored-family rule): the
+    architecture is derived from the graph itself
+    (onnx_reader.derive_mct_cfg), the weights recovered by consumption
+    order, and the converted tower is verified against the generic ONNX
+    executor ON THE SAME GRAPH before acceptance — a structure misread
+    yields ``None`` (round-3 executor behavior), never wrong embeddings.
+    On success the derived cfg is persisted into open_clip_config.json so
+    later loads resolve natively without re-deriving."""
+    from .models import mct
+    from .models.mct import MctCfg
+    from .onnx_exec import fallback_cfg, get_tower
+    from .onnx_reader import derive_mct_cfg, extract_tower_params
+    from .ops.normalize import l2_normalize
+
+    try:
+        raw = derive_mct_cfg(onnx_path)
+    except WeightError:
+        return None
+    cfg = MctCfg(**raw)
+    spec = TowerSpec("mct", cfg)
+    try:
+        params = extract_tower_params(onnx_path, spec, tower="text")
+    except WeightError:
+        return None
+
+    # conversion self-check: the native tower must reproduce the graph's
+    # own output (via the run-any-graph executor) on a probe batch
+    try:
+        tower = get_tower(fallback_cfg(onnx_path))
+        name = next((n for n in ("input_ids", "input")
+                     if n in tower.input_names), tower.input_names[0])
+        rng = np.random.default_rng(0)
+        ids = jnp.asarray(rng.integers(
+            0, cfg.vocab_size, (2, cfg.context_length)), jnp.int32)
+        gparams = {k: jnp.asarray(v) for k, v in tower.params.items()}
+        ref = np.asarray(l2_normalize(jnp.asarray(
+            tower(gparams, {name: ids}))), np.float32)
+        nparams = jax.tree.map(jnp.asarray, params)
+        got = np.asarray(
+            jax.jit(lambda p, i: mct.apply(p, i, cfg, attn_impl="xla"))(
+                nparams, ids), np.float32)
+        cos = float(np.min(np.sum(ref * got, axis=-1)))
+    except Exception:  # executor can't run the graph either → fall back
+        return None
+    if not (got.shape == ref.shape and cos > 0.999):
+        return None
+
+    from .config import update_config_json
+
+    # JSON round-trips the conv-block tuples as lists; resolve_text
+    # re-tuples them
+    persisted = dict(raw)
+    persisted["conv_blocks"] = [list(b) for b in raw["conv_blocks"]]
+    try:
+        update_config_json(
+            model_dir / "open_clip_config.json",
+            lambda r: r.setdefault("model_cfg", {}).setdefault(
+                "text_cfg", {}).__setitem__("mct_cfg", persisted))
+    except OSError:
+        pass  # read-only dir: native path still works this process
+    return spec
+
+
 def _load_or_convert_text(model_dir: Path, spec: TowerSpec, dtype) -> dict:
     from .vision import to_device_tree
 
@@ -117,6 +186,10 @@ def _jitted_text_forward(spec: TowerSpec, attn_impl: str):
             return hf_text.apply(params, ids, spec.cfg,
                                  attn_impl=attn_impl,
                                  attention_mask=mask)
+        if spec.family == "mct":
+            from .models import mct
+
+            return mct.apply(params, ids, spec.cfg, attn_impl=attn_impl)
         if spec.family == "onnx":
             # run-any-graph fallback (MCT and friends); mask passed only if
             # the graph declares it (reference: src/text.rs:90,156-161)
@@ -214,12 +287,16 @@ class TextEmbedder:
             onnx_path = model_dir / "text.onnx"
             if (model_dir / NATIVE_TEXT).is_file() or not onnx_path.is_file():
                 raise
-            from .onnx_exec import fallback_cfg
+            # MCT-class hybrids lift to a native tower when the graph
+            # derivation + self-check succeed (see _maybe_native_hybrid)
+            spec = _maybe_native_hybrid(model_dir, onnx_path)
+            if spec is None:
+                from .onnx_exec import fallback_cfg
 
-            # executor graphs ride the same TPU levers: dtype → bf16
-            # matmul/conv autocast, quantize → W8A8 MatMuls
-            spec = TowerSpec("onnx", fallback_cfg(onnx_path, dtype=dtype,
-                                                  quantize=quantize))
+                # executor graphs ride the same TPU levers: dtype → bf16
+                # matmul/conv autocast, quantize → W8A8 MatMuls
+                spec = TowerSpec("onnx", fallback_cfg(onnx_path, dtype=dtype,
+                                                      quantize=quantize))
             params = _load_or_convert_text(model_dir, spec, dtype)
         if quantize in ("int8", "int8_all"):
             if spec.family != "onnx":  # executor graphs quantize at load

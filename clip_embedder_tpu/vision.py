@@ -185,7 +185,7 @@ def _jitted_vision_forward(spec: TowerSpec, attn_impl: str):
 # silently ignore a non-default request (it would report e.g. "pallas" while
 # running the XLA path).
 ATTN_IMPL_FAMILIES = frozenset({"vit", "text_transformer", "hf_bert",
-                                "eva02"})
+                                "eva02", "mct"})
 
 
 def check_attn_impl(family: str, attn_impl: str) -> None:
