@@ -137,7 +137,11 @@ def resolve_fastvit(name: str, vcfg, embed_dim: int, model_cfg) -> FastViTCfg:
                 break
     if base is None:
         raise ConfigError(f"Unknown FastViT variant '{name}'")
-    if resolved in _UNANCHORED_VARIANTS:
+    override = vcfg.extra.get("fastvit_cfg", {})
+    if resolved in _UNANCHORED_VARIANTS and "dims" not in override:
+        # dirs that arrived as ONNX exports carry graph-derived dims in the
+        # override (vision._maybe_derive_vision_dims → derive_fastvit_cfg);
+        # only a table-seeded load without that ground truth warns
         from ..utils.logging import warn_once
 
         warn_once(
@@ -146,7 +150,6 @@ def resolve_fastvit(name: str, vcfg, embed_dim: int, model_cfg) -> FastViTCfg:
             "no independent anchor in this build (golden fixtures pin "
             "today's numerics; real-checkpoint conversion re-checks shapes "
             "and fails loudly on mismatch)", resolved)
-    override = vcfg.extra.get("fastvit_cfg", {})
     merged = {**base, **override}
     return FastViTCfg(
         image_size=vcfg.image_size,

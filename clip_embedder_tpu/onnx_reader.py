@@ -1714,3 +1714,188 @@ def _structural_mct(g: OnnxGraph, cfg) -> dict:
     params["proj"] = _pull_linear(p, d, cfg.embed_dim, what="text proj",
                                   bias=cfg.proj_bias)
     return params
+
+
+def derive_fastvit_cfg(onnx_path: Path | str) -> dict:
+    """Recover the FastViT/MCi stage architecture from the exported visual
+    graph itself — the ``derive_pe_cfg`` pattern for the conv-hybrid family
+    whose MCi3/MCi4 rows in models.fastvit._FASTVIT_VARIANTS are
+    structure-from-paper with no independent in-env anchor (COMPONENTS.md
+    evidence table). A real exported dir (the form the reference publishes,
+    README.md:106-113) thus loads with self-derived dims; the table only
+    seeds models that never came through a graph.
+
+    Every stage parameter is present in the graph's ordered Conv events
+    (weight shapes + ``group``/``strides`` attributes) and Softmax markers,
+    in timm's reparameterized forward order:
+
+      stem (conv3 s2 → dw3 s2 → pw1) → per stage: [downsample dw7 *s2* →
+      pw1] [RepCPE dw7 s1 before any block marker] → blocks (RepMixer:
+      mixer dw3 s1 then FFN dw7 s1 → fc1 pw → fc2 pw; Attention: Softmax
+      then the same FFN triple) → final grouped conv3 → GAP → head.
+
+    The stride distinguishes the three dw7 roles' only collision
+    (downsample s2 vs FFN/CPE s1); a s1 dw7 before the stage's first block
+    marker is the CPE (FFN dw7 can only follow a mixer or a Softmax).
+    ``lkc_act`` (MCi applies gelu after the downsample dw conv) is read
+    from the presence of an activation node between the downsample's dw
+    and pw convs. Head count comes from the attention reshape constants
+    ([3, heads, head_dim] is static in timm's qkv reshape).
+
+    Raises WeightError when the graph is not a FastViT-shaped conv tower.
+    """
+    g = read_onnx(onnx_path)
+    const_w: dict[str, np.ndarray] = {}
+    for op_type, _, outputs, attrs in g.nodes:
+        if op_type == "Constant" and outputs \
+                and isinstance(attrs.get("value"), np.ndarray):
+            const_w[outputs[0]] = attrs["value"]
+
+    # ordered conv / softmax / activation events
+    events: list[tuple] = []   # ("conv", out, in_total, k, groups, stride)
+    act_idx: list[int] = []
+    for idx, (op_type, inputs, _, attrs) in enumerate(g.nodes):
+        if op_type == "Softmax":
+            events.append(("softmax", idx))
+        elif op_type in ("Erf", "Gelu", "Sigmoid", "Tanh", "Relu"):
+            act_idx.append(idx)
+        elif op_type == "Conv" and len(inputs) > 1:
+            w = g.initializers.get(inputs[1])
+            if w is None:
+                w = const_w.get(inputs[1])
+            if w is None or w.ndim != 4:
+                continue
+            o, ipg, kh, kw = (int(s) for s in w.shape)
+            grp = int(attrs.get("group", 1))
+            st = int((attrs.get("strides") or [1, 1])[0])
+            if kh != kw:
+                raise WeightError(
+                    f"{onnx_path}: non-square conv kernel {kh}x{kw}")
+            events.append(("conv", idx, o, ipg * grp, kh, grp, st))
+
+    convs = [e for e in events if e[0] == "conv"]
+    if len(convs) < 5 or convs[0][3] != 3:
+        raise WeightError(
+            f"{onnx_path}: no RGB stem conv — not a FastViT-class graph")
+    c0 = convs[0][2]
+    if not (convs[1][2] == c0 and convs[1][5] == c0 and convs[1][4] == 3
+            and convs[2][2] == c0 and convs[2][4] == 1):
+        raise WeightError(
+            f"{onnx_path}: stem is not conv3/dw3/pw1 at width {c0}")
+
+    # walk post-stem events, segmenting stages
+    stem_end = events.index(convs[2])
+    depths: list[int] = []
+    dims: list[int] = [c0]
+    hiddens: list[int] = []
+    mixers: list[str] = []
+    pos_embs: list[bool] = []
+    cur = c0
+    depth = 0
+    saw_attn = False
+    saw_cpe = False
+    hidden = 0
+    final_conv_out = None
+    use_head_proj = False
+    lkc_act = False
+
+    def close_stage():
+        nonlocal depth, saw_attn, saw_cpe, hidden
+        if depth == 0:
+            raise WeightError(f"{onnx_path}: empty FastViT stage")
+        depths.append(depth)
+        mixers.append("attention" if saw_attn else "repmixer")
+        pos_embs.append(saw_cpe)
+        hiddens.append(hidden)
+        depth, saw_attn, saw_cpe, hidden = 0, False, False, 0
+
+    i = stem_end + 1
+    n = len(events)
+    while i < n:
+        ev = events[i]
+        if ev[0] == "softmax":
+            saw_attn = True
+            depth += 1
+            i += 1
+            continue
+        _, idx, o, in_total, k, grp, st = ev
+        if k == 7 and grp == cur and in_total == cur and st == 2:
+            # downsample: dw7 s2 → pw1 to the next stage width
+            close_stage()
+            j = i + 1
+            while j < n and events[j][0] != "conv":
+                j += 1
+            if j >= n or events[j][4] != 1 or events[j][3] != cur:
+                raise WeightError(
+                    f"{onnx_path}: downsample dw7 not followed by a pw1")
+            lkc_act = lkc_act or any(idx < a < events[j][1]
+                                     for a in act_idx)
+            cur = events[j][2]
+            dims.append(cur)
+            i = j + 1
+            continue
+        if k == 7 and grp == cur and in_total == cur and st == 1:
+            if depth == 0 and not saw_attn and hidden == 0:
+                # stage entry, before any block marker → RepCPE
+                saw_cpe = True
+                i += 1
+                continue
+            # FFN triple: dw7 → fc1 pw (hidden←cur) → fc2 pw (cur←hidden)
+            pws = []
+            j = i + 1
+            while j < n and len(pws) < 2:
+                if events[j][0] == "conv":
+                    if events[j][4] != 1:
+                        break
+                    pws.append(events[j])
+                j += 1
+            if len(pws) != 2 or pws[0][3] != cur or pws[1][2] != cur \
+                    or pws[0][2] != pws[1][3]:
+                raise WeightError(
+                    f"{onnx_path}: ConvFFN dw7 at width {cur} not followed "
+                    "by an expand/project pw pair")
+            hidden = pws[0][2]
+            i = j
+            continue
+        if k == 3 and grp == cur and in_total == cur and o == cur and st == 1:
+            # RepMixer token mixer
+            depth += 1
+            i += 1
+            continue
+        if k == 3 and grp == cur and in_total == cur and o != cur:
+            # final expand conv (grouped, out = ratio·cur)
+            final_conv_out = o
+            i += 1
+            continue
+        raise WeightError(
+            f"{onnx_path}: unexpected conv event (out={o}, in={in_total}, "
+            f"k={k}, groups={grp}, stride={st}) at width {cur} — not a "
+            "FastViT-shaped graph")
+    close_stage()
+    if final_conv_out is None:
+        raise WeightError(f"{onnx_path}: no final expand conv found")
+
+    # trailing head projection: a 2-D matrix with a final_conv_out dim
+    for arr in list(g.initializers.values()) + list(const_w.values()):
+        if arr.ndim == 2 and final_conv_out in arr.shape:
+            use_head_proj = True
+            break
+
+    cfg = {
+        "depths": tuple(depths),
+        "dims": tuple(dims),
+        "mlp_ratios": tuple(h / d for h, d in zip(hiddens, dims)),
+        "mixers": tuple(mixers),
+        "pos_embs": tuple(pos_embs),
+        "final_conv_ratio": final_conv_out / dims[-1],
+        "use_head_proj": use_head_proj,
+        "lkc_act": lkc_act,
+    }
+    attn_dims = [d for d, m in zip(dims, mixers) if m == "attention"]
+    if attn_dims:
+        votes = [h for h in _head_votes(g, attn_dims[-1]) if h > 1] \
+            or [h for h in _mha_head_votes(g, attn_dims[-1]) if h > 1]
+        if votes:
+            heads = max(set(votes), key=votes.count)
+            cfg["head_dim"] = attn_dims[-1] // heads
+    return cfg

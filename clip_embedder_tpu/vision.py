@@ -70,6 +70,11 @@ def _maybe_derive_vision_dims(model_dir: Path,
     elif name.startswith("eva02_"):
         from .onnx_reader import derive_eva02_cfg as derive
         key = "eva02_cfg"
+    elif "fastvit" in name or "mci" in name or "mobileclip" in name:
+        # MCi3/MCi4 dims are structure-from-paper (models.fastvit
+        # _UNANCHORED_VARIANTS) — the exported graph is the ground truth
+        from .onnx_reader import derive_fastvit_cfg as derive
+        key = "fastvit_cfg"
     else:
         return
     if v.extra.get(key):
