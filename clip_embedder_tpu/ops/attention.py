@@ -145,9 +145,10 @@ def multi_head_attention(
             # pallas_fast additionally runs the [S, S] softmax-weight
             # pipeline in bf16 at head dims below 96 (exp_bf16): measured
             # round 4 on v5e, interleaved medians — +18%/+7% at d=72
-            # (SO400M), +7% at d=80 (H14), but −6% at d=96 (gopt) and
-            # neutral at PE's d=96, hence the gate. Numerics ~3e-5 cosine,
-            # inside the pallas_fast budget (BENCH_RESULTS round 4).
+            # (SO400M), +7% at d=80 (H14); at d=96 repeated runs
+            # straddle zero (−6%/+5% gopt, neutral PE), so the gate keeps
+            # d=96 on the f32 exp's better numerics. ~3e-5 cosine, inside
+            # the pallas_fast budget (BENCH_RESULTS round 4).
             out = flash_attention_packed(
                 q, k, v, num_heads=num_heads, mask=mask, rope=rope,
                 fast_softmax=impl == "pallas_fast",

@@ -585,7 +585,10 @@ def fits_fused_mlp(params: Params, activation_name: str) -> bool:
     if jax.default_backend() != "tpu":
         return False
     vmem_bytes = fc["w_q"].size + pr["w_q"].size  # int8 = 1 byte each
-    # 14 MB admits ViT-H/14 (1280×5120×2 ≈ 13.1 MB — measured ~12% faster
-    # fused than unfused on v5e); ViT-gopt (1536×6144×2 ≈ 18.9 MB) measured
-    # a wash fused-vs-unfused and stays on the unfused path.
-    return vmem_bytes <= 14 * 1024 * 1024
+    # 20 MB admits ViT-H/14 (1280×5120×2 ≈ 13.1 MB — measured ~12% faster
+    # fused than unfused on v5e) and ViT-gopt (1536×6144×2 ≈ 18.9 MB —
+    # round 3 called it a wash on sequential timings; round 4's
+    # interleaved medians settle it at a small consistent fused win, 1.37
+    # vs 1.34 ms at b16, +3%, chunk-count-insensitive —
+    # tools/profile_gopt_mlp.py). PE-bigG's 27.5 MB set stays streamed.
+    return vmem_bytes <= 20 * 1024 * 1024
