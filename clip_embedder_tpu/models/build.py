@@ -150,19 +150,24 @@ def _parse_pe_core(name: str, vcfg, embed_dim: int) -> ViTCfg:
     if not m:
         raise ConfigError(f"No patch size in timm model name '{name}'")
     o = vcfg.extra.get("pe_cfg", {})
-    if not all(k in o for k in ("width", "layers", "heads", "mlp_hidden")):
-        # dims are coming from the paper-reconstructed table — warn; when a
-        # pe_cfg carries all four (hand-set, or self-derived from the
-        # exported graph by onnx_reader.derive_pe_cfg) the table is unused
+    missing = [k for k in ("width", "layers", "heads", "mlp_hidden")
+               if k not in o]
+    if missing:
+        # the listed fields are coming from the paper-reconstructed table —
+        # warn; a pe_cfg field that IS present was hand-set or self-derived
+        # (onnx_reader.derive_pe_cfg from a graph, weights.derive_pe_cfg_
+        # from_sd from a checkpoint — note `heads` is never shape-derivable
+        # from a state dict, so checkpoint conversions still warn about it)
         from ..utils.logging import warn_once
 
         warn_once(
             name,
-            "PE-Core tower '%s': structure reconstructed from the published "
-            "Perception Encoder architecture; dims/pool/rope conventions "
-            "have no independent in-env anchor (validate against a real "
+            "PE-Core tower '%s': field(s) %s reconstructed from the "
+            "published Perception Encoder architecture; they have no "
+            "independent in-env anchor (validate against a real "
             "checkpoint when network is available; overrides via "
-            "vision_cfg.extra['pe_cfg']). See COMPONENTS.md.", name)
+            "vision_cfg.extra['pe_cfg']). See COMPONENTS.md.",
+            name, ",".join(missing))
     width = o.get("width", width)
     return ViTCfg(
         image_size=vcfg.image_size,
@@ -221,20 +226,24 @@ def resolve_vision(model_cfg: ModelCfg) -> TowerSpec:
         raise ConfigError(f"Unsupported timm vision tower '{name}'")
 
     # ModifiedResNet towers declare per-stage depths as a list
-    # (RN50 = [3,4,6,3], RN101 = [3,4,23,3], ...).
+    # (RN50 = [3,4,6,3], RN101 = [3,4,23,3], ...). ONNX dirs additionally
+    # carry graph-derived overrides (vision._maybe_derive_vision_dims →
+    # onnx_reader.derive_resnet_cfg), incl. the attnpool head count the
+    # open_clip config only implies via head_width.
     if isinstance(v.layers, (list, tuple)):
         from .resnet import ResNetCfg
 
-        width = v.width or 64
+        o = v.extra.get("resnet_cfg", {})
+        width = o.get("width", v.width or 64)
         head_width = v.head_width or 64
         return TowerSpec(
             "resnet",
             ResNetCfg(
                 image_size=v.image_size,
-                embed_dim=embed_dim,
-                layers=tuple(v.layers),
+                embed_dim=o.get("embed_dim", embed_dim),
+                layers=tuple(o.get("layers", v.layers)),
                 width=width,
-                heads=width * 32 // head_width,
+                heads=o.get("heads", width * 32 // head_width),
             ),
         )
 

@@ -682,6 +682,32 @@ def execute_graph(g: OnnxGraph, feeds: dict[str, Value],
     env.update(feeds)
 
     for op_type, inputs, outputs, attrs in g.nodes:
+        if op_type == "If":
+            # torch exports guard shape-dependent paths with If over a
+            # statically-foldable condition (e.g. batch checks inside
+            # multi_head_attention_forward); with static shapes the
+            # executor resolves it at trace time and inlines the chosen
+            # branch (a subgraph capturing outer values by name). A
+            # genuinely dynamic condition has no XLA-compatible lowering
+            # here (branches may differ in shape) — reject loudly.
+            cond = env.get(inputs[0])
+            if not _is_static(cond):
+                raise WeightError(
+                    "ONNX executor: 'If' with a non-static condition "
+                    f"(outputs {outputs[:1]})")
+            branch = attrs.get("then_branch"
+                               if bool(np.asarray(cond).reshape(()))
+                               else "else_branch")
+            if branch is None or not getattr(branch, "nodes", None):
+                raise WeightError(
+                    "ONNX executor: 'If' branch subgraph missing "
+                    f"(outputs {outputs[:1]})")
+            results = execute_graph(branch, dict(env),
+                                    compute_dtype=compute_dtype,
+                                    quant=quant)
+            for name, r in zip(outputs, results):
+                env[name] = r
+            continue
         if op_type == "MatMul" and inputs[1] in quant \
                 and not _is_static(env.get(inputs[0])):
             env[outputs[0]] = _int8_matmul(env, inputs)

@@ -271,6 +271,11 @@ def _parse_attr(buf: memoryview):
                 value = _tensor_to_array(t, Path("."))
             except (WeightError, OSError):
                 value = None
+        elif field == 6 and wtype == 2:  # g (GraphProto) — If branches
+            try:
+                value = _parse_graph_body(val, Path("."))
+            except (WeightError, OSError):
+                value = None
         elif field == 7:  # floats: packed (wtype 2) or repeated fixed32
             if wtype == 2:
                 floats.extend(
@@ -324,6 +329,23 @@ def _value_info_name(buf: memoryview) -> str:
     return ""
 
 
+def _parse_graph_body(graph_buf: memoryview, base_dir: Path) -> OnnxGraph:
+    """GraphProto → OnnxGraph (shared by the top-level graph and attribute
+    subgraphs such as ``If`` branches)."""
+    g = OnnxGraph()
+    for field, wtype, val in _iter_fields(graph_buf):
+        if field == 1 and wtype == 2:  # node
+            g.nodes.append(_parse_node(val))
+        elif field == 5 and wtype == 2:  # initializer
+            t = _parse_tensor(val)
+            g.initializers[t.name] = _tensor_to_array(t, base_dir)
+        elif field == 11 and wtype == 2:
+            g.inputs.append(_value_info_name(val))
+        elif field == 12 and wtype == 2:
+            g.outputs.append(_value_info_name(val))
+    return g
+
+
 def read_onnx(path: Path | str) -> OnnxGraph:
     """Parse a .onnx file (ModelProto) into an OnnxGraph, resolving external
     data relative to the file's directory."""
@@ -336,19 +358,7 @@ def read_onnx(path: Path | str) -> OnnxGraph:
             break
     if graph_buf is None:
         raise WeightError(f"No graph found in ONNX file {path}")
-
-    g = OnnxGraph()
-    for field, wtype, val in _iter_fields(graph_buf):
-        if field == 1 and wtype == 2:  # node
-            g.nodes.append(_parse_node(val))
-        elif field == 5 and wtype == 2:  # initializer
-            t = _parse_tensor(val)
-            g.initializers[t.name] = _tensor_to_array(t, path.parent)
-        elif field == 11 and wtype == 2:
-            g.inputs.append(_value_info_name(val))
-        elif field == 12 and wtype == 2:
-            g.outputs.append(_value_info_name(val))
-    return g
+    return _parse_graph_body(graph_buf, path.parent)
 
 
 # --------------------------------------------------------------------------
@@ -395,10 +405,122 @@ def extract_tower_params(onnx_path: Path | str, spec, *, tower: str) -> dict:
             # missing) is the real error: chain it instead of masking it
             # with a misleading "anonymous weight names" message.
             try:
-                return _structural_extract(g, spec, tower=tower)
+                params = _structural_extract(g, spec, tower=tower)
             except WeightError as e:
                 raise e from name_err
-    return _structural_extract(g, spec, tower=tower)
+    else:
+        params = _structural_extract(g, spec, tower=tower)
+    probe_verify(onnx_path, spec, tower=tower, params=params)
+    return params
+
+
+# Structural recovery acceptance gate: a correct conversion matches the
+# executor at ~1e-6 cosine distance (f32 both sides), so 1e-4 rejects even
+# near-threshold misreads (wrong ln_eps, gelu vs gelu_tanh, off-by-one
+# block assembly) with enormous margin while never rejecting a correct one.
+_PROBE_MIN_COS = 1.0 - 1e-4
+
+
+def _probe_text_ids(cfg) -> np.ndarray:
+    """Probe id batch stressing the patterns that discriminate structural
+    misreads: random rows, a repeated-token row, and padded-tail rows (pad
+    position handling, causal masks, argmax/last pooling)."""
+    rng = np.random.default_rng(0)
+    ctx = int(cfg.context_length)
+    vocab = int(cfg.vocab_size)
+    ids = rng.integers(1, max(vocab, 3), (8, ctx))
+    ids[6, :] = ids[6, 0]
+    pad = int(getattr(cfg, "pad_id", 0))
+    ids[4, ctx // 2:] = pad
+    ids[5, max(1, ctx // 4):] = pad
+    return ids.astype(np.int32)
+
+
+def probe_verify(onnx_path: Path | str, spec, *, tower: str,
+                 params: dict) -> None:
+    """Load-time self-verification of a structural recovery: run a probe
+    batch through the converted native tower AND the generic run-any-graph
+    executor (onnx_exec) on the same graph, and raise :class:`WeightError`
+    when they disagree — the load path then falls back to the executor, so
+    a consumption-order misread on a real-world export (another torch
+    version, onnx-simplifier, a different opset) can never ship
+    silently-wrong embeddings. This is what makes the converter as
+    incapable of loading wrong weights as the reference's engine, where
+    the graph IS the weights (reference: src/onnx.rs:13-29).
+
+    When the executor itself cannot run the graph (an op outside its
+    coverage) there is nothing to cross-check against — and nothing to
+    fall back to — so the conversion is accepted with a loud warning.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .onnx_exec import fallback_cfg, get_tower
+    from .ops.normalize import l2_normalize
+    from .utils.logging import warn_once
+
+    def unverified(reason: str) -> None:
+        warn_once(
+            f"probe_verify:{onnx_path}",
+            "structural conversion of %s (family '%s') could not be "
+            "cross-checked against the graph executor: %s — accepting "
+            "unverified", str(onnx_path), spec.family, reason)
+
+    try:
+        etower = get_tower(fallback_cfg(onnx_path))
+    except Exception as e:  # noqa: BLE001 — any parse failure: can't verify
+        unverified(f"executor cannot parse the graph ({e})")
+        return
+
+    cfg = spec.cfg
+    if tower == "text":
+        from .text import _jitted_text_forward
+
+        ids = _probe_text_ids(cfg)
+        mask = (ids != int(getattr(cfg, "pad_id", 0))).astype(np.int32)
+        name = next((n for n in ("input_ids", "input")
+                     if n in etower.input_names), etower.input_names[0])
+        feeds = {name: jnp.asarray(ids)}
+        if "attention_mask" in etower.input_names:
+            feeds["attention_mask"] = jnp.asarray(mask)
+        fwd = _jitted_text_forward(spec, "xla")
+        native_args = (jnp.asarray(ids), jnp.asarray(mask))
+    else:
+        from .vision import _jitted_vision_forward, preprocess_layout
+
+        s = int(cfg.image_size)
+        rng = np.random.default_rng(0)
+        pix = rng.standard_normal((2, 3, s, s)).astype(np.float32)
+        name = next((n for n in ("pixel_values", "input")
+                     if n in etower.input_names), etower.input_names[0])
+        feeds = {name: jnp.asarray(pix)}
+        fwd = _jitted_vision_forward(spec, "xla")
+        npix = (pix if preprocess_layout(spec.family) == "nchw"
+                else np.ascontiguousarray(pix.transpose(0, 2, 3, 1)))
+        native_args = (jnp.asarray(npix),)
+
+    try:
+        gparams = {k: jnp.asarray(v) for k, v in etower.params.items()}
+        ref = np.asarray(
+            l2_normalize(jnp.asarray(etower(gparams, feeds))), np.float32)
+    except Exception as e:  # noqa: BLE001 — executor can't run this graph
+        unverified(f"executor cannot execute the graph ({e})")
+        return
+    nparams = jax.tree.map(jnp.asarray, params)
+    got = np.asarray(
+        l2_normalize(jnp.asarray(fwd(nparams, *native_args))), np.float32)
+    if got.shape != ref.shape:
+        raise WeightError(
+            f"{onnx_path}: structural conversion self-check failed — native "
+            f"'{spec.family}' tower produced shape {got.shape}, the graph "
+            f"executor {ref.shape}")
+    cos = float(np.min(np.sum(ref * got, axis=-1)))
+    if not (np.isfinite(cos) and cos > _PROBE_MIN_COS):
+        raise WeightError(
+            f"{onnx_path}: structural conversion self-check failed — probe "
+            f"min-cosine {cos:.6f} vs the graph executor (required > "
+            f"{_PROBE_MIN_COS}); the recovered '{spec.family}' weights do "
+            "not reproduce the graph's own output")
 
 
 def _consumption_order(g: OnnxGraph) -> list[str]:
@@ -934,6 +1056,350 @@ def _structural_fastvit(g: OnnxGraph, cfg) -> dict:
     return params
 
 
+def _first_consumer_idx(g: OnnxGraph) -> dict[str, int]:
+    """Node index of each initializer's first consumer (graph-position
+    evidence for order-dependent decisions, e.g. LN-before-or-after-pool)."""
+    out: dict[str, int] = {}
+    for idx, (_, inputs, _, _) in enumerate(g.nodes):
+        for name in inputs:
+            if name in g.initializers and name not in out:
+                out[name] = idx
+    return out
+
+
+def _structural_convnext(g: OnnxGraph, cfg) -> dict:
+    """ConvNeXt structural recovery (laion CLIP-convnext family,
+    "any open_clip model" — reference: src/onnx.rs:13-29, README.md:130).
+
+    Consumption order mirrors timm's forward: stem conv4/s4 → stem LN →
+    per stage ([downsample LN → conv2/s2] → blocks of dw7 → LN → fc1 →
+    fc2 → layer-scale gamma) → head LN (before the global pool for
+    head_norm_first checkpoints, after it otherwise — disambiguated by
+    node position vs the spatial ReduceMean) → open_clip projection.
+    All ConvNeXt MLPs use the fixed ratio-4 hidden dim."""
+    from .weights import _stack_blocks
+
+    p = _Puller(g)
+    c0 = cfg.dims[0]
+    params: dict = {
+        "stem_conv": _pull_conv(p, c0, 3, 4, what="stem conv"),
+        "stem_norm": _pull_ln(p, c0),
+        "stages": [],
+    }
+    for i, (depth, dim) in enumerate(zip(cfg.depths, cfg.dims)):
+        stage: dict = {}
+        if i > 0:
+            prev = cfg.dims[i - 1]
+            stage["downsample_norm"] = _pull_ln(p, prev)
+            stage["downsample_conv"] = _pull_conv(
+                p, dim, prev, 2, what=f"stage{i} downsample")
+        blocks = []
+        for j in range(depth):
+            block: dict = {
+                "dw": _pull_conv(p, dim, dim, 7, groups=dim,
+                                 what=f"s{i}b{j} dw"),
+                "norm": _pull_ln(p, dim),
+                "fc1": _pull_linear(p, dim, 4 * dim, what=f"s{i}b{j} fc1"),
+                "fc2": _pull_linear(p, 4 * dim, dim, what=f"s{i}b{j} fc2"),
+            }
+            gamma = p.maybe((dim,), (dim, 1, 1), (1, dim, 1, 1),
+                            consumer_ops=("Mul", "Reshape"), lookahead=2)
+            if gamma is not None:
+                block["gamma"] = np.asarray(gamma).reshape(-1)
+            blocks.append(block)
+        stage["blocks"] = _stack_blocks(blocks)
+        params["stages"].append(stage)
+
+    c_last = cfg.dims[-1]
+    ln_scale = p.pull((c_last,), what="head ln scale")
+    head_ln_name = p.last_name
+    head_ln = {"scale": ln_scale, "bias": p.pull((c_last,),
+                                                 what="head ln bias")}
+    # pre-pool (norm_pre, head_norm_first checkpoints) vs post-pool
+    # (head.norm): the spatial global-average ReduceMean's node position
+    # tells them apart
+    consumer_idx = _first_consumer_idx(g)
+    pool_idx = [idx for idx, (op, _, _, attrs) in enumerate(g.nodes)
+                if (op == "GlobalAveragePool")
+                or (op == "ReduceMean"
+                    and len(attrs.get("axes") or []) == 2)]
+    ln_idx = consumer_idx.get(head_ln_name or "", -1)
+    if pool_idx and ln_idx < pool_idx[-1]:
+        params["pre_norm"] = head_ln
+    else:
+        params["head_norm"] = head_ln
+
+    if cfg.proj == "linear":
+        params["proj"] = _pull_linear(p, c_last, cfg.embed_dim, what="proj")
+    elif cfg.proj == "mlp":
+        params["proj"] = {
+            "fc1": _pull_linear(p, c_last, c_last, what="proj fc1"),
+            "fc2": _pull_linear(p, c_last, cfg.embed_dim, what="proj fc2"),
+        }
+    return params
+
+
+def _resnet_conv_events(g: OnnxGraph) -> list[tuple]:
+    """Ordered (w_hwio, affine{scale,bias}) pairs for every Conv node, with
+    any directly-following BatchNormalization folded into the affine.
+
+    Unlike the transformer families, the folded torch export of a
+    ModifiedResNet fuses each BatchNorm into its conv's weights + a bias
+    constant whose *consumption order* is scrambled (torch hoists the bias
+    Unsqueeze constants to the graph head), so recovery walks the Conv
+    nodes directly — each node names its own weight and bias inputs."""
+    const_w: dict[str, np.ndarray] = {}
+    for op_type, _, outputs, attrs in g.nodes:
+        if op_type == "Constant" and outputs \
+                and isinstance(attrs.get("value"), np.ndarray):
+            const_w[outputs[0]] = attrs["value"]
+
+    def resolve(name: str) -> np.ndarray | None:
+        arr = g.initializers.get(name)
+        return arr if arr is not None else const_w.get(name)
+
+    # tensor name -> consuming nodes (to find a conv's trailing BN)
+    consumers: dict[str, list[tuple]] = {}
+    for node in g.nodes:
+        for inp in node[1]:
+            consumers.setdefault(inp, []).append(node)
+
+    events = []
+    for op_type, inputs, outputs, attrs in g.nodes:
+        if op_type != "Conv" or len(inputs) < 2:
+            continue
+        w = resolve(inputs[1])
+        if w is None or w.ndim != 4:
+            continue
+        cout = int(w.shape[0])
+        b = resolve(inputs[2]) if len(inputs) > 2 else None
+        b = np.asarray(b, np.float64) if b is not None \
+            else np.zeros(cout, np.float64)
+        scale = np.ones(cout, np.float64)
+        bias = b
+        cons = consumers.get(outputs[0], []) if outputs else []
+        if len(cons) == 1 and cons[0][0] == "BatchNormalization":
+            from .weights import fold_bn_affine
+
+            _, bn_in, _, bn_attrs = cons[0]
+            gamma, beta, mean, var = (resolve(n) for n in bn_in[1:5])
+            if any(v is None for v in (gamma, beta, mean, var)):
+                raise WeightError(
+                    "BatchNormalization with non-constant parameters")
+            s, off = fold_bn_affine(gamma, beta, mean, var,
+                                    eps=float(bn_attrs.get("epsilon", 1e-5)))
+            # BN(conv(x) + b) = conv(x)·s + (b·s + off)
+            scale, bias = s, b * s + off
+        events.append((
+            np.ascontiguousarray(np.asarray(w).transpose(2, 3, 1, 0)),
+            {"scale": scale.astype(np.float32),
+             "bias": bias.astype(np.float32)},
+        ))
+    return events
+
+
+def _structural_resnet(g: OnnxGraph, cfg) -> dict:
+    """ModifiedResNet structural recovery (RN50/RN101 class,
+    "any open_clip model" — reference: src/onnx.rs:13-29, README.md:130).
+
+    Conv+BN pairs come from the node-ordered graph walk
+    (:func:`_resnet_conv_events` — handles both the folded form, BN fused
+    into conv bias constants, and the unfolded form, live
+    BatchNormalization nodes). Node order mirrors the forward: 3-conv stem
+    → stages of bottlenecks (conv1 → conv2 → [avgpool] → conv3 →
+    [downsample]) → AttentionPool2d (pos-embed add → q/k/v → c_proj),
+    the pool recovered by consumption order."""
+    events = _resnet_conv_events(g)
+
+    def take(cout, cin, k, what):
+        if not events:
+            raise WeightError(f"ModifiedResNet recovery: ran out of convs "
+                              f"(wanted {what})")
+        w, affine = events.pop(0)
+        if w.shape != (k, k, cin, cout):
+            raise WeightError(
+                f"ModifiedResNet recovery: conv shape {w.shape} != expected "
+                f"{(k, k, cin, cout)} (wanted {what})")
+        return w, affine
+
+    w = cfg.width
+    params: dict = {"stages": []}
+    params["conv1"], params["bn1"] = take(w // 2, 3, 3, "stem conv1")
+    params["conv2"], params["bn2"] = take(w // 2, w // 2, 3, "stem conv2")
+    params["conv3"], params["bn3"] = take(w, w // 2, 3, "stem conv3")
+
+    cin = w
+    for stage_idx, depth in enumerate(cfg.layers):
+        planes = w * (2 ** stage_idx)
+        cout = planes * EXPANSION_RESNET
+        stage = []
+        for bi in range(depth):
+            block: dict = {}
+            block["conv1"], block["bn1"] = take(
+                planes, cin, 1, f"l{stage_idx}b{bi} conv1")
+            block["conv2"], block["bn2"] = take(
+                planes, planes, 3, f"l{stage_idx}b{bi} conv2")
+            block["conv3"], block["bn3"] = take(
+                cout, planes, 1, f"l{stage_idx}b{bi} conv3")
+            if bi == 0 and cin != cout:
+                dw, dbn = take(cout, cin, 1,
+                               f"l{stage_idx}b{bi} downsample")
+                block["downsample"] = {"conv": dw, "bn": dbn}
+            stage.append(block)
+            cin = cout
+        params["stages"].append(stage)
+    if events:
+        raise WeightError(
+            f"ModifiedResNet recovery: {len(events)} unconsumed conv(s) — "
+            "the config's layers/width do not match this graph")
+
+    tokens = cfg.pool_tokens
+    p = _Puller(g, lookahead=len(g.initializers) + 1)
+    pool: dict = {
+        "pos_embed": np.asarray(
+            p.pull((tokens, cin), (1, tokens, cin), (tokens, 1, cin),
+                   what="attnpool pos embed")).reshape(tokens, cin),
+    }
+    for name in ("q", "k", "v"):
+        pool[name] = _pull_linear(p, cin, cin, what=f"attnpool {name}")
+    if all("b" not in pool[n] for n in "qkv"):
+        # unfolded multi_head_attention_forward export: the three biases
+        # ride as one packed in_proj_bias [3C] (folding splits it)
+        packed = p.maybe((3 * cin,), lookahead=6)
+        if packed is not None:
+            for n, seg in zip("qkv", np.split(np.asarray(packed), 3)):
+                pool[n]["b"] = seg
+    pool["out"] = _pull_linear(p, cin, cfg.embed_dim, what="attnpool c_proj")
+    params["attnpool"] = pool
+    return params
+
+
+EXPANSION_RESNET = 4
+
+
+def derive_convnext_cfg(onnx_path: Path | str) -> dict:
+    """Recover the ConvNeXt stage architecture (depths/dims) from the
+    exported visual graph — the derive_fastvit_cfg pattern. Stage
+    boundaries are the 2×2/s2 downsample convs; block count per stage is
+    the number of dw7 group-convs at that width.
+
+    Raises WeightError when the graph is not ConvNeXt-shaped."""
+    g = read_onnx(onnx_path)
+    const_w: dict[str, np.ndarray] = {}
+    for op_type, _, outputs, attrs in g.nodes:
+        if op_type == "Constant" and outputs \
+                and isinstance(attrs.get("value"), np.ndarray):
+            const_w[outputs[0]] = attrs["value"]
+
+    convs: list[tuple[int, int, int, int, int]] = []  # o, in, k, grp, stride
+    for op_type, inputs, _, attrs in g.nodes:
+        if op_type != "Conv" or len(inputs) < 2:
+            continue
+        arr = g.initializers.get(inputs[1])
+        if arr is None:
+            arr = const_w.get(inputs[1])
+        if arr is None or arr.ndim != 4:
+            continue
+        o, ipg, kh, kw = (int(s) for s in arr.shape)
+        grp = int(attrs.get("group", 1))
+        st = int((attrs.get("strides") or [1, 1])[0])
+        if kh == kw:
+            convs.append((o, ipg * grp, kh, grp, st))
+    if not convs or convs[0][1] != 3 or convs[0][2] != 4 or convs[0][4] != 4:
+        raise WeightError(
+            f"{onnx_path}: no 4x4/s4 RGB patchify stem — not a ConvNeXt "
+            "graph")
+    dims = [convs[0][0]]
+    depths = [0]
+    for o, cin, k, grp, st in convs[1:]:
+        if k == 7 and grp == dims[-1] and o == dims[-1]:
+            depths[-1] += 1
+        elif k == 2 and st == 2 and cin == dims[-1]:
+            dims.append(o)
+            depths.append(0)
+        else:
+            raise WeightError(
+                f"{onnx_path}: unexpected conv (out={o}, in={cin}, k={k}, "
+                f"groups={grp}, stride={st}) at width {dims[-1]} — not a "
+                "ConvNeXt-shaped graph")
+    if any(d == 0 for d in depths):
+        raise WeightError(f"{onnx_path}: empty ConvNeXt stage")
+    return {"depths": tuple(depths), "dims": tuple(dims)}
+
+
+def derive_resnet_cfg(onnx_path: Path | str) -> dict:
+    """Recover the ModifiedResNet architecture from the exported visual
+    graph: per-stage bottleneck counts from the 1×1/3×3/1×1 conv events
+    (stage boundary = planes doubling), width from the stem, heads from
+    the attention reshape constants, embed dim from the trailing c_proj.
+
+    Raises WeightError when the graph is not ModifiedResNet-shaped."""
+    g = read_onnx(onnx_path)
+    convs: list[tuple[int, int, int]] = []  # o, in, k
+    for op_type, inputs, _, attrs in g.nodes:
+        if op_type != "Conv" or len(inputs) < 2:
+            continue
+        arr = g.initializers.get(inputs[1])
+        if arr is None or arr.ndim != 4 or int(attrs.get("group", 1)) != 1:
+            continue
+        o, i, kh, kw = (int(s) for s in arr.shape)
+        if kh == kw:
+            convs.append((o, i, kh))
+    if len(convs) < 12 or convs[0][1] != 3 or convs[0][2] != 3:
+        raise WeightError(
+            f"{onnx_path}: no 3-conv ResNet stem — not a ModifiedResNet "
+            "graph")
+    half = convs[0][0]
+    if not (convs[1] == (half, half, 3) and convs[2][1] == half
+            and convs[2][2] == 3):
+        raise WeightError(f"{onnx_path}: stem is not conv3×3 at {half}")
+    width = convs[2][0]
+
+    # bottlenecks: conv1 1×1 [p, cin] → conv2 3×3 [p, p] → conv3 1×1 [4p, p]
+    # (+ optional downsample 1×1). planes doubles at each stage boundary.
+    layers: list[int] = []
+    planes = None
+    i = 3
+    n = len(convs)
+    while i + 2 < n:
+        o1, c1, k1 = convs[i]
+        o2, c2, k2 = convs[i + 1]
+        o3, c3, k3 = convs[i + 2]
+        if not (k1 == 1 and k2 == 3 and k3 == 1 and o1 == o2 == c2 == c3
+                and o3 == EXPANSION_RESNET * o1):
+            break
+        if planes is None or o1 == 2 * planes:
+            layers.append(0)
+            planes = o1
+        elif o1 != planes:
+            raise WeightError(
+                f"{onnx_path}: bottleneck planes {o1} break the "
+                f"stage-doubling pattern (was {planes})")
+        layers[-1] += 1
+        i += 3
+        # optional downsample conv
+        if i < n and convs[i][2] == 1 and convs[i][0] == o3 \
+                and convs[i][1] != o3:
+            i += 1
+    if len(layers) != 4:
+        raise WeightError(
+            f"{onnx_path}: found {len(layers)} bottleneck stages, "
+            "ModifiedResNet has 4")
+    feat = width * 32
+    votes = [h for h in _head_votes(g, feat) if h > 1]
+    heads = max(set(votes), key=votes.count) if votes else width * 32 // 64
+    # the c_proj: the only 2-D initializer pairing feat with a DIFFERENT
+    # dim (q/k/v are square [feat, feat]; dict order is not node order)
+    embeds = {int(a.shape[0]) if int(a.shape[1]) == feat else int(a.shape[1])
+              for a in g.initializers.values()
+              if a.ndim == 2 and feat in a.shape
+              and int(a.shape[0]) != int(a.shape[1])}
+    cfg = {"layers": tuple(layers), "width": width, "heads": heads}
+    if len(embeds) == 1:
+        cfg["embed_dim"] = embeds.pop()
+    return cfg
+
+
 def _structural_bert(g: OnnxGraph, cfg) -> dict:
     """HF BERT/RoBERTa text-tower structural recovery (BiomedCLIP class,
     reference README.md:143). torch exports of transformers towers are the
@@ -1015,8 +1481,10 @@ def _structural_extract(g: OnnxGraph, spec, *, tower: str) -> dict:
     consumption order against the architecture the config promises.
 
     Covers the transformer families (classic/timm ViT, EVA02, text
-    transformer, HF BERT/RoBERTa) and the conv-hybrid FastViT/MobileCLIP
-    family (both the constant-folded and unfolded torch.onnx forms).
+    transformer, HF BERT/RoBERTa, MCT hybrid text), the conv-hybrid
+    FastViT/MobileCLIP family (both the constant-folded and unfolded
+    torch.onnx forms), ConvNeXt, and ModifiedResNet. Every recovery is
+    probe-verified against the graph executor (probe_verify).
     """
     if tower == "visual" and spec.family == "vit":
         return _structural_vit(g, spec.cfg)
@@ -1024,6 +1492,10 @@ def _structural_extract(g: OnnxGraph, spec, *, tower: str) -> dict:
         return _structural_fastvit(g, spec.cfg)
     if tower == "visual" and spec.family == "eva02":
         return _structural_eva02(g, spec.cfg)
+    if tower == "visual" and spec.family == "convnext":
+        return _structural_convnext(g, spec.cfg)
+    if tower == "visual" and spec.family == "resnet":
+        return _structural_resnet(g, spec.cfg)
     if tower == "text" and spec.family == "text_transformer":
         return _structural_text(g, spec.cfg)
     if tower == "text" and spec.family == "hf_bert":
@@ -1514,7 +1986,28 @@ def derive_mct_cfg(onnx_path: Path | str) -> dict:
             if w is not None and w.ndim == 3 and int(w.shape[1]) == 1 \
                     and int(w.shape[0]) == width \
                     and int(attrs.get("group", 1)) == width:
-                dw_events.append((idx, int(w.shape[2])))
+                k = int(w.shape[2])
+                # mct._dwconv1d implements symmetric SAME padding only; a
+                # causal (left-only) or VALID export is a numerically
+                # different tower — reject here (with the reason logged)
+                # instead of converting something probe_verify will bounce
+                pads = list(attrs.get("pads") or [0, 0])
+                auto = attrs.get("auto_pad", b"NOTSET")
+                same = pads == [k // 2] * 2 or (
+                    k % 2 == 1 and auto in (b"SAME_UPPER", b"SAME_LOWER"))
+                if not same:
+                    from .utils.logging import warn_once
+
+                    warn_once(
+                        f"mct_pads:{onnx_path}",
+                        "%s: depthwise conv mixer uses non-symmetric "
+                        "padding pads=%s (kernel %d) — not liftable to the "
+                        "native mct tower; the graph serves via the "
+                        "executor", str(onnx_path), pads, k)
+                    raise WeightError(
+                        f"{onnx_path}: non-symmetric dw-conv padding "
+                        f"pads={pads} (kernel {k})")
+                dw_events.append((idx, k))
         elif op_type == "Softmax":
             softmax_idx.append(idx)
         elif op_type == "ArgMax":
@@ -1893,8 +2386,19 @@ def derive_fastvit_cfg(onnx_path: Path | str) -> dict:
     }
     attn_dims = [d for d, m in zip(dims, mixers) if m == "attention"]
     if attn_dims:
-        votes = [h for h in _head_votes(g, attn_dims[-1]) if h > 1] \
-            or [h for h in _mha_head_votes(g, attn_dims[-1]) if h > 1]
+        votes = [h for h in _head_votes(g, attn_dims[-1]) if h > 1]
+        if not votes:
+            # the Mul/Div-by-num_heads fallback can mis-vote on vision
+            # graphs (spatial-shape arithmetic is full of small static
+            # ints multiplying dynamic operands), so require the implied
+            # head_dim to be a plausible attention width — a power of two
+            # in [16, 128], which covers every timm FastViT/MCi variant.
+            # A surviving mis-vote is still caught by probe_verify at
+            # load time (the persisted cfg then fails the executor
+            # cross-check and the dir serves via the executor).
+            votes = [h for h in _mha_head_votes(g, attn_dims[-1])
+                     if h > 1 and (hd := attn_dims[-1] // h) >= 16
+                     and hd <= 128 and hd & (hd - 1) == 0]
         if votes:
             heads = max(set(votes), key=votes.count)
             cfg["head_dim"] = attn_dims[-1] // heads

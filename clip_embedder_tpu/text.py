@@ -78,48 +78,25 @@ def _maybe_native_hybrid(model_dir: Path, onnx_path: Path) -> TowerSpec | None:
     Honesty contract (COMPONENTS.md unanchored-family rule): the
     architecture is derived from the graph itself
     (onnx_reader.derive_mct_cfg), the weights recovered by consumption
-    order, and the converted tower is verified against the generic ONNX
-    executor ON THE SAME GRAPH before acceptance — a structure misread
-    yields ``None`` (round-3 executor behavior), never wrong embeddings.
-    On success the derived cfg is persisted into open_clip_config.json so
-    later loads resolve natively without re-deriving."""
-    from .models import mct
+    order, and the converted tower is probe-verified against the generic
+    ONNX executor ON THE SAME GRAPH before acceptance
+    (onnx_reader.probe_verify, shared by every structural conversion) — a
+    structure misread yields ``None`` (round-3 executor behavior), never
+    wrong embeddings. On success the derived cfg is persisted into
+    open_clip_config.json so later loads resolve natively without
+    re-deriving."""
     from .models.mct import MctCfg
-    from .onnx_exec import fallback_cfg, get_tower
     from .onnx_reader import derive_mct_cfg, extract_tower_params
-    from .ops.normalize import l2_normalize
 
     try:
         raw = derive_mct_cfg(onnx_path)
     except WeightError:
         return None
-    cfg = MctCfg(**raw)
-    spec = TowerSpec("mct", cfg)
+    spec = TowerSpec("mct", MctCfg(**raw))
     try:
-        params = extract_tower_params(onnx_path, spec, tower="text")
+        # includes the probe_verify executor cross-check
+        extract_tower_params(onnx_path, spec, tower="text")
     except WeightError:
-        return None
-
-    # conversion self-check: the native tower must reproduce the graph's
-    # own output (via the run-any-graph executor) on a probe batch
-    try:
-        tower = get_tower(fallback_cfg(onnx_path))
-        name = next((n for n in ("input_ids", "input")
-                     if n in tower.input_names), tower.input_names[0])
-        rng = np.random.default_rng(0)
-        ids = jnp.asarray(rng.integers(
-            0, cfg.vocab_size, (2, cfg.context_length)), jnp.int32)
-        gparams = {k: jnp.asarray(v) for k, v in tower.params.items()}
-        ref = np.asarray(l2_normalize(jnp.asarray(
-            tower(gparams, {name: ids}))), np.float32)
-        nparams = jax.tree.map(jnp.asarray, params)
-        got = np.asarray(
-            jax.jit(lambda p, i: mct.apply(p, i, cfg, attn_impl="xla"))(
-                nparams, ids), np.float32)
-        cos = float(np.min(np.sum(ref * got, axis=-1)))
-    except Exception:  # executor can't run the graph either → fall back
-        return None
-    if not (got.shape == ref.shape and cos > 0.999):
         return None
 
     from .config import update_config_json
@@ -278,7 +255,7 @@ class TextEmbedder:
                 spec = TowerSpec(spec.family, dataclasses.replace(
                     spec.cfg, pad_id=int(pad_id)))
             params = _load_or_convert_text(model_dir, spec, dtype)
-        except (ConfigError, WeightError):
+        except (ConfigError, WeightError) as err:
             # run-any-graph fallback (e.g. MobileCLIP-S0's MCT text tower):
             # families without a native tower, or graphs whose structure
             # doesn't match the resolved one, run via the ONNX executor.
@@ -292,6 +269,12 @@ class TextEmbedder:
             spec = _maybe_native_hybrid(model_dir, onnx_path)
             if spec is None:
                 from .onnx_exec import fallback_cfg
+                from .utils.logging import warn_once
+
+                warn_once(
+                    f"text_fallback:{model_dir}",
+                    "no native text tower for %s — serving the graph via "
+                    "the ONNX executor instead (%s)", str(model_dir), err)
 
                 # executor graphs ride the same TPU levers: dtype → bf16
                 # matmul/conv autocast, quantize → W8A8 MatMuls

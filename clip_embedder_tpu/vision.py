@@ -75,6 +75,15 @@ def _maybe_derive_vision_dims(model_dir: Path,
         # _UNANCHORED_VARIANTS) — the exported graph is the ground truth
         from .onnx_reader import derive_fastvit_cfg as derive
         key = "fastvit_cfg"
+    elif name.startswith("convnext"):
+        from .onnx_reader import derive_convnext_cfg as derive
+        key = "convnext_cfg"
+    elif not name and isinstance(config.model_cfg.vision_cfg.layers,
+                                 (list, tuple)):
+        # ModifiedResNet dirs declare per-stage depths as a list; the graph
+        # additionally carries the attnpool head count the config lacks
+        from .onnx_reader import derive_resnet_cfg as derive
+        key = "resnet_cfg"
     else:
         return
     if v.extra.get(key):
@@ -89,6 +98,41 @@ def _maybe_derive_vision_dims(model_dir: Path,
     v.extra[key] = derived
     # persist, so later loads (incl. the .npz fast path, whose spec still
     # resolves from this config) never re-read the ONNX
+    from .config import update_config_json
+
+    update_config_json(
+        model_dir / "open_clip_config.json",
+        lambda raw: raw.setdefault("model_cfg", {}).setdefault(
+            "vision_cfg", {}).__setitem__(key, derived))
+
+
+def derive_vision_dims_from_sd(model_dir: Path, config: OpenClipConfig,
+                               visual_sd: dict) -> None:
+    """Checkpoint-path twin of :func:`_maybe_derive_vision_dims` (used by
+    pull_weights.convert_checkpoint): for the families whose per-size dim
+    tables are paper-reconstructed (PE-Core, FastViT MCi3/MCi4), the
+    checkpoint state dict carries the ground-truth shapes — derive the
+    dims from it and persist them, so table rows are last-resort-with-
+    warning only when neither a graph nor a checkpoint exists (the
+    exporter pattern: read the real model, never a table — reference:
+    pull_onnx.py:93-150)."""
+    v = config.model_cfg.vision_cfg
+    name = (v.timm_model_name or "").lower()
+    if "pe_core" in name:
+        from .weights import derive_pe_cfg_from_sd as derive
+        key = "pe_cfg"
+    elif "fastvit" in name or "mci" in name or "mobileclip" in name:
+        from .models.fastvit import derive_fastvit_cfg_from_sd as derive
+        key = "fastvit_cfg"
+    else:
+        return
+    if v.extra.get(key):
+        return
+    try:
+        derived = derive(visual_sd)
+    except WeightError:
+        return
+    v.extra[key] = derived
     from .config import update_config_json
 
     update_config_json(
@@ -274,7 +318,7 @@ class VisionEmbedder:
         try:
             spec = resolve_vision(config.model_cfg)
             params = _load_or_convert_visual(model_dir, spec, dtype)
-        except (ConfigError, WeightError):
+        except (ConfigError, WeightError) as err:
             # see text.py: a present native .npz that failed to load is
             # corruption — surface it instead of rerouting to the executor
             onnx_path = model_dir / "visual.onnx"
@@ -282,6 +326,12 @@ class VisionEmbedder:
                     or not onnx_path.is_file()):
                 raise
             from .onnx_exec import fallback_cfg
+            from .utils.logging import warn_once
+
+            warn_once(
+                f"vision_fallback:{model_dir}",
+                "no native vision tower for %s — serving the graph via the "
+                "ONNX executor instead (%s)", str(model_dir), err)
 
             # the executor fallback rides the same TPU levers: dtype maps
             # to matmul/conv bf16 autocast, quantize to W8A8 MatMuls

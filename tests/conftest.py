@@ -40,3 +40,18 @@ else:
     )
 
     enable_compilation_cache()
+
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    """Under CLIP_TPU_TESTS=1 the real (single, shared) TPU is the backend:
+    refuse to run the CPU-designed bulk of the suite against it — the
+    8-virtual-device mesh tests would fail spuriously and occupy the chip
+    unserialized (CLAUDE.md forbids concurrent TPU work). Require an
+    explicit ``-m`` selection that includes the tpu marker."""
+    if _TPU_TIER and "tpu" not in (config.option.markexpr or ""):
+        raise pytest.UsageError(
+            "CLIP_TPU_TESTS=1 keeps the real TPU backend; run only the "
+            "TPU tier with it: CLIP_TPU_TESTS=1 pytest tests/ -m tpu")

@@ -178,6 +178,39 @@ def test_plain_transformer_graph_rejected_by_derive(tmp_path):
         derive_mct_cfg(path)
 
 
+def test_causal_padded_mixer_rejected_by_derive(tmp_path):
+    """mct._dwconv1d implements symmetric SAME padding only; an export
+    using causal (left-only, via an explicit Pad) or VALID conv padding is
+    a numerically different tower and must be rejected at derivation (with
+    the reason logged) instead of converted-and-bounced (advisor r4)."""
+    import torch_ref_mct as m
+    from clip_embedder_tpu.errors import WeightError
+
+    class CausalMixer(m.ConvMixerBlock):
+        def forward(self, x):
+            k = self.dw.kernel_size[0]
+            y = F.pad(x.transpose(1, 2), (k - 1, 0))[..., :x.shape[1] + k - 1]
+            x = x + self.dw.__class__.forward(self.dw, y)[
+                ..., :x.shape[1]].transpose(1, 2)
+            if self.ffn_hidden:
+                x = x + self.fc2(F.gelu(self.fc1(self.ln(x))))
+            return x
+
+    torch.manual_seed(5)
+    tt = _distinct(TorchMctText(CTX, VOCAB, W, HEADS, LAYERS, MLP, EMBED,
+                                conv_blocks=CONV_BLOCKS).eval())
+    # swap the mixers for causal ones (padding now lives in a Pad node,
+    # the Conv itself exports pads=[0, 0])
+    for blk in tt.conv_blocks:
+        blk.__class__ = CausalMixer
+        blk.dw.padding = (0,)
+    path = tmp_path / "text.onnx"
+    export(_NormText(tt), torch.randint(4, VOCAB, (2, CTX)), path,
+           input_name="input_ids", output_name="text_embeddings")
+    with pytest.raises(WeightError, match="padding"):
+        derive_mct_cfg(path)
+
+
 def test_mct_self_verify_rejects_mismatched_graph(mct_onnx_dir, tmp_path,
                                                   monkeypatch):
     """The self-check is the safety net: if structural extraction

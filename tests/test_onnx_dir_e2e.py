@@ -388,3 +388,192 @@ def test_fastvit_dir_loads_with_graph_derived_dims(fastvit_onnx_dir,
     derived = occ2["model_cfg"]["vision_cfg"]["fastvit_cfg"]
     assert tuple(derived["dims"]) == FV_DIMS
     assert tuple(derived["depths"]) == FV_DEPTHS
+
+
+# ---------------------------------------------------------------------------
+# ConvNeXt / ModifiedResNet ONNX dirs (round 5 — the last two families that
+# degraded to the generic executor on constant-folded exports,
+# onnx_reader._structural_{convnext,resnet}; recovery is safe by
+# construction via probe_verify).
+# ---------------------------------------------------------------------------
+
+CN_DEPTHS, CN_DIMS, CN_IMG, CN_EMBED = (1, 1, 2, 1), (16, 32, 64, 128), 64, 32
+
+
+@pytest.fixture(scope="module")
+def convnext_onnx_dir(tmp_path_factory):
+    from test_convnext import TorchConvNeXt
+
+    d = tmp_path_factory.mktemp("onnx_dir") / "mini-ConvNeXt-ONNX"
+    d.mkdir()
+    torch.manual_seed(4)
+    cn = TorchConvNeXt(CN_DEPTHS, CN_DIMS, embed_dim=CN_EMBED).eval()
+    torch.manual_seed(5)
+    tt = TextTransformer(CTX, 512, W, HEADS, LAYERS, MLP, CN_EMBED).eval()
+    for m in (cn, tt):
+        with torch.no_grad():
+            for _, p in m.named_parameters():
+                if p.abs().sum() == 0 or (p == p.flatten()[0]).all():
+                    p.add_(0.02 * torch.randn_like(p))
+
+    class _V(nn.Module):
+        def __init__(self, t):
+            super().__init__()
+            self.visual = t
+
+        def forward(self, x):
+            return self.visual(x)  # mirror already L2-normalizes
+
+    export(_V(cn), torch.randn(2, 3, CN_IMG, CN_IMG), d / "visual.onnx",
+           input_name="pixel_values", output_name="image_embeds")
+    export(_NormalizedText(tt), torch.randint(0, 512, (2, CTX)),
+           d / "text.onnx", input_name="input_ids",
+           output_name="text_embeds")
+    occ = {
+        "model_cfg": {
+            "embed_dim": CN_EMBED,
+            "vision_cfg": {
+                "image_size": CN_IMG,
+                "timm_model_name": "convnext_base",  # table dims are WRONG
+                "timm_proj": "linear",               # for this mini tower —
+            },                                       # the graph corrects it
+            "text_cfg": {"context_length": CTX, "vocab_size": 512,
+                         "width": W, "heads": HEADS, "layers": LAYERS},
+        },
+        "preprocess_cfg": {"mean": MEAN, "std": STD},
+    }
+    (d / "open_clip_config.json").write_text(json.dumps(occ))
+    (d / "model_config.json").write_text(json.dumps(
+        {"tokenizer_needs_lowercase": False,
+         "activation_function": "softmax", "logit_scale": LOGIT_SCALE,
+         "logit_bias": 0.0, "pad_id": 0}))
+    (d / "tokenizer.json").write_text(json.dumps(make_clip_style_spec()))
+    jpg = d.parent / "photo_cn.jpg"
+    rng = np.random.default_rng(11)
+    Image.fromarray(rng.integers(0, 255, (CN_IMG, CN_IMG, 3),
+                                 np.uint8)).save(jpg, "JPEG", quality=95)
+    return d, cn, jpg
+
+
+def test_derive_convnext_cfg_from_graph(convnext_onnx_dir):
+    d, _, _ = convnext_onnx_dir
+    from clip_embedder_tpu.onnx_reader import derive_convnext_cfg
+
+    cfg = derive_convnext_cfg(d / "visual.onnx")
+    assert cfg["depths"] == CN_DEPTHS
+    assert cfg["dims"] == CN_DIMS
+
+
+def test_convnext_onnx_dir_embeddings_match_torch(convnext_onnx_dir):
+    """The convnext_base-named dir with contradicting mini dims loads
+    NATIVELY (graph-derived dims override the table; probe_verify accepts
+    the recovery) and matches the torch pipeline."""
+    d, cn, jpg = convnext_onnx_dir
+    from clip_embedder_tpu import Clip
+
+    clip = Clip.from_local_dir(d)
+    assert clip.vision.spec.family == "convnext", clip.vision.spec.family
+    assert (d / "visual.npz").is_file()
+    ve = clip.vision.embed_images([jpg])
+    arr = np.asarray(Image.open(jpg).convert("RGB"), np.float32) / 255.0
+    arr = (arr - np.asarray(MEAN, np.float32)) / np.asarray(STD, np.float32)
+    with torch.no_grad():
+        vref = cn(torch.from_numpy(arr).permute(2, 0, 1)[None]).numpy()
+    assert float(ve[0] @ vref[0]) > 1 - 1e-5
+
+    # derived dims persisted for the npz fast path
+    occ = json.loads((d / "open_clip_config.json").read_text())
+    assert tuple(occ["model_cfg"]["vision_cfg"]["convnext_cfg"]["dims"]) \
+        == CN_DIMS
+
+
+RN_LAYERS, RN_WIDTH, RN_HEADS, RN_IMG, RN_EMBED = (1, 1, 1, 1), 16, 8, 64, 24
+
+
+@pytest.fixture(scope="module")
+def resnet_onnx_dir(tmp_path_factory):
+    from test_resnet import ModifiedResNet
+
+    d = tmp_path_factory.mktemp("onnx_dir") / "mini-RN50-ONNX"
+    d.mkdir()
+    torch.manual_seed(6)
+    rn = ModifiedResNet(layers=RN_LAYERS, output_dim=RN_EMBED,
+                        heads=RN_HEADS, image_size=RN_IMG,
+                        width=RN_WIDTH).eval()
+    for m in rn.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.3)
+            m.running_var.uniform_(0.5, 2.0)
+    torch.manual_seed(7)
+    tt = TextTransformer(CTX, 512, W, HEADS, LAYERS, MLP, RN_EMBED).eval()
+    with torch.no_grad():
+        for _, p in tt.named_parameters():
+            if p.abs().sum() == 0 or (p == p.flatten()[0]).all():
+                p.add_(0.02 * torch.randn_like(p))
+
+    class _V(nn.Module):
+        def __init__(self, t):
+            super().__init__()
+            self.visual = t
+
+        def forward(self, x):
+            return self.visual(x)  # mirror already L2-normalizes
+
+    # the wrapper must be eval BEFORE export: torch.onnx.export restores
+    # the ROOT module's mode over the whole tree afterwards, and a fresh
+    # wrapper defaults to training — which would flip the BatchNorms to
+    # batch-stats mode for the later torch-reference calls
+    export(_V(rn).eval(), torch.randn(2, 3, RN_IMG, RN_IMG),
+           d / "visual.onnx",
+           input_name="pixel_values", output_name="image_embeds")
+    export(_NormalizedText(tt), torch.randint(0, 512, (2, CTX)),
+           d / "text.onnx", input_name="input_ids",
+           output_name="text_embeds")
+    occ = {
+        "model_cfg": {
+            "embed_dim": RN_EMBED,
+            # the open_clip RN config shape: layers as a per-stage list
+            "vision_cfg": {"image_size": RN_IMG, "layers": list(RN_LAYERS),
+                           "width": RN_WIDTH, "head_width": 64},
+            "text_cfg": {"context_length": CTX, "vocab_size": 512,
+                         "width": W, "heads": HEADS, "layers": LAYERS},
+        },
+        "preprocess_cfg": {"mean": MEAN, "std": STD},
+    }
+    (d / "open_clip_config.json").write_text(json.dumps(occ))
+    (d / "model_config.json").write_text(json.dumps(
+        {"tokenizer_needs_lowercase": False,
+         "activation_function": "softmax", "logit_scale": LOGIT_SCALE,
+         "logit_bias": 0.0, "pad_id": 0}))
+    (d / "tokenizer.json").write_text(json.dumps(make_clip_style_spec()))
+    jpg = d.parent / "photo_rn.jpg"
+    rng = np.random.default_rng(13)
+    Image.fromarray(rng.integers(0, 255, (RN_IMG, RN_IMG, 3),
+                                 np.uint8)).save(jpg, "JPEG", quality=95)
+    return d, rn, jpg
+
+
+def test_derive_resnet_cfg_from_graph(resnet_onnx_dir):
+    d, _, _ = resnet_onnx_dir
+    from clip_embedder_tpu.onnx_reader import derive_resnet_cfg
+
+    cfg = derive_resnet_cfg(d / "visual.onnx")
+    assert cfg["layers"] == RN_LAYERS
+    assert cfg["width"] == RN_WIDTH
+    assert cfg["heads"] == RN_HEADS  # config head_width=64 implies 8 too
+    assert cfg["embed_dim"] == RN_EMBED
+
+
+def test_resnet_onnx_dir_embeddings_match_torch(resnet_onnx_dir):
+    d, rn, jpg = resnet_onnx_dir
+    from clip_embedder_tpu import Clip
+
+    clip = Clip.from_local_dir(d)
+    assert clip.vision.spec.family == "resnet", clip.vision.spec.family
+    assert (d / "visual.npz").is_file()
+    ve = clip.vision.embed_images([jpg])
+    arr = np.asarray(Image.open(jpg).convert("RGB"), np.float32) / 255.0
+    arr = (arr - np.asarray(MEAN, np.float32)) / np.asarray(STD, np.float32)
+    with torch.no_grad():
+        vref = rn(torch.from_numpy(arr).permute(2, 0, 1)[None]).numpy()
+    assert float(ve[0] @ vref[0]) > 1 - 1e-5

@@ -510,3 +510,33 @@ def test_variadic_min_max_and_pow_promotion():
         np.asarray(_OPS["Max"](env, ["a", "b", "c"], {})), [3.0, 5.0])
     got = _pow(jnp.asarray([4, 9], jnp.int32), jnp.asarray(0.5))
     np.testing.assert_array_equal(np.asarray(got), [2, 3])
+
+
+def test_if_static_condition(tmp_path):
+    """torch guards shape-dependent paths with If over statically-foldable
+    conditions (e.g. inside multi_head_attention_forward); the executor
+    inlines the chosen branch at trace time. The mirror's If condition
+    depends on a traced shape, which the executor folds to a static bool."""
+
+    class Gated(nn.Module):
+        def forward(self, x):
+            if x.shape[-1] == 32:  # traces to an If in scripted exports
+                return torch.nn.functional.softmax(x, dim=-1)
+            return x * 2.0
+
+    # scripting (not tracing) preserves the branch as an ONNX If
+    model = torch.jit.script(Gated().eval())
+    path = tmp_path / "if.onnx"
+    torch.onnx.export(model, torch.randn(2, 32), str(path),
+                      input_names=["input"], output_names=["output"],
+                      opset_version=18, dynamo=False)
+    from clip_embedder_tpu.onnx_reader import read_onnx
+
+    g = read_onnx(path)
+    if not any(op == "If" for op, *_ in g.nodes):
+        pytest.skip("exporter folded the branch — nothing to test")
+    x = np.random.default_rng(0).standard_normal((2, 32)).astype(np.float32)
+    got = run_tower(path, {"input": jnp.asarray(x)})
+    with torch.no_grad():
+        ref = Gated()(torch.from_numpy(x)).numpy()
+    np.testing.assert_allclose(got, ref, atol=1e-6)
