@@ -166,6 +166,86 @@ def resolve_fastvit(name: str, vcfg, embed_dim: int, model_cfg) -> FastViTCfg:
     )
 
 
+def derive_fastvit_cfg_from_sd(sd: Mapping[str, np.ndarray]) -> dict:
+    """Derive the stage architecture from a reparameterized timm fastvit
+    state dict's shapes — the checkpoint-path analog of
+    ``onnx_reader.derive_fastvit_cfg`` (the exporter pattern: read the real
+    model, never a table — reference: pull_onnx.py:93-150). Used by
+    pull_weights.py at conversion time so the paper-table rows for the
+    unanchored MCi3/MCi4 variants are bypassed whenever a checkpoint
+    exists; the table only seeds bare-config construction.
+
+    Not shape-derivable (kept from the family defaults): ``head_dim``
+    (timm's fastvit attention uses a fixed 32 across every variant — the
+    packed qkv is [3d, d] regardless) and ``lkc_act`` (an activation
+    placement, not a weight; family-level mci-vs-classic fact).
+
+    Raises WeightError when the dict is not fastvit-shaped.
+    """
+    import re
+
+    from ..weights import strip_prefix
+
+    shapes = {k: tuple(np.asarray(v).shape) for k, v in strip_prefix(
+        dict(sd), "model.", "visual.", "trunk.").items()}
+
+    def conv_shape(*prefixes):
+        for p in prefixes:
+            s = shapes.get(f"{p}.weight")
+            if s is not None:
+                return s
+        return None
+
+    stem0 = conv_shape("stem.0.reparam_conv", "stem.0.conv")
+    if stem0 is None or len(stem0) != 4 or stem0[1] != 3:
+        raise WeightError(
+            "state dict has no fastvit RGB stem conv (stem.0.reparam_conv)")
+    stage_ids = sorted({int(m.group(1)) for k in shapes
+                        if (m := re.match(r"stages\.(\d+)\.", k))})
+    if not stage_ids or stage_ids != list(range(len(stage_ids))):
+        raise WeightError("state dict has no contiguous fastvit stages")
+
+    depths, dims, ratios, mixers, pos_embs = [], [], [], [], []
+    cur = int(stem0[0])
+    for si in stage_ids:
+        sp = f"stages.{si}"
+        ds = conv_shape(f"{sp}.downsample.proj.1.reparam_conv",
+                        f"{sp}.downsample.proj.1.conv")
+        if ds is not None:
+            cur = int(ds[0])
+        elif si > 0:
+            raise WeightError(f"fastvit stage {si} has no downsample")
+        dims.append(cur)
+        block_ids = sorted({
+            int(m.group(1)) for k in shapes
+            if (m := re.match(rf"stages\.{si}\.blocks\.(\d+)\.", k))})
+        if not block_ids:
+            raise WeightError(f"fastvit stage {si} has no blocks")
+        depths.append(len(block_ids))
+        mixers.append("attention"
+                      if f"{sp}.blocks.0.token_mixer.qkv.weight" in shapes
+                      else "repmixer")
+        pos_embs.append(f"{sp}.pos_emb.reparam_conv.weight" in shapes)
+        fc1 = conv_shape(f"{sp}.blocks.0.mlp.fc1")
+        if fc1 is None:
+            raise WeightError(f"fastvit stage {si} has no ConvFFN fc1")
+        ratios.append(int(fc1[0]) / cur)
+
+    fin = conv_shape("final_conv.reparam_conv", "final_conv.conv")
+    if fin is None:
+        raise WeightError("state dict has no final expand conv")
+    return {
+        "depths": tuple(depths),
+        "dims": tuple(dims),
+        "mlp_ratios": tuple(ratios),
+        "mixers": tuple(mixers),
+        "pos_embs": tuple(pos_embs),
+        "final_conv_ratio": int(fin[0]) / dims[-1],
+        "use_head_proj": any(f"{k}.weight" in shapes
+                             for k in ("head.fc", "head.proj", "head")),
+    }
+
+
 # ---------------------------------------------------------------------------
 # init
 # ---------------------------------------------------------------------------

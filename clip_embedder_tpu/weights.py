@@ -328,6 +328,50 @@ def map_pe_visual(sd: Mapping[str, np.ndarray]) -> Params:
     return params
 
 
+def derive_pe_cfg_from_sd(sd: Mapping[str, np.ndarray]) -> dict:
+    """Derive PE-Core dims from a checkpoint state dict's shapes — the
+    checkpoint-path analog of ``onnx_reader.derive_pe_cfg`` (the exporter
+    pattern: read the real model, never a table — reference:
+    pull_onnx.py:93-150). Used by pull_weights.py at conversion time so the
+    paper-reconstructed size table (models.build._PE_CORE_SIZES) is
+    bypassed for every shape-derivable field whenever a checkpoint exists.
+
+    ``heads`` is NOT shape-derivable (the packed in_proj is [3w, w] for any
+    head count, and the rope tables a graph carries are computed at runtime
+    here) — it stays table/override-seeded and models.build warns when so.
+
+    Raises WeightError when the dict is not a PE-Core-shaped ViT.
+    """
+    sd = _select_prefix(strip_prefix(sd, "model."), "visual.")
+    conv1 = sd.get("conv1.weight")
+    if conv1 is None or np.asarray(conv1).ndim != 4 \
+            or np.asarray(conv1).shape[1] != 3:
+        raise WeightError(
+            "state dict has no [width, 3, p, p] patch conv (conv1.weight)")
+    width = int(np.asarray(conv1).shape[0])
+    patch = int(np.asarray(conv1).shape[2])
+    layers = _max_index(sd, r"transformer\.resblocks\.(\d+)\.ln_1\.weight")
+    if layers == 0:
+        raise WeightError("state dict has no transformer.resblocks.* layers")
+    fc = sd.get("transformer.resblocks.0.mlp.c_fc.weight")
+    if fc is None:
+        raise WeightError("state dict has no mlp.c_fc weights")
+    cfg = {
+        "width": width,
+        "patch_size": patch,
+        "layers": layers,
+        "mlp_hidden": int(np.asarray(fc).shape[0]),
+        "use_class_token": "class_embedding" in sd,
+        "use_ln_pre": "ln_pre.weight" in sd,
+        "pool": "map" if "attn_pool.probe" in sd else "tok",
+    }
+    for key in ("attn_pool.mlp.c_fc.weight", "attn_pool.mlp.fc1.weight"):
+        if key in sd:
+            cfg["pool_mlp_hidden"] = int(np.asarray(sd[key]).shape[0])
+            break
+    return cfg
+
+
 def map_clip_text(sd: Mapping[str, np.ndarray]) -> Params:
     """Classic open_clip text transformer state dict → pytree.
 

@@ -96,14 +96,19 @@ def convert_checkpoint(model_dir: Path, sd: dict[str, np.ndarray]) -> None:
     from clip_embedder_tpu.weights import map_state_dict, save_pytree
 
     cfg = OpenClipConfig.from_file(model_dir / "open_clip_config.json")
-    vspec = resolve_vision(cfg.model_cfg)
-    tspec = resolve_text(cfg.model_cfg)
-
     visual_sd = {k: v for k, v in sd.items() if k.startswith("visual.")}
     text_sd = {
         k: v for k, v in sd.items()
         if not k.startswith("visual.") and k not in ("logit_scale", "logit_bias")
     }
+    # the checkpoint is the ground truth for the paper-table families
+    # (PE-Core sizes, FastViT MCi3/MCi4): derive + persist dims from its
+    # shapes before resolving the architecture
+    from clip_embedder_tpu.vision import derive_vision_dims_from_sd
+
+    derive_vision_dims_from_sd(model_dir, cfg, visual_sd)
+    vspec = resolve_vision(cfg.model_cfg)
+    tspec = resolve_text(cfg.model_cfg)
     vparams = map_state_dict(visual_sd, tower="visual", family=vspec.family)
     tparams = map_state_dict(text_sd, tower="text", family=tspec.family)
     save_pytree(model_dir / "visual.npz", vparams)

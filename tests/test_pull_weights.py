@@ -88,6 +88,113 @@ def test_convert_checkpoint_serves(checkpoint_and_dir):
     assert ((got_t * ref_t).sum(-1) > 1 - 1e-5).all()
 
 
+def test_derive_fastvit_cfg_from_sd():
+    """Checkpoint shapes are the ground truth for the stage architecture
+    (VERDICT r4 next #3) — every graph-derivable field except head_dim/
+    lkc_act recovers from the state dict alone."""
+    from torch_ref_fastvit import TorchFastViT
+
+    from clip_embedder_tpu.models.fastvit import derive_fastvit_cfg_from_sd
+
+    torch.manual_seed(0)
+    m = TorchFastViT((1, 2, 2), (8, 16, 32), (3, 3, 3),
+                     ("repmixer", "repmixer", "attention"),
+                     (False, False, True), embed_dim=32, head_dim=16).eval()
+    sd = {f"visual.trunk.{k}": v.numpy() for k, v in m.state_dict().items()}
+    cfg = derive_fastvit_cfg_from_sd(sd)
+    assert cfg["depths"] == (1, 2, 2)
+    assert cfg["dims"] == (8, 16, 32)
+    assert cfg["mlp_ratios"] == (3.0, 3.0, 3.0)
+    assert cfg["mixers"] == ("repmixer", "repmixer", "attention")
+    assert cfg["pos_embs"] == (False, False, True)
+    assert cfg["final_conv_ratio"] == 2.0
+    assert cfg["use_head_proj"] is True
+
+    # a plain-ViT state dict must be rejected, not misread
+    from clip_embedder_tpu.errors import WeightError
+
+    vt = VisionTransformer(32, 8, 64, 2, 4, 256, 32).eval()
+    with pytest.raises(WeightError, match="stem"):
+        derive_fastvit_cfg_from_sd(
+            {f"visual.{k}": v.numpy() for k, v in vt.state_dict().items()})
+
+
+def test_derive_pe_cfg_from_sd():
+    from test_pe_core import EMBED, HEADS, IMG, LAYERS, MLP, PATCH, W, \
+        PECoreViT
+
+    from clip_embedder_tpu.weights import derive_pe_cfg_from_sd
+
+    torch.manual_seed(0)
+    mirror = PECoreViT(IMG, PATCH, W, LAYERS, HEADS, MLP, EMBED).eval()
+    sd = {k: v.detach().numpy() for k, v in mirror.state_dict().items()}
+    cfg = derive_pe_cfg_from_sd(sd)
+    assert cfg["width"] == W
+    assert cfg["patch_size"] == PATCH
+    assert cfg["layers"] == LAYERS
+    assert cfg["mlp_hidden"] == MLP
+    assert cfg["pool"] == "map"
+    assert "heads" not in cfg  # never shape-derivable — table/override only
+
+
+def test_convert_checkpoint_derives_fastvit_dims(tmp_path):
+    """An MCi3-named checkpoint with dims that contradict the paper table
+    converts with SD-DERIVED dims (persisted), loads, and matches the torch
+    mirror — the table is bypassed whenever a checkpoint exists."""
+    from torch_ref_fastvit import TorchFastViT
+
+    torch.manual_seed(3)
+    # head_dim 32 = the timm constant the derivation assumes
+    fv = TorchFastViT((1, 2, 2), (16, 32, 64), (3, 3, 3),
+                      ("repmixer", "repmixer", "attention"),
+                      (False, False, True), embed_dim=32, head_dim=32).eval()
+    tt = TextTransformer(12, 512, 64, 4, 2, 256, 32).eval()
+    sd = {f"visual.trunk.{k}": v.numpy() for k, v in fv.state_dict().items()}
+    sd.update({k: v.numpy() for k, v in tt.state_dict().items()})
+    sd["logit_scale"] = np.asarray(np.log(100.0), np.float32)
+
+    d = tmp_path / "model"
+    d.mkdir()
+    occ = {
+        "model_cfg": {
+            "embed_dim": 32,
+            "vision_cfg": {"image_size": 64,
+                           "timm_model_name": "fastvit_mci3"},
+            "text_cfg": {"context_length": 12, "vocab_size": 512,
+                         "width": 64, "heads": 4, "layers": 2},
+        },
+        "preprocess_cfg": {"mean": [0.5] * 3, "std": [0.3] * 3},
+    }
+    (d / "open_clip_config.json").write_text(json.dumps(occ))
+    from test_tokenizer import make_clip_style_spec
+
+    (d / "tokenizer.json").write_text(json.dumps(make_clip_style_spec()))
+    (d / "model_config.json").write_text(json.dumps(
+        pull_weights.derive_model_config("apple/MobileCLIP2-S3", occ, sd)))
+
+    pull_weights.convert_checkpoint(d, sd)
+    # derived dims were persisted — the mci3 paper-table row is unused
+    occ2 = json.loads((d / "open_clip_config.json").read_text())
+    derived = occ2["model_cfg"]["vision_cfg"]["fastvit_cfg"]
+    assert tuple(derived["dims"]) == (16, 32, 64)
+    assert tuple(derived["depths"]) == (1, 2, 2)
+
+    from clip_embedder_tpu import VisionEmbedder
+
+    ve = VisionEmbedder.from_local_dir(d)
+    assert ve.spec.family == "fastvit"
+    x = torch.randn(2, 3, 64, 64)
+    ref = fv(x).detach().numpy()
+    ref /= np.linalg.norm(ref, axis=-1, keepdims=True)
+    import jax.numpy as jnp
+
+    from clip_embedder_tpu.models import fastvit as fv_mod
+
+    got = np.asarray(fv_mod.apply(
+        ve.params, jnp.asarray(x.permute(0, 2, 3, 1).numpy()), ve.spec.cfg))
+    assert ((got * ref).sum(-1) > 1 - 1e-5).all()
+
+
 def test_derive_model_config_siglip_rules(checkpoint_and_dir):
     """SigLIP detection rules (reference: pull_onnx.py:128-150): repo name
     or init_logit_bias; pad_id 1 for SigLIP-v1, 0 for SigLIP2."""
