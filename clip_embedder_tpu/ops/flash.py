@@ -81,7 +81,8 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, g: int, d: int,
                    quant_pv: bool = False,
                    mxu_denom: bool = False,
                    quant_qk: bool = False,
-                   exp_bf16: bool = False):
+                   exp_bf16: bool = False,
+                   pair_exp: bool = False):
     """One (batch, head-group) block in packed [S, g·D] layout.
 
     ``quant_pv`` routes the p·v matmul through int8 (per-row dynamic quant
@@ -124,6 +125,62 @@ def _packed_kernel(q_ref, k_ref, v_ref, o_ref, *, g: int, d: int,
     # fold the softmax scale into q: one [S, g·D] pass for the whole group
     qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
     outs = []
+    if pair_exp and not (quant_pv or quant_qk) and g % 2 == 0:
+        # two-heads-per-exp amortization (VERDICT r4 next #4): run the
+        # [S, S] exp (the kernel's VPU floor) once per head PAIR on a
+        # concatenated [S, 2S] block. Trades one exp-pass launch for a
+        # concat copy per pair — see BENCH_RESULTS for the measured
+        # verdict at the big-tower shapes.
+        s_len = q.shape[0]
+        for h in range(0, g, 2):
+            halves = []
+            for hh in (h, h + 1):
+                qh = qs[:, hh * d:(hh + 1) * d]
+                kh = k[:, hh * d:(hh + 1) * d]
+                logits = jax.lax.dot_general(
+                    qh, kh,
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                if mask_ref is not None:
+                    logits = logits + mask_ref[:]
+                if fast_softmax:
+                    halves.append(jnp.clip(logits, -60.0, 60.0))
+                else:
+                    m = jnp.maximum(
+                        jnp.max(logits, axis=-1, keepdims=True), -1e30)
+                    halves.append(logits - m)
+            lab = jnp.concatenate(halves, axis=1)
+            p2 = jnp.exp(lab.astype(jnp.bfloat16) if exp_bf16 else lab)
+            for idx, hh in enumerate((h, h + 1)):
+                p = p2[:, idx * s_len:(idx + 1) * s_len]
+                vh = v[:, hh * d:(hh + 1) * d]
+                if mxu_denom and d % 128:
+                    dp = _round_up(d + 1, 128)
+                    vpad = jnp.concatenate(
+                        [vh, jnp.zeros((vh.shape[0], dp - d), v.dtype)],
+                        axis=1)
+                    colp = jax.lax.broadcasted_iota(jnp.int32, vpad.shape, 1)
+                    vpad = jnp.where(colp == d, jnp.ones((), v.dtype), vpad)
+                    out = jax.lax.dot_general(
+                        p.astype(v.dtype), vpad,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    denom = out[:, d:d + 1]
+                    outs.append(
+                        (out[:, :d] * (1.0 / denom)).astype(o_ref.dtype))
+                else:
+                    denom = jnp.sum(p.astype(jnp.float32), axis=-1,
+                                    keepdims=True)
+                    out = jax.lax.dot_general(
+                        p.astype(v.dtype), vh,
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    outs.append((out * (1.0 / denom)).astype(o_ref.dtype))
+        o_ref[0] = jnp.concatenate(outs, axis=1)
+        return
     for h in range(g):
         qh = qs[:, h * d:(h + 1) * d]
         kh = k[:, h * d:(h + 1) * d]
@@ -246,7 +303,8 @@ def _head_group(num_heads: int, d: int) -> int | None:
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "fast_softmax", "interpret", "quant_pv",
-                     "mxu_denom", "quant_qk", "exp_bf16"))
+                     "mxu_denom", "quant_qk", "exp_bf16", "pair_exp",
+                     "group_mult"))
 def flash_attention_packed(
     q: jax.Array,  # [B, S, H·D] head-major packed (projection layout)
     k: jax.Array,
@@ -261,6 +319,8 @@ def flash_attention_packed(
     mxu_denom: bool = True,
     quant_qk: bool = False,
     exp_bf16: bool = False,
+    pair_exp: bool = False,
+    group_mult: int = 1,
 ) -> jax.Array:
     """Fused attention consuming the projection layout directly.
 
@@ -292,6 +352,11 @@ def flash_attention_packed(
     if g is None:
         raise ValueError(
             f"width {hd} with {num_heads} heads has no 128-lane head group")
+    if group_mult > 1 and num_heads % (g * group_mult) == 0:
+        # fewer grid steps x more heads per step: amortizes per-step DMA
+        # setup / pipeline ramp across a longer unrolled head loop
+        # (VERDICT r4 next #4 — see BENCH_RESULTS for the verdict)
+        g *= group_mult
     groups = num_heads // g
     gd = g * d
 
@@ -346,13 +411,14 @@ def flash_attention_packed(
                            fast_softmax=fast_softmax, mask_ref=None,
                            rope_refs=(sin_ref, cos_ref), quant_pv=quant_pv,
                            mxu_denom=mxu_denom, quant_qk=quant_qk,
-                           exp_bf16=exp_bf16)
+                           exp_bf16=exp_bf16, pair_exp=pair_exp)
     elif mask2d is None and maskkey is None and maskfull is None:
         def kernel(q_ref, k_ref, v_ref, o_ref):
             _packed_kernel(q_ref, k_ref, v_ref, o_ref, g=g, d=d, scale=scale,
                            fast_softmax=fast_softmax, mask_ref=None,
                            quant_pv=quant_pv, mxu_denom=mxu_denom,
-                           quant_qk=quant_qk, exp_bf16=exp_bf16)
+                           quant_qk=quant_qk, exp_bf16=exp_bf16,
+                           pair_exp=pair_exp)
     else:
         shared_mask = mask2d is not None
 
@@ -363,7 +429,8 @@ def flash_attention_packed(
             _packed_kernel(q_ref, k_ref, v_ref, o_ref, g=g, d=d, scale=scale,
                            fast_softmax=fast_softmax, mask_ref=mval,
                            quant_pv=quant_pv, mxu_denom=mxu_denom,
-                           quant_qk=quant_qk, exp_bf16=exp_bf16)
+                           quant_qk=quant_qk, exp_bf16=exp_bf16,
+                           pair_exp=pair_exp)
 
         if mask2d is not None:
             in_specs = in_specs + [

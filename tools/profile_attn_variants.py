@@ -83,6 +83,12 @@ def main() -> None:
             "quant_qk+exp_bf16": {"quant_qk": True, "exp_bf16": True},
             "fast_softmax": {"fast_softmax": True},
             "fast+exp_bf16": {"fast_softmax": True, "exp_bf16": True},
+            # round-5: two-heads-per-step amortizations (VERDICT r4 #4)
+            "fast+pair_exp": {"fast_softmax": True, "pair_exp": True},
+            "pair_exp": {"pair_exp": True},
+            "fast+group_mult2": {"fast_softmax": True, "group_mult": 2},
+            "fast+pair+gm2": {"fast_softmax": True, "pair_exp": True,
+                              "group_mult": 2},
         }
         # numerics first (one eval each, vs the exact kernel in f32)
         ref = np.asarray(run(q, k, v)).astype(np.float64)
