@@ -109,6 +109,38 @@ def resolve_eva02(name: str, vcfg, embed_dim: int) -> Eva02Cfg:
     )
 
 
+def derive_eva02_cfg_from_sd(sd) -> dict:
+    """Derive EVA02 dims from a checkpoint state dict's shapes — the
+    checkpoint-path analog of ``onnx_reader.derive_eva02_cfg`` (same
+    contract as weights.derive_pe_cfg_from_sd / fastvit's
+    derive_fastvit_cfg_from_sd: read the real model, never a table).
+    ``heads`` is NOT shape-derivable (separate square q/k/v projections;
+    the rope tables a graph carries are computed at runtime here) and
+    stays table/override-seeded.
+
+    Raises WeightError when the dict is not an EVA02-shaped tower."""
+    from ..errors import WeightError
+    from ..weights import _max_index, strip_prefix
+
+    sd = {k: np.asarray(v).shape for k, v in strip_prefix(
+        dict(sd), "model.", "visual.", "trunk.").items()}
+    patch = sd.get("patch_embed.proj.weight")
+    if patch is None or len(patch) != 4 or patch[1] != 3:
+        raise WeightError(
+            "state dict has no [width, 3, p, p] patch conv "
+            "(patch_embed.proj.weight)")
+    layers = _max_index(sd, r"blocks\.(\d+)\.norm1\.weight")
+    gate = sd.get("blocks.0.mlp.fc1_g.weight")
+    if layers == 0 or gate is None:
+        raise WeightError(
+            "state dict has no EVA02 SwiGLU blocks (blocks.*.mlp.fc1_g)")
+    return {
+        "width": int(patch[0]),
+        "layers": layers,
+        "mlp_hidden": int(gate[0]),
+    }
+
+
 def rope_embed(grid: int, head_dim: int, temperature: float = 10000.0,
                ref_grid: int | None = None) -> np.ndarray:
     """Axial 2D rope angle table [grid², head_dim], timm

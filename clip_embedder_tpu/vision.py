@@ -124,6 +124,9 @@ def derive_vision_dims_from_sd(model_dir: Path, config: OpenClipConfig,
     elif "fastvit" in name or "mci" in name or "mobileclip" in name:
         from .models.fastvit import derive_fastvit_cfg_from_sd as derive
         key = "fastvit_cfg"
+    elif name.startswith("eva02_"):
+        from .models.eva02 import derive_eva02_cfg_from_sd as derive
+        key = "eva02_cfg"
     else:
         return
     if v.extra.get(key):

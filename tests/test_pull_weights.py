@@ -119,6 +119,27 @@ def test_derive_fastvit_cfg_from_sd():
             {f"visual.{k}": v.numpy() for k, v in vt.state_dict().items()})
 
 
+def test_derive_eva02_cfg_from_sd():
+    from test_eva02 import TorchEva02
+
+    from clip_embedder_tpu.models.eva02 import derive_eva02_cfg_from_sd
+
+    IMG, PATCH, W, LAYERS, HEADS, HIDDEN, EMBED = 32, 8, 64, 2, 4, 96, 48
+    torch.manual_seed(7)
+    mirror = TorchEva02(IMG, PATCH, W, LAYERS, HEADS, HIDDEN, EMBED).eval()
+    sd = {f"visual.trunk.{k}": v.numpy()
+          for k, v in mirror.state_dict().items()}
+    cfg = derive_eva02_cfg_from_sd(sd)
+    assert cfg == {"width": W, "layers": LAYERS, "mlp_hidden": HIDDEN}
+
+    from clip_embedder_tpu.errors import WeightError
+
+    vt = VisionTransformer(32, 8, 64, 2, 4, 256, 32).eval()
+    with pytest.raises(WeightError, match="SwiGLU|patch conv"):
+        derive_eva02_cfg_from_sd(
+            {f"visual.{k}": v.numpy() for k, v in vt.state_dict().items()})
+
+
 def test_derive_pe_cfg_from_sd():
     from test_pe_core import EMBED, HEADS, IMG, LAYERS, MLP, PATCH, W, \
         PECoreViT
