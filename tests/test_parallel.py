@@ -164,6 +164,35 @@ def test_sharded_bulk_embedders(mesh):
     assert (cos_t > 1 - 1e-5).all()
 
 
+def test_sharded_bulk_embed_quantized_dp(mesh):
+    """The production throughput configuration (int8_all) composes with
+    DP mesh serving: quantized params replicate, the per-shard forward
+    runs the int8 path, and the result matches the single-device
+    quantized embedder exactly (same program, sharded batch)."""
+    from test_concurrency import make_model_dir
+
+    from clip_embedder_tpu import Clip
+    from clip_embedder_tpu.parallel import ShardedVisionEmbedder
+
+    d = make_model_dir()
+    clip_q = Clip.from_local_dir(d, quantize="int8_all")
+    assert clip_q.vision.quantize == "int8_all"
+    rng = np.random.default_rng(2)
+    images = [rng.integers(0, 255, size=(40 + i, 50, 3), dtype=np.uint8)
+              for i in range(6)]
+    sharded = ShardedVisionEmbedder(clip_q.vision, mesh)
+    got = sharded.embed_images(images)
+    expect = clip_q.vision.embed_images(images)
+    cos = np.sum(got * expect, axis=-1)
+    assert (cos > 1 - 1e-5).all()
+
+    # and TP stays rejected for quantized params (the documented contract)
+    from clip_embedder_tpu.errors import ConfigError
+
+    with pytest.raises(ConfigError, match="tensor_parallel"):
+        ShardedVisionEmbedder(clip_q.vision, mesh, tensor_parallel=True)
+
+
 def test_embed_pipeline_order_and_values(mesh):
     """EmbedPipeline must match direct embedding, preserve order, and
     handle a ragged final batch."""
