@@ -69,6 +69,56 @@ def warmup(
 _STOP = object()
 
 
+class ServerMetrics:
+    """Thread-safe per-endpoint serving metrics (requests, items, errors,
+    latency percentiles over a sliding window) — the observability layer
+    the reference leaves to its callers (SURVEY §5: the reference has
+    none; results are just returned). Exposed at ``GET /v1/metrics``."""
+
+    _WINDOW = 2048  # latency samples kept per endpoint
+
+    def __init__(self) -> None:
+        from collections import Counter, defaultdict, deque
+
+        self._lock = threading.Lock()
+        self._requests: dict[str, int] = Counter()
+        self._items: dict[str, int] = Counter()
+        self._errors: dict[str, int] = Counter()
+        self._lat = defaultdict(lambda: deque(maxlen=self._WINDOW))
+        self._t0 = time.time()
+
+    def observe(self, endpoint: str, *, items: int, seconds: float,
+                error: str | None = None) -> None:
+        with self._lock:
+            self._requests[endpoint] += 1
+            self._items[endpoint] += items
+            if error is not None:
+                self._errors[f"{endpoint}:{error}"] += 1
+            else:
+                self._lat[endpoint].append(seconds * 1e3)
+
+    def snapshot(self) -> dict:
+        with self._lock:
+            lat = {}
+            for ep, window in self._lat.items():
+                if not window:
+                    continue
+                s = sorted(window)
+                lat[ep] = {
+                    "p50_ms": round(s[len(s) // 2], 3),
+                    "p95_ms": round(s[int(len(s) * 0.95)], 3),
+                    "max_ms": round(s[-1], 3),
+                    "window": len(s),
+                }
+            return {
+                "uptime_s": round(time.time() - self._t0, 1),
+                "requests": dict(self._requests),
+                "items": dict(self._items),
+                "errors": dict(self._errors),
+                "latency": lat,
+            }
+
+
 class _NoSuchEndpoint(Exception):
     """Unknown route — mapped to HTTP 404 (a wrong URL is not a 400-class
     malformed request; clients and proxies key on the distinction)."""
@@ -252,6 +302,9 @@ class ClipServer:
       reference's classify contract, src/clip.rs:94-132)
     - ``POST /v1/rank`` — ``{"images_b64": [...], "text": "..."}`` →
       ``{"results": [[index, prob], ...]}`` sorted descending
+    - ``GET  /v1/metrics`` → per-endpoint request/item/error counts,
+      latency percentiles over a sliding window, micro-batch counts
+      (:class:`ServerMetrics` — scrape-friendly JSON)
 
     Client errors (bad JSON, undecodable image, empty batch) map to HTTP
     400 with ``{"error": <ClipError class>, "message": ...}``; unexpected
@@ -287,6 +340,7 @@ class ClipServer:
 
         self._clip = clip
         self._closing = False
+        self.metrics = ServerMetrics()
         self.mesh = mesh
         if mesh is not None:
             # mesh-backed deployment: every forward (bulk requests AND the
@@ -337,11 +391,19 @@ class ClipServer:
                         "batches": server._vision_batcher.batches
                         + server._text_batcher.batches,
                     })
+                elif self.path == "/v1/metrics":
+                    snap = server.metrics.snapshot()
+                    snap["micro_batches"] = {
+                        "vision": server._vision_batcher.batches,
+                        "text": server._text_batcher.batches,
+                    }
+                    self._send(200, snap)
                 else:
                     self._send(404, {"error": "NotFound",
                                      "message": self.path})
 
             def do_POST(self):  # noqa: N802
+                t0 = time.perf_counter()
                 try:
                     payload = self._route(self.path, self._body(),
                                           self.headers.get("Content-Type",
@@ -352,19 +414,31 @@ class ClipServer:
                     # shutdown(), so the batchers may already be closed.
                     # 503 tells well-behaved clients to retry elsewhere.
                     code = 503 if server._closing else 400
+                    self._observe(t0, error=type(e).__name__)
                     self._send(code, {"error": type(e).__name__,
                                       "message": str(e)})
                 except _NoSuchEndpoint as e:
                     self._send(404, {"error": "NotFound",
                                      "message": str(e)})
                 except (ValueError, KeyError, TypeError) as e:
+                    self._observe(t0, error=type(e).__name__)
                     self._send(400, {"error": type(e).__name__,
                                      "message": str(e)})
                 except Exception as e:  # noqa: BLE001
+                    self._observe(t0, error=type(e).__name__)
                     self._send(500, {"error": type(e).__name__,
                                      "message": str(e)})
                 else:
+                    rows = payload.get("embeddings") \
+                        or payload.get("results") or ()
+                    self._observe(t0, items=len(rows))
                     self._send(200, payload)
+
+            def _observe(self, t0: float, *, items: int = 0,
+                         error: str | None = None) -> None:
+                server.metrics.observe(self.path, items=items,
+                                       seconds=time.perf_counter() - t0,
+                                       error=error)
 
             def _route(self, path: str, body: bytes, ctype: str) -> dict:
                 if path == "/v1/embed/image":

@@ -254,3 +254,25 @@ def test_shutdown_race_maps_clip_errors_to_503(served):
         assert ei.value.code == 503
     finally:
         server._closing = False
+
+
+def test_metrics_endpoint(served):
+    """GET /v1/metrics: per-endpoint request/item counts, latency
+    percentiles, error tallies, micro-batch counts (round 5 — the
+    observability layer SURVEY §5 notes the reference lacks)."""
+    clip, server = served
+    _post(server, "/v1/embed/text", {"texts": ["metrics probe"]})
+    _post(server, "/v1/embed/image", _jpeg(21), "image/jpeg")
+    try:  # one client error to tally
+        _post(server, "/v1/embed/text", {"texts": []})
+    except Exception:  # noqa: BLE001 — urllib raises on 400
+        pass
+    with urllib.request.urlopen(_url(server, "/v1/metrics"), timeout=30) as r:
+        snap = json.loads(r.read())
+    assert snap["requests"]["/v1/embed/text"] >= 1
+    assert snap["items"]["/v1/embed/image"] >= 1
+    lat = snap["latency"]["/v1/embed/text"]
+    assert lat["p50_ms"] > 0 and lat["p95_ms"] >= lat["p50_ms"]
+    assert any(k.startswith("/v1/embed/text:") for k in snap["errors"])
+    assert snap["micro_batches"]["vision"] >= 1
+    assert snap["uptime_s"] >= 0
