@@ -69,6 +69,13 @@ def _iter_fields(buf: memoryview) -> Iterator[tuple[int, int, object]]:
             pos += 8
         elif wtype == 2:
             length, pos = _read_varint(buf, pos)
+            if pos + length > n:
+                # memoryview slicing would silently truncate — a corrupt
+                # or cut-off download must fail loudly, not parse as an
+                # empty graph
+                raise WeightError(
+                    "Truncated ONNX file: length-delimited field of "
+                    f"{length} bytes at offset {pos} exceeds the buffer")
             val = buf[pos : pos + length]
             pos += length
         elif wtype == 5:

@@ -8,6 +8,7 @@ then that a named-weights graph maps onto a tower pytree.
 import struct
 
 import numpy as np
+import pytest
 import torch
 
 from clip_embedder_tpu.onnx_reader import extract_tower_params, read_onnx
@@ -504,3 +505,21 @@ def test_rewind_pull_takes_late_bias_without_skipping_weights():
     for want in ("q", "k", "v", "out"):
         p.pull((d, d), what=want)
         assert p.last_name == want
+
+
+@pytest.mark.parametrize("data,match", [
+    (b"", "No graph"),
+    (b"\x12\x34\x56\x78" * 100, "wire type"),
+    (bytes([0x3a, 0xff, 0xff, 0xff, 0x7f]) + b"abc", "Truncated"),
+])
+def test_malformed_onnx_raises_typed_error(tmp_path, data, match):
+    """Corrupt / cut-off .onnx files fail loudly with WeightError (never
+    parse as an empty graph — a truncated download must not degrade to a
+    'no initializers' message downstream)."""
+    from clip_embedder_tpu.errors import WeightError
+    from clip_embedder_tpu.onnx_reader import read_onnx
+
+    p = tmp_path / "bad.onnx"
+    p.write_bytes(data)
+    with pytest.raises(WeightError, match=match):
+        read_onnx(p)
