@@ -82,7 +82,15 @@ class Tokenizer:
             spec = json.loads(text)
         except json.JSONDecodeError as e:
             raise JsonError(f"JSON error in {path}: {e}") from e
-        return cls(spec)
+        try:
+            return cls(spec)
+        except (KeyError, TypeError, ValueError) as e:
+            # Valid JSON, invalid tokenizer schema (e.g. a model section
+            # missing its vocab). HF `tokenizers` raises a typed error here
+            # ("data did not match any variant ..."); a raw KeyError must not
+            # escape the load path (reference: src/error.rs Tokenizer variant).
+            raise TokenizerError(
+                f"Invalid tokenizer spec in {path}: {e!r}") from e
 
     def clone(self) -> "Tokenizer":
         """Independent copy (same spec, same padding/truncation config).

@@ -383,6 +383,24 @@ def test_wordpiece_missing_unk_raises(tmp_path):
         wp.tokenize("zzz")
 
 
+def test_schema_invalid_tokenizer_json_raises_typed(tmp_path):
+    """Valid JSON with an invalid tokenizer schema (model section missing
+    its vocab) must raise TokenizerError, not a raw KeyError — HF
+    `tokenizers` fails typed here too (reference src/error.rs Tokenizer)."""
+    import json
+
+    from clip_embedder_tpu.errors import TokenizerError
+    from clip_embedder_tpu.tokenizer import Tokenizer
+
+    p = tmp_path / "tokenizer.json"
+    for bad in ({"model": {"type": "BPE"}},          # missing vocab/merges
+                {"model": {"type": "WordPiece"}},    # missing vocab
+                {}):                                  # missing model entirely
+        p.write_text(json.dumps(bad))
+        with pytest.raises(TokenizerError, match="Invalid tokenizer spec"):
+            Tokenizer.from_file(p)
+
+
 def make_unigram_first_spec():
     """Metaspace prepend_scheme='first' variant (Llama-style prefixing)."""
     spec = make_unigram_spec()
