@@ -12,6 +12,8 @@ from clip_embedder_tpu import Clip
 
 
 def main():
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
     model = sys.argv[1]
     image = sys.argv[2]
     labels = sys.argv[3:] or [

@@ -24,6 +24,8 @@ def stats(name, arr):
 
 
 def main():
+    if len(sys.argv) < 4:
+        sys.exit(__doc__)
     model_dir, image, text = sys.argv[1], sys.argv[2], sys.argv[3]
     clip = Clip.from_local_dir(model_dir)
 

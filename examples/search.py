@@ -18,6 +18,8 @@ logger = get_logger()
 
 
 def main():
+    if len(sys.argv) < 4:
+        sys.exit(__doc__)
     model_dir, image_dir, query = sys.argv[1], sys.argv[2], sys.argv[3]
     paths = sorted(
         p for p in Path(image_dir).iterdir()

@@ -30,6 +30,8 @@ MAX_BATCH = 8  # a warmed bucket: windows never hit a cold compile
 
 
 def main():
+    if len(sys.argv) < 2:
+        sys.exit(__doc__)
     model_dir = sys.argv[1]
     port = int(sys.argv[2]) if len(sys.argv) > 2 else 8000
 

@@ -13,6 +13,8 @@ from clip_embedder_tpu import TextEmbedder
 
 
 def main():
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
     model_dir, texts = sys.argv[1], sys.argv[2:]
     text = TextEmbedder.from_local_dir(model_dir)
     embs = text.embed_texts(texts)

@@ -14,6 +14,8 @@ from clip_embedder_tpu.utils.logging import get_logger, timed
 
 
 def main():
+    if len(sys.argv) < 3:
+        sys.exit(__doc__)
     model_dir, images = sys.argv[1], sys.argv[2:]
     logger = get_logger()
     with timed("load", logger):
