@@ -32,7 +32,7 @@ from .model_manager import (
 from .models.build import TowerSpec, resolve_text
 from .ops.preprocess import bucket_batch
 from .tokenizer import Tokenizer
-from .weights import load_pytree, save_pytree
+from .weights import load_pytree, save_pytree, validate_tower_pytree
 
 
 def _maybe_derive_hf_config(model_dir: Path, config: OpenClipConfig) -> None:
@@ -130,7 +130,9 @@ def _load_or_convert_text(model_dir: Path, spec: TowerSpec, dtype) -> dict:
 
     native = model_dir / NATIVE_TEXT
     if native.is_file():
-        return load_pytree(native, dtype=dtype)
+        params = load_pytree(native, dtype=dtype)
+        validate_tower_pytree(params, spec, source=native)
+        return params
     from .onnx_reader import extract_tower_params
 
     params = extract_tower_params(model_dir / "text.onnx", spec, tower="text")

@@ -282,11 +282,29 @@ def load_checkpoint(path, *, step: int, abstract_state=None):
 
 def export_trained_model(model_dir, params) -> None:
     """Write trained tower params into a model dir's native weight files so
-    the inference embedders serve them (training → serving handoff)."""
+    the inference embedders serve them (training → serving handoff).
+
+    When the dir already carries an ``open_clip_config.json``, the trained
+    trees are validated against the architecture it resolves — an export
+    whose config doesn't describe the weights (e.g. a non-default mlp_ratio
+    the JSON omits) fails HERE as a typed WeightError instead of producing
+    a dir that every later load rejects."""
     from pathlib import Path
 
-    from .weights import save_pytree
+    from .weights import save_pytree, validate_tower_pytree
 
     model_dir = Path(model_dir)
+    occ = model_dir / "open_clip_config.json"
+    if occ.is_file():
+        from .config import OpenClipConfig
+        from .models.build import resolve_text, resolve_vision
+
+        cfg = OpenClipConfig.from_file(occ)
+        validate_tower_pytree(
+            params["visual"], resolve_vision(cfg.model_cfg),
+            source="trained visual params vs open_clip_config.json")
+        validate_tower_pytree(
+            params["text"], resolve_text(cfg.model_cfg),
+            source="trained text params vs open_clip_config.json")
     save_pytree(model_dir / "visual.npz", params["visual"])
     save_pytree(model_dir / "text.npz", params["text"])

@@ -31,7 +31,7 @@ from .model_manager import (
 from .models.build import TowerSpec, resolve_vision
 from .ops.preprocess import Preprocessor
 from .utils.images import to_rgb_array
-from .weights import load_pytree, save_pytree
+from .weights import load_pytree, save_pytree, validate_tower_pytree
 
 
 def to_device_tree(params: dict, dtype) -> dict:
@@ -162,7 +162,9 @@ def _load_or_convert_visual(model_dir: Path, spec: TowerSpec, dtype) -> dict:
         return {k: jnp.asarray(v) for k, v in tower.params.items()}
     native = model_dir / NATIVE_VISUAL
     if native.is_file():
-        return load_pytree(native, dtype=dtype)
+        params = load_pytree(native, dtype=dtype)
+        validate_tower_pytree(params, spec, source=native)
+        return params
     from .onnx_reader import extract_tower_params
 
     params = extract_tower_params(model_dir / "visual.onnx", spec, tower="visual")

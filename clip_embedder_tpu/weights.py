@@ -85,6 +85,110 @@ def load_pytree(path: Path | str, *, dtype=None) -> Params:
     return _relistify(tree)
 
 
+def _flat_shapes(tree: Any, prefix: str = "") -> dict[str, tuple]:
+    """Flatten a pytree (of arrays or ShapeDtypeStructs) to path → shape."""
+    out: dict[str, tuple] = {}
+    if isinstance(tree, Mapping):
+        for k, v in tree.items():
+            out.update(_flat_shapes(v, f"{prefix}{k}/"))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            out.update(_flat_shapes(v, f"{prefix}{i}/"))
+    else:
+        out[prefix[:-1]] = tuple(tree.shape)
+    return out
+
+
+def _family_init(family: str):
+    """The family's ``init(key, cfg)`` — the canonical pytree layout every
+    weight source (mapper, structural extraction, npz) must produce."""
+    if family == "vit":
+        from .models import vit
+        return vit.init
+    if family == "fastvit":
+        from .models import fastvit
+        return fastvit.init
+    if family == "resnet":
+        from .models import resnet
+        return resnet.init
+    if family == "convnext":
+        from .models import convnext
+        return convnext.init
+    if family == "eva02":
+        from .models import eva02
+        return eva02.init
+    if family == "text_transformer":
+        from .models import text_transformer
+        return text_transformer.init
+    if family == "hf_bert":
+        from .models import hf_text
+        return hf_text.init
+    if family == "mct":
+        from .models import mct
+        return mct.init
+    return None  # "onnx": the graph IS the params, nothing to check against
+
+
+def validate_tower_pytree(params: Params, spec, *, source) -> None:
+    """Check a loaded weight pytree against the family's canonical layout.
+
+    ``visual.npz``/``text.npz`` are consumed blindly by the jitted forward;
+    a file whose tree doesn't match the TowerSpec (hand-edited, produced by
+    an older converter, or paired with the wrong config) must fail here as a
+    typed :class:`WeightError` naming the offending paths — not as a raw
+    KeyError/scan-shape ValueError inside the forward. The expected layout
+    is ``jax.eval_shape`` of the family's ``init`` (zero FLOPs, zero
+    memory). Shapes only — dtype is a load-time knob. This is the npz
+    analog of ORT's session-build validation (reference src/onnx.rs:13-29:
+    a graph whose initializers don't match its nodes refuses to load).
+    """
+    init = _family_init(spec.family)
+    if init is None:
+        return
+    import jax
+
+    expected = _flat_shapes(
+        jax.eval_shape(lambda k: init(k, spec.cfg), jax.random.PRNGKey(0)))
+    got = _flat_shapes(params)
+
+    def optional_bias(k: str) -> bool:
+        # biases are optional by the ops contract (ops.layers.linear: "bias
+        # optional"; mappers add "b" only when the source has one — e.g.
+        # open_clip ViT patch conv is bias-free), so a missing bias whose
+        # sibling weight IS present and correct is a legitimate layout
+        head, _, leaf = k.rpartition("/")
+        if leaf != "b":
+            return False
+        sib = f"{head}/w" if head else "w"
+        return sib in got and got[sib] == expected.get(sib)
+
+    missing = sorted(k for k in set(expected) - set(got)
+                     if not optional_bias(k))
+    unexpected = sorted(set(got) - set(expected))
+    wrong = sorted(k for k in set(got) & set(expected)
+                   if got[k] != expected[k])
+    if not (missing or unexpected or wrong):
+        return
+
+    def head(items, fmt):
+        shown = [fmt(k) for k in items[:5]]
+        if len(items) > 5:
+            shown.append(f"... +{len(items) - 5} more")
+        return ", ".join(shown)
+
+    parts = []
+    if missing:
+        parts.append(f"missing: {head(missing, str)}")
+    if unexpected:
+        parts.append(f"unexpected: {head(unexpected, str)}")
+    if wrong:
+        parts.append("shape mismatch: " + head(
+            wrong, lambda k: f"{k} {got[k]} != {expected[k]}"))
+    raise WeightError(
+        f"Weight tree from {source} does not match the '{spec.family}' "
+        f"tower layout — {'; '.join(parts)}")
+
+
 # ---------------------------------------------------------------------------
 # state-dict helpers
 # ---------------------------------------------------------------------------

@@ -93,7 +93,11 @@ def convert_checkpoint(model_dir: Path, sd: dict[str, np.ndarray]) -> None:
     """Map a full open_clip state dict into visual.npz / text.npz."""
     from clip_embedder_tpu.config import OpenClipConfig
     from clip_embedder_tpu.models.build import resolve_text, resolve_vision
-    from clip_embedder_tpu.weights import map_state_dict, save_pytree
+    from clip_embedder_tpu.weights import (
+        map_state_dict,
+        save_pytree,
+        validate_tower_pytree,
+    )
 
     cfg = OpenClipConfig.from_file(model_dir / "open_clip_config.json")
     visual_sd = {k: v for k, v in sd.items() if k.startswith("visual.")}
@@ -111,6 +115,11 @@ def convert_checkpoint(model_dir: Path, sd: dict[str, np.ndarray]) -> None:
     tspec = resolve_text(cfg.model_cfg)
     vparams = map_state_dict(visual_sd, tower="visual", family=vspec.family)
     tparams = map_state_dict(text_sd, tower="text", family=tspec.family)
+    # fail at conversion (typed, naming paths) rather than at first load if
+    # the mapped tree doesn't match the resolved architecture — e.g. a
+    # checkpoint paired with the wrong open_clip_config.json
+    validate_tower_pytree(vparams, vspec, source="mapped checkpoint (visual)")
+    validate_tower_pytree(tparams, tspec, source="mapped checkpoint (text)")
     save_pytree(model_dir / "visual.npz", vparams)
     save_pytree(model_dir / "text.npz", tparams)
 

@@ -61,8 +61,12 @@ def test_export_trained_model_serves(tmp_path):
     open_clip_config = {
         "model_cfg": {
             "embed_dim": 32, "quick_gelu": True,
+            # mlp_ratio must match the trained mlp_hidden (128 = 2×64):
+            # export_trained_model validates the handoff and rejects a
+            # config that doesn't describe the weights
             "vision_cfg": {"image_size": 32, "layers": 2, "width": 64,
-                           "patch_size": 8, "head_width": 16},
+                           "patch_size": 8, "head_width": 16,
+                           "mlp_ratio": 2.0},
             "text_cfg": {"context_length": 12, "vocab_size": 512, "width": 64,
                          "heads": 4, "layers": 2},
         },
@@ -79,3 +83,41 @@ def test_export_trained_model_serves(tmp_path):
     results = clip.classify(img, ["a cat", "a dog"])
     assert len(results) == 2
     assert abs(sum(p for _, p in results) - 1.0) < 1e-5
+
+
+def test_export_rejects_config_weight_mismatch(tmp_path):
+    """export_trained_model must refuse a handoff where the dir's
+    open_clip_config resolves a different architecture than the trained
+    weights (here: config omits the non-default mlp_ratio) — a typed
+    error at export beats a dir every later load rejects."""
+    import json
+
+    import pytest
+
+    from clip_embedder_tpu.errors import WeightError
+
+    cfg = TrainConfig(vision_cfg=ViTCfg(image_size=32, patch_size=8, width=64,
+                                        layers=2, heads=4, mlp_hidden=128,
+                                        embed_dim=32),
+                      text_cfg=TextCfgResolved(context_length=12,
+                                               vocab_size=512, width=64,
+                                               heads=4, layers=2,
+                                               mlp_hidden=256, embed_dim=32))
+    params, _ = init_train_state(jax.random.key(1), cfg)
+
+    d = tmp_path / "model"
+    d.mkdir()
+    (d / "open_clip_config.json").write_text(json.dumps({
+        "model_cfg": {
+            "embed_dim": 32,
+            # no mlp_ratio → resolves mlp_hidden 256, weights carry 128
+            "vision_cfg": {"image_size": 32, "layers": 2, "width": 64,
+                           "patch_size": 8, "head_width": 16},
+            "text_cfg": {"context_length": 12, "vocab_size": 512,
+                         "width": 64, "heads": 4, "layers": 2},
+        },
+        "preprocess_cfg": {"mean": [0.5] * 3, "std": [0.5] * 3},
+    }))
+    with pytest.raises(WeightError, match="mlp"):
+        export_trained_model(d, params)
+    assert not (d / "visual.npz").exists()  # nothing half-written
